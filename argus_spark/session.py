@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+Tuned for local[N] testing but configured the way a large cluster run
+would be: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), UTC session timezone (oracle comparability), Arrow enabled
+for the pandas-UDF slow path.
+
+At 100 TB the same settings hold; only `shuffle.partitions` (sized to
+~2-3x total cores, here env-overridable) and executor topology change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "argus_spark", cpus: int | None = None) -> SparkSession:
+    """Create (or fetch) the session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``);
+    shuffle partitions track it so local shuffles are neither over- nor
+    under-parallelized.
+    """
+    if cpus is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cpus = int(env) if env else None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    shuffle = str(cpus if cpus else (os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # testdata events.ts is parquet TIMESTAMP(NANOS); read as long and
+        # normalize in load() (Spark has no native nanos timestamps)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str):
+    """Read one testdata table (TESTDATA.md). Parquet scan → Catalyst
+    gets pushdown + pruning for free.
+
+    ``events.ts`` arrives as nanos-since-epoch (legacy nanosAsLong);
+    normalize to a microsecond timestamp with integer div (ns epoch
+    exceeds 2^53 — float division would lose precision).
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

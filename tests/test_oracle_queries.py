@@ -1,0 +1,52 @@
+"""Run every declared query against its DuckDB oracle — the local
+mirror of the driver's t2 correctness gate (sf0.01) plus a fast smoke
+pass at sf0.001."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_CORRECT, SF_SMOKE, compare_frames, duck_with_views
+
+ALL_QUERIES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_vs_oracle_smoke(spark, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    df = q(spark, SF_SMOKE)
+    if sql is None:
+        # rows-only check for non-SQL-expressible ops
+        assert df.count() >= 0
+        return
+    con = duck_with_views(duck, SF_SMOKE)
+    rel = con.sql(sql)
+    compare_frames(df, rel, name)
+
+
+@pytest.mark.correctness
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_vs_oracle_sf001(spark, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    df = q(spark, SF_CORRECT)
+    if sql is None:
+        assert df.count() >= 0
+        return
+    con = duck_with_views(duck, SF_CORRECT)
+    rel = con.sql(sql)
+    compare_frames(df, rel, name)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"address_name", "address", "balance"}
