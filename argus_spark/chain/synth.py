@@ -9,11 +9,13 @@ oracle-checkable end to end:
 
   * one block per order: ``slot = l_orderkey``
   * one transaction per order: ``tx_hash = cast(l_orderkey as string)``
-  * outputs = lineitem rows: ``tx_index = l_linenumber``, address keyed
-    by supplier, ``amount = floor(l_extendedprice * 100)`` (integer
-    lovelace — exact arithmetic, no FP-sum drift; SURVEY §1.2 foot-gun)
+  * outputs = lineitem rows: ``tx_index`` = dense ordinal within the tx
+    (positional, like Cardano output refs), address keyed by supplier,
+    ``amount = floor(l_extendedprice * 100)`` (integer lovelace — exact
+    arithmetic, no FP-sum drift; SURVEY §1.2 foot-gun)
   * spend refs (inputs) = lineitem rows with ``l_returnflag = 'R'``,
-    spending output (l_orderkey, l_linenumber) at ``slot + 7``
+    spending output (tx_hash, ordinal) at ``slot + 7`` — only when a
+    block exists at that slot (every input is deliverable)
   * watched set = the ``supplier`` dim (small → broadcast join, B12)
 
 ``floor`` (not bare CAST) because Spark truncates double→bigint while
@@ -35,18 +37,29 @@ SPEND_DELAY = 7
 CHAIN_SQL_CTES = """
 WITH outputs AS (
     SELECT CAST(l_orderkey AS VARCHAR)          AS tx_hash,
-           l_linenumber                          AS tx_index,
+           CAST(row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_suppkey,
+                                            l_extendedprice, l_returnflag) - 1
+                AS INT) AS tx_index,
            l_orderkey                            AS slot,
            'addr_' || CAST(l_suppkey AS VARCHAR) AS address,
            's_'    || CAST(l_suppkey AS VARCHAR) AS address_name,
            CAST(floor(l_extendedprice * 100) AS BIGINT) AS amount
     FROM lineitem
 ), inputs AS (
-    SELECT CAST(l_orderkey AS VARCHAR) AS tx_id,
-           l_linenumber                AS idx,
-           l_orderkey + 7              AS spend_slot
-    FROM lineitem
-    WHERE l_returnflag = 'R'
+    SELECT tx_id, idx, spend_slot FROM (
+        SELECT CAST(l_orderkey AS VARCHAR) AS tx_id,
+               CAST(row_number() OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_linenumber, l_suppkey,
+                                                l_extendedprice, l_returnflag) - 1
+                    AS INT) AS idx,
+               l_orderkey + 7  AS spend_slot,
+               l_returnflag    AS rf,
+               l_orderkey      AS ok
+        FROM lineitem
+    ) t
+    WHERE rf = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem b WHERE b.l_orderkey = t.ok + 7)
 ), watched AS (
     SELECT 's_'    || CAST(s_suppkey AS VARCHAR) AS name,
            'addr_' || CAST(s_suppkey AS VARCHAR) AS address
@@ -56,11 +69,17 @@ WITH outputs AS (
 
 
 def synth_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UTxO-creation rows (block→tx→output flatten, B8-B10 analogue)."""
+    """UTxO-creation rows (block→tx→output flatten, B8-B10 analogue).
+    ``tx_index`` is the output's dense ordinal within its tx — exactly
+    its position in the nested ``outputs`` array (Cardano outputs are
+    referenced positionally)."""
     li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_suppkey", "l_extendedprice", "l_returnflag"
+    )
     return li.select(
         F.col("l_orderkey").cast("string").alias("tx_hash"),
-        F.col("l_linenumber").alias("tx_index"),
+        (F.row_number().over(w) - 1).alias("tx_index"),
         F.col("l_orderkey").alias("slot"),
         F.concat(F.lit("addr_"), F.col("l_suppkey").cast("string")).alias("address"),
         F.concat(F.lit("s_"), F.col("l_suppkey").cast("string")).alias("address_name"),
@@ -69,13 +88,25 @@ def synth_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def synth_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spend references — (tx_id, idx) consumed at ``spend_slot`` (B11)."""
+    """Spend references — (tx_id, idx) consumed at ``spend_slot`` (B11).
+    A spend only exists if a block exists at its spend slot (keeps the
+    stream self-consistent: every input is deliverable)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").cast("string").alias("tx_id"),
-        F.col("l_linenumber").alias("idx"),
-        (F.col("l_orderkey") + SPEND_DELAY).alias("spend_slot"),
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_suppkey", "l_extendedprice", "l_returnflag"
     )
+    refs = (
+        li.select(
+            F.col("l_orderkey").cast("string").alias("tx_id"),
+            (F.row_number().over(w) - 1).alias("idx"),
+            (F.col("l_orderkey") + SPEND_DELAY).alias("spend_slot"),
+            F.col("l_returnflag").alias("rf"),
+        )
+        .filter(F.col("rf") == "R")
+        .drop("rf")
+    )
+    slots = li.select(F.col("l_orderkey").alias("b_slot")).distinct()
+    return refs.join(slots, refs.spend_slot == slots.b_slot, "left_semi")
 
 
 def synth_watched(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,259 @@
+"""ParquetStateStore — transactional multi-table sink with snapshot
+manifests (SURVEY §2.A A11: atomic data+checkpoint commit).
+
+The reference commits every reducer's rows AND its checkpoint in one
+Postgres/Mongo transaction (EfBlockUnitOfWork.cs:94-121). Plain parquet
+has no transactions, so the store provides Delta-style snapshot
+isolation itself:
+
+  * every epoch writes fresh immutable parquet file-groups per table
+  * one JSON **manifest** lists, per table, the live file-groups (with
+    their slot ranges) plus every reducer's checkpoint window
+  * publishing = write-temp + atomic ``os.rename`` of the manifest —
+    a crash leaves the previous manifest intact; data files not yet
+    referenced are invisible garbage (A18 fail-fast: the whole open
+    batch vanishes)
+
+Retraction (A12 = B6/B7) exploits slot locality: rollback deletes
+``slot >= X``, and X is always near the tip, so file-groups entirely
+above X are dropped from the manifest (O(1)), groups straddling X are
+rewritten filtered (copy-on-write), and the bulk of the table — groups
+below X — is untouched. Retraction cost scales with reorg depth, not
+table size: the property that survives at 100 TB. In-place updates are
+re-architected as appends (spend marks live in their own slot-keyed
+table) so this holds for every mutation.
+
+At deployment scale the same contract maps 1:1 onto Delta/Iceberg
+(transactional snapshot + MERGE/DELETE); this store keeps v1 dependency-
+free while preserving identical crash semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow.dataset as pads
+from pyspark.sql import DataFrame, SparkSession
+
+from argus_spark.lifecycle.state import Point
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+@dataclass
+class FileGroup:
+    path: str
+    min_slot: int
+    max_slot: int
+    rows: int
+
+    def as_dict(self) -> dict:
+        return {
+            "path": self.path,
+            "min_slot": self.min_slot,
+            "max_slot": self.max_slot,
+            "rows": self.rows,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "FileGroup":
+        return FileGroup(d["path"], d["min_slot"], d["max_slot"], d["rows"])
+
+
+@dataclass
+class ReducerStateRow:
+    name: str
+    created_at: float
+    start_point: dict | None
+    latest_points: list[dict] = field(default_factory=list)
+    # exact committed floor (slot of the last applied block). The rolling
+    # window serves provider intersection negotiation; resume_slot is the
+    # engine's own precise replay cursor — it survives rollbacks deeper
+    # than the window (where the reference must hard-error,
+    # N2CProvider.cs:77-83, our manifest still knows the exact floor).
+    resume_slot: int = -1
+
+    def window(self) -> list[Point]:
+        return [Point.from_dict(p) for p in self.latest_points]
+
+
+class ParquetStateStore:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+
+    # ---------------- manifest plumbing ----------------
+
+    def _manifest_files(self) -> list[str]:
+        d = os.path.join(self.root, MANIFEST_DIR)
+        return sorted(f for f in os.listdir(d) if f.endswith(".json"))
+
+    def current_manifest(self) -> dict:
+        files = self._manifest_files()
+        if not files:
+            return {"id": 0, "tables": {}, "reducer_states": {}}
+        with open(os.path.join(self.root, MANIFEST_DIR, files[-1])) as fh:
+            return json.load(fh)
+
+    def _publish(self, manifest: dict) -> None:
+        mid = manifest["id"]
+        path = os.path.join(self.root, MANIFEST_DIR, f"{mid:012d}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, path)  # the commit point — atomic on POSIX
+
+    # ---------------- reads ----------------
+
+    def table_groups(self, name: str, min_slot: int | None = None) -> list[FileGroup]:
+        groups = [
+            FileGroup.from_dict(g)
+            for g in self.current_manifest()["tables"].get(name, [])
+        ]
+        if min_slot is not None:
+            groups = [g for g in groups if g.max_slot >= min_slot]
+        return groups
+
+    def read_table(
+        self, spark: SparkSession, name: str, min_slot: int | None = None
+    ) -> DataFrame | None:
+        """Snapshot read. ``min_slot`` prunes file-groups by their slot
+        range before Spark ever lists them (manifest-level partition
+        pruning)."""
+        groups = self.table_groups(name, min_slot)
+        if not groups:
+            return None
+        return spark.read.parquet(*[os.path.join(self.root, g.path) for g in groups])
+
+    def reducer_states(self) -> dict[str, ReducerStateRow]:
+        out = {}
+        for name, d in self.current_manifest()["reducer_states"].items():
+            out[name] = ReducerStateRow(
+                name=name,
+                created_at=d.get("created_at", 0.0),
+                start_point=d.get("start_point"),
+                latest_points=d.get("latest_points", []),
+                resume_slot=d.get("resume_slot", -1),
+            )
+        return out
+
+    # ---------------- writes ----------------
+
+    def _write_group(self, name: str, df: DataFrame, lo: int, hi: int) -> FileGroup | None:
+        rel = os.path.join(DATA_DIR, name, f"g-{uuid.uuid4().hex}")
+        full = os.path.join(self.root, rel)
+        df.write.mode("overwrite").parquet(full)
+        rows = pads.dataset(full, format="parquet").count_rows()
+        if rows == 0:
+            shutil.rmtree(full, ignore_errors=True)
+            return None
+        return FileGroup(path=rel, min_slot=lo, max_slot=hi, rows=rows)
+
+    def commit(
+        self,
+        appends: dict[str, tuple[DataFrame, int, int]],
+        states: dict[str, ReducerStateRow] | None = None,
+        retract_from: int | None = None,
+        spark: SparkSession | None = None,
+        meta: dict[str, Any] | None = None,
+    ) -> dict:
+        """One atomic transaction: optional slot-range retraction,
+        appends for any number of tables, and checkpoint upserts.
+
+        ``appends[table] = (df, min_slot, max_slot)`` — the epoch's slot
+        range is known to the driver, so no extra jobs to discover it.
+        Data files are written first (invisible), the manifest rename
+        publishes everything at once.
+        """
+        manifest = self.current_manifest()
+        tables: dict[str, list[dict]] = {
+            k: list(v) for k, v in manifest["tables"].items()
+        }
+
+        if retract_from is not None:
+            assert spark is not None, "retraction needs a SparkSession"
+            tables = self._retract_groups(spark, tables, retract_from)
+
+        wrote_data = retract_from is not None
+        for name, (df, lo, hi) in appends.items():
+            group = self._write_group(name, df, lo, hi)
+            if group is not None:
+                tables.setdefault(name, []).append(group.as_dict())
+                wrote_data = True
+
+        new_states = dict(manifest["reducer_states"])
+        if states:
+            for name, st in states.items():
+                new_states[name] = {
+                    "created_at": st.created_at,
+                    "start_point": st.start_point,
+                    "latest_points": st.latest_points,
+                    "resume_slot": st.resume_slot,
+                }
+
+        new_manifest = {
+            "id": manifest["id"] + 1,
+            "ts": time.time(),
+            "tables": tables,
+            "reducer_states": new_states,
+            "meta": meta or {},
+        }
+        self._publish(new_manifest)
+        new_manifest["_wrote_data"] = wrote_data
+        return new_manifest
+
+    def _retract_groups(
+        self, spark: SparkSession, tables: dict[str, list[dict]], delete_from: int
+    ) -> dict[str, list[dict]]:
+        """B6 as file-group surgery: drop groups fully ≥ delete_from,
+        rewrite straddling groups filtered to ``slot < delete_from``,
+        keep groups fully below untouched."""
+        out: dict[str, list[dict]] = {}
+        for name, groups in tables.items():
+            kept: list[dict] = []
+            for gd in groups:
+                g = FileGroup.from_dict(gd)
+                if g.min_slot >= delete_from:
+                    continue  # fully rolled back — drop
+                if g.max_slot < delete_from:
+                    kept.append(gd)  # fully retained — untouched
+                    continue
+                # straddles the fork — copy-on-write rewrite
+                df = spark.read.parquet(os.path.join(self.root, g.path)).filter(
+                    f"slot < {delete_from}"
+                )
+                ng = self._write_group(name, df, g.min_slot, delete_from - 1)
+                if ng is not None:
+                    kept.append(ng.as_dict())
+            out[name] = kept
+        return out
+
+    def vacuum(self) -> int:
+        """Remove data file-groups no longer referenced by the current
+        manifest (crash leftovers, rolled-back groups). Returns count
+        removed. Safe any time — unreferenced groups are invisible."""
+        live = {
+            g["path"]
+            for groups in self.current_manifest()["tables"].values()
+            for g in groups
+        }
+        removed = 0
+        data_root = os.path.join(self.root, DATA_DIR)
+        for table in os.listdir(data_root):
+            tdir = os.path.join(data_root, table)
+            for group in os.listdir(tdir):
+                rel = os.path.join(DATA_DIR, table, group)
+                if rel not in live:
+                    shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+                    removed += 1
+        return removed

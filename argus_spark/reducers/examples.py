@@ -1,0 +1,181 @@
+"""Example reducers — the Spark re-expression of the reference's
+example indexer (src/Argus.Sync.Example/Reducers/).
+
+Key re-architecture for scale: the reference *updates* WalletUtxo rows
+in place (set SpentSlot) and must un-update them on rollback
+(LovelaceBalanceByAddressReducer.cs:109-128). Here every mutation is an
+**append keyed by slot**: spends land in their own ``utxo_spends``
+table (slot = spend slot), and the spent/unspent view is a join. Slot-
+range retraction then covers B6 *and* B7 with the same O(reorg-depth)
+file-group surgery — no update-in-place anywhere.
+
+Reducers:
+  block_tests        — block → (hash, height, slot)        (BlockTestReducer.cs)
+  transaction_tests  — posexplode block → txs              (TransactionTestReducer.cs)
+  wallet_utxos       — created outputs ⋉ watched set       (LovelaceBalanceByAddressReducer.cs:58-78)
+  utxo_spends        — inputs matched to prior UTxOs       (ibid:88-106, as appends)
+  balances           — per-epoch snapshot per watched addr (WatchedAddressBalanceReducer.cs)
+                       [depends on wallet_utxos/utxo_spends output]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argus_spark.lifecycle.dag import Reducer, ReducerRegistry
+
+
+def _blocks_reducer(ctx) -> dict[str, DataFrame]:
+    return {
+        "block_tests": ctx.blocks.select(
+            "hash", "height", "slot", F.current_timestamp().alias("created_at")
+        )
+    }
+
+
+def _transactions_reducer(ctx) -> dict[str, DataFrame]:
+    txs = ctx.blocks.select(
+        F.col("hash").alias("block_hash"),
+        F.col("height").alias("block_height"),
+        "slot",
+        F.posexplode("txs").alias("tx_index", "tx"),
+    )
+    return {
+        "transaction_tests": txs.select(
+            F.col("tx.tx_hash").alias("tx_hash"),
+            F.col("tx_index").cast("long").alias("tx_index"),
+            "slot",
+            "block_hash",
+            "block_height",
+            F.col("tx.raw").alias("raw_tx"),
+        )
+    }
+
+
+def make_utxo_reducer(watched: DataFrame):
+    """UTxO ledger fold. ``watched`` is the small config-loaded address
+    set — broadcast so the filter never shuffles the block side (B12)."""
+
+    def _apply(ctx) -> dict[str, DataFrame]:
+        txs = ctx.blocks.select("slot", F.explode("txs").alias("tx"))
+        outputs = txs.select(
+            F.col("tx.tx_hash").alias("tx_hash"),
+            F.posexplode("tx.outputs").alias("tx_index", "out"),
+            "slot",
+        ).select(
+            "tx_hash",
+            "tx_index",
+            "slot",
+            F.col("out.address").alias("address"),
+            F.col("out.lovelace").alias("amount"),
+        )
+        created = outputs.join(
+            F.broadcast(watched.select("address", "name")), "address", "inner"
+        ).select(
+            "tx_hash", "tx_index", "slot", "address",
+            F.col("name").alias("address_name"), "amount",
+        )
+
+        # spend matching (B14): known UTxOs = committed wallet_utxos ∪
+        # this epoch's created rows (read-your-writes B17 — intra-epoch
+        # spends resolve correctly). The epoch's inputs are small →
+        # broadcast them and probe the big UTxO side, never the reverse.
+        inputs = txs.select(
+            "slot", F.explode("tx.inputs").alias("inp")
+        ).select(
+            F.col("inp.tx_id").alias("tx_id"),
+            F.col("inp.index").alias("index"),
+            F.col("slot").alias("spend_slot"),
+        )
+        committed = ctx.table("wallet_utxos")
+        known = created if committed is None else committed.unionByName(created)
+        spends = (
+            known.alias("u")
+            .join(
+                F.broadcast(inputs).alias("i"),
+                (F.col("u.tx_hash") == F.col("i.tx_id"))
+                & (F.col("u.tx_index") == F.col("i.index")),
+                "inner",
+            )
+            .select(
+                F.col("u.tx_hash").alias("tx_hash"),
+                F.col("u.tx_index").alias("tx_index"),
+                F.col("i.spend_slot").alias("slot"),  # spend slot → rollbackable
+            )
+        )
+        return {"wallet_utxos": created, "utxo_spends": spends}
+
+    return _apply
+
+
+def make_balance_reducer(watched: DataFrame):
+    """Per-epoch balance snapshot per watched address (B18 + B23),
+    slot-stamped with the epoch tip so rollback retracts snapshots."""
+
+    def _apply(ctx) -> dict[str, DataFrame]:
+        utxos = ctx.table("wallet_utxos")
+        spends = ctx.table("utxo_spends")
+        if utxos is None:
+            return {}
+        unspent = utxos
+        if spends is not None:
+            unspent = utxos.join(
+                spends.select("tx_hash", "tx_index"), ["tx_hash", "tx_index"], "left_anti"
+            )
+        bal = unspent.groupBy("address_name").agg(F.sum("amount").alias("balance"))
+        hi = ctx.epoch_range[1]
+        snap = (
+            F.broadcast(watched.select(F.col("name").alias("address_name"), "address"))
+            .join(bal, "address_name", "left")
+            .select(
+                F.lit("balance_by_address").alias("reducer"),
+                "address_name",
+                "address",
+                F.lit(hi).cast("long").alias("slot"),
+                F.coalesce(F.col("balance"), F.lit(0)).alias("balance"),
+            )
+        )
+        return {"watched_address_balances": snap}
+
+    return _apply
+
+
+def build_example_registry(spark: SparkSession, watched: DataFrame) -> ReducerRegistry:
+    reg = ReducerRegistry()
+    reg.register(Reducer("block_tests", _blocks_reducer, tables=["block_tests"]))
+    reg.register(
+        Reducer("transaction_tests", _transactions_reducer, tables=["transaction_tests"])
+    )
+    reg.register(
+        Reducer(
+            "utxos_by_address",
+            make_utxo_reducer(watched),
+            tables=["wallet_utxos", "utxo_spends"],
+        )
+    )
+    reg.register(
+        Reducer(
+            "balance_by_address",
+            make_balance_reducer(watched),
+            depends_on="utxos_by_address",
+            tables=["watched_address_balances"],
+        )
+    )
+    return reg
+
+
+def current_balances(spark: SparkSession, store) -> DataFrame | None:
+    """Serving view: latest balance snapshot per address (B28
+    latest-per-key over the snapshot table)."""
+    from pyspark.sql import Window
+
+    snaps = store.read_table(spark, "watched_address_balances")
+    if snaps is None:
+        return None
+    w = Window.partitionBy("address_name").orderBy(F.desc("slot"))
+    return (
+        snaps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("address_name", "address", "slot", "balance")
+    )
