@@ -130,6 +130,7 @@ def synth_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     out = synth_outputs(spark, sf_dir)
     inp = synth_inputs(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
 
     outs_by_tx = out.groupBy("tx_hash", "slot").agg(
         F.sort_array(
@@ -172,10 +173,22 @@ def synth_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "txs_s"
         )
     )
-    return blocks.select(
+    # height = global slot ordinal. A bare dense_rank() over an
+    # unpartitioned window would drag every FAT nested block row through
+    # ONE task; rank the narrow (slot) set instead and join it back —
+    # AQE broadcasts the rank table, the fat side never re-shuffles
+    # (it is already hash-partitioned by slot from the groupBy).
+    heights = (
+        li.select(F.col("l_orderkey").alias("slot"))
+        .distinct()
+        .withColumn(
+            "height", F.dense_rank().over(Window.orderBy("slot"))
+        )
+    )
+    return blocks.join(heights, "slot").select(
         F.sha2(F.col("slot").cast("string"), 256).alias("hash"),
         F.col("slot"),
-        F.dense_rank().over(Window.orderBy("slot")).alias("height"),
+        F.col("height"),
         F.lit("conway").alias("era"),
         F.transform(F.col("txs_s"), lambda x: x["tx"]).alias("txs"),
     )

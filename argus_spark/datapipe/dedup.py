@@ -1,0 +1,424 @@
+"""Deduplication operators over the ``documents`` / ``embeddings``
+tables — the core of a training-data pipeline at 100 TB.
+
+Five strategies, cheapest→richest:
+
+  * ``dedup_exact``          — hash-groupBy on content digest
+  * ``dedup_minhash_lsh``    — MinHash signatures + banded LSH join
+  * ``dedup_simhash``        — 32-bit SimHash + chunk-banded Hamming join
+  * ``dedup_ngram_jaccard``  — exact Jaccard via inverted-index join
+  * ``dedup_embedding_cosine`` — near-dup pairs by embedding cosine
+
+All hashing goes through ``hashing.h64`` (md5-based) so the DuckDB
+oracles are bit-identical; all floating-point is computed as ordered
+left-folds so Spark and DuckDB produce the same IEEE doubles.
+
+Scale design (100 TB, 1000 executors):
+  * exact: one map-side-combinable hash aggregate; digest keys are
+    uniform → no skew.
+  * minhash: signature computation is per-row (no shuffle, whole-stage
+    codegen); the only shuffle is the explode→self-join on
+    (band, band_hash), whose key cardinality ~ n_docs×bands → well
+    partitioned. Candidate pairs are bounded by band tuning (b,r).
+  * simhash: same shape — per-row signature, join on 8-bit chunk bands.
+  * ngram_jaccard: inverted index join; at scale prefilter hot tokens
+    by document frequency (a stop-token cut) to bound the blowup —
+    kept exact here per the oracle contract.
+  * embedding_cosine: quadratic candidate generation is the *baseline*;
+    the scale path is the LSH-bucketed variant in ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argus_spark.datapipe.hashing import h64, h64_sql, words_col, words_sql
+from argus_spark.session import load
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content digest. One hash aggregate,
+    map-side partial, uniform keys — the 100 TB plan is a single
+    shuffle on the digest."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH
+# --------------------------------------------------------------------------
+
+MH_K = 12          # signature length
+MH_BANDS = 3       # bands
+MH_R = MH_K // MH_BANDS  # rows per band
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) over the word *set*, banded 3×4 → candidate pairs.
+
+    Per-row signature: ``array_min(transform(words, h64_seed_i))`` —
+    12 JVM-side md5 passes, no shuffle, no Python. Candidates come from
+    one explode + self-equi-join on (band, band_hash): the canonical
+    distributed LSH shape. P(candidate) = 1-(1-J^4)^3 ≈ .79 @ J=0.8."""
+    d = load(spark, sf_dir, "documents")
+    words = F.array_distinct(words_col())
+
+    def sig_col(i: int) -> F.Column:
+        # NB: closure, not a default arg — PySpark HOFs dispatch on lambda
+        # arity, so a 2-arg lambda would receive the array index instead.
+        seed = f"mh{i}"
+        return F.array_min(F.transform(words, lambda w: h64(w, seed)))
+
+    sigs = [sig_col(i).alias(f"s{i}") for i in range(MH_K)]
+    sig = d.select("doc_id", *sigs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"s{b * MH_R + r}").cast("string") for r in range(MH_R)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(MH_BANDS)
+        ]
+    )
+    e = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, x = e.alias("a"), e.alias("x")
+    return (
+        a.join(x, ["band", "bh"], "inner")
+        .filter(F.col("a.doc_id") < F.col("x.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("x.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _minhash_sql() -> str:
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(words, x -> {h64_sql('x', f'mh{i}')})) AS s{i}"
+        for i in range(MH_K)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"s{b * MH_R + r}::VARCHAR" for r in range(MH_R)
+            ),
+        )
+        for b in range(MH_BANDS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_distinct({words_sql()}) AS words FROM documents
+), sig AS (
+  SELECT doc_id,
+    {sig_exprs}
+  FROM w
+), bands AS (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b
+FROM bands a JOIN bands x ON a.band = x.band AND a.bh = x.bh
+WHERE a.doc_id < x.doc_id
+"""
+
+
+DEDUP_MINHASH_LSH_SQL = _minhash_sql()
+
+
+# --------------------------------------------------------------------------
+# SimHash (32-bit) + chunk-banded Hamming join
+# --------------------------------------------------------------------------
+
+SH_BITS = 32
+SH_CHUNKS = 4  # 4 × 8-bit chunks; Hamming ≤ t with t < chunks ⇒ some chunk equal
+SH_HAMMING = 6
+_POW2 = [1 << j for j in range(SH_BITS)]
+
+
+def _simhash_col() -> F.Column:
+    """32-bit SimHash of the word multiset, pure integer arithmetic.
+
+    bit_j = sign of Σ_words (±1 by bit j of h64(word)); bit test uses
+    ``h % 2p >= p`` (no shift-by-column needed — engine-neutral)."""
+    ws = words_col()
+    hs = F.transform(ws, lambda w: h64(w, "sh"))
+    pow2 = F.array(*[F.lit(p).cast("long") for p in _POW2])
+    bits = F.transform(
+        pow2,
+        lambda p: F.when(
+            F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.when(h % (p * 2) >= p, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    # MSB-first fold: Σ bit_j << j  ==  fold(reverse(bits), acc*2+b)
+    return F.aggregate(
+        F.reverse(bits), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+
+
+def _simhash_sql_expr() -> str:
+    pow2 = "[" + ", ".join(f"{p}::BIGINT" for p in _POW2) + "]"
+    return f"""list_reduce(
+      list_prepend(0::BIGINT, list_reverse(list_transform({pow2},
+        p -> CASE WHEN list_sum(list_transform(hs,
+               h -> CASE WHEN h % (p*2) >= p THEN 1 ELSE -1 END)) > 0
+             THEN 1::BIGINT ELSE 0::BIGINT END))),
+      (acc, b) -> acc*2 + b)"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: join on any equal 8-bit chunk (pigeonhole
+    guarantees recall for Hamming ≤ 3 over 4 chunks; we accept ≤ 6 so
+    the band join is a recall-biased candidate filter, like production
+    SimHash dedup), verify with exact ``bit_count(xor)``."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", _simhash_col().alias("simhash")
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                ((F.col("simhash") % F.lit(1 << (8 * c + 8))) / F.lit(1 << (8 * c)))
+                .cast("long")
+                .alias("chunk"),
+            )
+            for c in range(SH_CHUNKS)
+        ]
+    )
+    e = d.select("doc_id", "simhash", F.explode(chunks).alias("k")).select(
+        "doc_id", "simhash", F.col("k.c").alias("c"), F.col("k.chunk").alias("chunk")
+    )
+    a, x = e.alias("a"), e.alias("x")
+    return (
+        a.join(x, ["c", "chunk"], "inner")
+        .filter(F.col("a.doc_id") < F.col("x.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("x.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("x.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SH_HAMMING)
+        .distinct()
+    )
+
+
+def _simhash_sql() -> str:
+    chunk_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {c} AS c, "
+        f"(simhash % {1 << (8 * c + 8)}) // {1 << (8 * c)} AS chunk FROM sh"
+        for c in range(SH_CHUNKS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_transform({words_sql()}, x -> {h64_sql('x', 'sh')}) AS hs
+  FROM documents
+), sh AS (
+  SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM w
+), chunks AS (
+{chunk_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+       bit_count(xor(a.simhash, x.simhash))::BIGINT AS hamming
+FROM chunks a JOIN chunks x ON a.c = x.c AND a.chunk = x.chunk
+WHERE a.doc_id < x.doc_id
+  AND bit_count(xor(a.simhash, x.simhash)) <= {SH_HAMMING}
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted index
+# --------------------------------------------------------------------------
+
+JACCARD_TAU = 0.9
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard ≥ 0.9 via inverted-index self-join:
+    explode distinct tokens, equi-join on token, count intersections,
+    J = |∩| / (|A|+|B|-|∩|).
+
+    Scale: the shuffle key is the token; hot tokens (df ≈ n_docs) make
+    this quadratic — at 100 TB add a document-frequency cut (drop
+    tokens with df > k%) or positional prefix filtering before the
+    join. Kept exact here so the oracle is exact too."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(words_col())).alias("w")
+    )
+    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, x = tok.alias("a"), tok.alias("x")
+    inter = (
+        a.join(x, "w", "inner")
+        .filter(F.col("a.doc_id") < F.col("x.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("x.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({words_sql()})) AS w FROM documents
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, x.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok x ON a.w = x.w AND a.doc_id < x.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, i::DOUBLE / (sa.n + sb.n - i)::DOUBLE AS jaccard
+FROM inter
+JOIN sz sa ON inter.doc_a = sa.doc_id
+JOIN sz sb ON inter.doc_b = sb.doc_id
+WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= {JACCARD_TAU}
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+COS_TAU = 0.4
+DIM = 64
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Ordered left-fold dot product — same IEEE result in DuckDB's
+    mirrored list_reduce."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _as_double(col: str) -> F.Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def norm(v: F.Column) -> F.Column:
+    return F.sqrt(_dot(v, v))
+
+
+def cosine_prenorm(dot: F.Column, na: F.Column, nb: F.Column) -> F.Column:
+    """cos from a pair dot product and per-side precomputed norms.
+    Norms are computed once per row map-side (not once per pair) —
+    HOF folds are interpreted, so this is a 3× cut of the hot loop."""
+    return dot / (na * nb)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {DIM + 1}), "
+        f"i -> {a}[i] * {b}[i])), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(v: str) -> str:
+    return f"sqrt({_dot_sql(v, v)})"
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ 0.4 — brute-force
+    all-pairs baseline (the scale path buckets first: see
+    ``similarity.ann_lsh_bucketed``). The theta-join (vec_a < vec_b)
+    becomes a broadcast nested-loop with one side broadcast — fine for
+    a dedup *verification* stage over LSH candidates; never run raw at
+    100 TB. Norms are precomputed per row so each candidate pair costs
+    one 64-wide fold, not three."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    e = e.withColumn("nrm", norm(F.col("v")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim",
+            cosine_prenorm(
+                _dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+            ),
+        )
+        .filter(F.col("cos_sim") >= COS_TAU)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, {_norm_sql('v')} AS nrm FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm) >= {COS_TAU}
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
+}

@@ -1,0 +1,153 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the *codec* layer is
+stubbed exactly as the build contract requires: real decodes raise
+``NotImplementedError`` behind a try-import, while a deterministic
+fake blob format ("IMG1" header: 4-byte magic + u32le width + u32le
+height + utf-8 payload) exercises the genuinely important Spark parts
+— binary schema, Arrow batch transfer, pandas UDF signatures, and the
+metadata-extraction plan shape.
+
+``multimodal_meta`` round-trips documents → fake image blobs →
+header-decoded metadata entirely through ``mapInPandas`` and is
+oracle-checked: because the fake format is a pure function of the doc
+row, DuckDB can predict every decoded field.
+
+Scale: blobs never leave executors (no collect); Arrow batch size is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — for real
+multi-MB images lower it so a batch stays in executor memory, and
+partition by size (``maxPartitionBytes``) not row count.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from argus_spark.session import load
+
+MAGIC = b"IMG1"
+HEADER_LEN = 12  # 4 magic + 4 width + 4 height
+
+
+# --------------------------------------------------------------------------
+# Codec layer — stubbed behind try-imports, per the build contract
+# --------------------------------------------------------------------------
+
+
+def decode_image_real(blob: bytes):
+    """Decode a real image via PIL — unavailable in this container.
+
+    The Spark-side plumbing (binary column in, struct metadata out) is
+    identical to the fake path below; only this function changes when a
+    codec is installed."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no PIL in container
+        raise NotImplementedError(
+            "image codec not installed; use the deterministic fake path "
+            "(encode_fake_blob/decode_blob_header)"
+        ) from exc
+    raise NotImplementedError("real decode intentionally stubbed")
+
+
+def sample_video_frames(blob: bytes, every_n: int = 30):
+    """Frame sampling stub — same contract as decode_image_real."""
+    raise NotImplementedError("video codec not installed in this container")
+
+
+def extract_audio_features(blob: bytes):
+    """Audio feature stub — same contract as decode_image_real."""
+    raise NotImplementedError("audio codec not installed in this container")
+
+
+# --------------------------------------------------------------------------
+# Deterministic fake blob format (pure function of the doc row)
+# --------------------------------------------------------------------------
+
+
+def fake_dims(doc_id: int, n_chars: int) -> tuple[int, int]:
+    return 16 + n_chars % 240, 16 + (doc_id * 7) % 240
+
+
+def encode_fake_blob(doc_id: int, n_chars: int, text: str) -> bytes:
+    w, h = fake_dims(doc_id, n_chars)
+    return MAGIC + struct.pack("<II", w, h) + text[:16].encode("utf-8")
+
+
+def decode_blob_header(blob: bytes) -> tuple[str, int, int, int]:
+    fmt = blob[:4].decode("ascii")
+    w, h = struct.unpack("<II", blob[4:HEADER_LEN])
+    return fmt, w, h, len(blob) - HEADER_LEN
+
+
+# --------------------------------------------------------------------------
+# The oracle-checked plumbing query
+# --------------------------------------------------------------------------
+
+_BLOB_SCHEMA = "doc_id long, blob binary"
+_META_SCHEMA = "doc_id long, fmt string, width long, height long, n_payload long, npixels long"
+
+
+def _encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "blob": [
+                    encode_fake_blob(int(i), int(n), t)
+                    for i, n, t in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"])
+                ],
+            }
+        )
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        metas = [decode_blob_header(b) for b in pdf["blob"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "fmt": [m[0] for m in metas],
+                "width": pd.Series([m[1] for m in metas], dtype="int64"),
+                "height": pd.Series([m[2] for m in metas], dtype="int64"),
+                "n_payload": pd.Series([m[3] for m in metas], dtype="int64"),
+                "npixels": pd.Series([m[1] * m[2] for m in metas], dtype="int64"),
+            }
+        )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → fake image blobs (mapInPandas encode) → decoded
+    header metadata (mapInPandas decode). Two Arrow round-trips over a
+    real binary column — the full multimodal plumbing path."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    blobs = d.mapInPandas(_encode_batches, schema=_BLOB_SCHEMA)
+    return blobs.mapInPandas(_decode_batches, schema=_META_SCHEMA)
+
+
+# The fake format is a pure function of (doc_id, n_chars, text), so the
+# decoded metadata is SQL-predictable: strlen = utf-8 bytes of the first
+# 16 characters (matching Python's text[:16].encode()).
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       'IMG1' AS fmt,
+       (16 + n_chars % 240)::BIGINT AS width,
+       (16 + (doc_id * 7) % 240)::BIGINT AS height,
+       strlen(substr(text, 1, 16))::BIGINT AS n_payload,
+       ((16 + n_chars % 240) * (16 + (doc_id * 7) % 240))::BIGINT AS npixels
+FROM documents
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "multimodal_meta": multimodal_meta,
+}
+
+ORACLES: dict[str, str] = {
+    "multimodal_meta": MULTIMODAL_META_SQL,
+}

@@ -1,0 +1,199 @@
+"""Similarity search over the ``embeddings`` table (array<float> 64-d).
+
+Two operators:
+
+  * ``ann_cosine_topk``  — brute-force cosine top-k: the exact baseline.
+    Plan shape at scale: broadcast the (small) query set, map-side
+    cosine over the corpus, then a per-query top-k — shuffle carries
+    only n_queries×k rows, the corpus is scanned once with no shuffle.
+  * ``ann_lsh_bucketed`` — random-hyperplane LSH: corpus is bucketed by
+    the 8-bit sign pattern of 8 fixed hyperplane projections; queries
+    probe only their own bucket. This is the 100 TB path: bucket is a
+    plain column → the probe is an equi-join (hash-partitionable,
+    AQE-skew-splittable), candidates shrink ~2^8×.
+
+Hyperplanes are fixed pseudo-random literals (seeded numpy, rounded to
+4 decimals) injected into BOTH the Spark plan and the DuckDB oracle, so
+projections agree bit-for-bit. All dot products are ordered left-folds
+(see ``dedup._dot``) — identical IEEE doubles in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argus_spark.datapipe.dedup import (
+    DIM,
+    _as_double,
+    _dot,
+    _dot_sql,
+    _norm_sql,
+    cosine_prenorm,
+    norm,
+)
+from argus_spark.session import load
+
+N_QUERIES = 8      # queries = vec_id < 8
+TOP_K = 5
+N_PLANES = 8
+LSH_TOP_K = 3
+
+_rng = np.random.default_rng(7)
+PLANES: list[list[float]] = [
+    [round(float(x), 4) for x in row] for row in _rng.standard_normal((N_PLANES, DIM))
+]
+
+
+def _plane_lit(p: list[float]) -> F.Column:
+    return F.array(*[F.lit(x) for x in p])
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]"
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query (vec_id < 8).
+    Broadcast queries × corpus scan; ties broken by neighbor id so the
+    ranking is total."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    e = e.withColumn("nrm", norm(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos_sim",
+            cosine_prenorm(_dot(F.col("qv"), F.col("nv")), F.col("qn"), F.col("nn")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "rnk", "cos_sim")
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ e AS (SELECT vec_id, v, {_norm_sql('v')} AS nrm FROM e0),
+ q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < {N_QUERIES}),
+ scored AS (
+  SELECT q_id, c.vec_id AS n_id,
+         {_dot_sql('qv', 'c.v')} / (qn * c.nrm) AS cos_sim
+  FROM q JOIN e c ON q.q_id <> c.vec_id
+)
+SELECT q_id, n_id, rnk, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, n_id) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
+def _bucket_col(v: F.Column) -> F.Column:
+    """8-bit sign pattern of the 8 hyperplane projections."""
+    b = F.lit(0).cast("long")
+    for p_idx, plane in enumerate(PLANES):
+        dot = F.aggregate(
+            F.zip_with(v, _plane_lit(plane), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        b = b + F.when(dot > 0, F.lit(1 << p_idx).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return b
+
+
+def _bucket_sql(v: str) -> str:
+    terms = []
+    for p_idx, plane in enumerate(PLANES):
+        dot = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {DIM + 1}), "
+            f"i -> {v}[i] * ({_plane_sql(plane)})[i])), (acc, t) -> acc + t)"
+        )
+        terms.append(
+            f"CASE WHEN {dot} > 0 THEN {1 << p_idx}::BIGINT ELSE 0::BIGINT END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: probe only the query's own sign-pattern bucket,
+    exact cosine + top-3 within it. The bucket column is computed
+    map-side; the probe is an equi-join on ``bucket`` — this is the
+    shape that survives 100 TB (add multi-probe / band repetition for
+    recall; single-probe kept here so the oracle is closed-form)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    bucketed = e.withColumn("bucket", _bucket_col(F.col("v"))).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "bucket",
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("n_id"), F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"), "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos_sim",
+            cosine_prenorm(_dot(F.col("qv"), F.col("nv")), F.col("qn"), F.col("nn")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= LSH_TOP_K)
+        .select("q_id", "n_id", "rnk", "cos_sim")
+    )
+
+
+ANN_LSH_BUCKETED_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, {_bucket_sql('v')} AS bucket, {_norm_sql('v')} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket
+  FROM bucketed WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, c.vec_id AS n_id,
+         {_dot_sql('qv', 'c.v')} / (qn * c.nrm) AS cos_sim
+  FROM q JOIN bucketed c USING (bucket)
+  WHERE q.q_id <> c.vec_id
+)
+SELECT q_id, n_id, rnk, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, n_id) AS rnk
+  FROM scored
+) WHERE rnk <= {LSH_TOP_K}
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}
+
+ORACLES: dict[str, str] = {
+    "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
+}

@@ -26,6 +26,16 @@ def get_spark(app_name: str = "argus_spark", cpus: int | None = None) -> SparkSe
     if cpus is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cpus = int(env) if env else None
+    # Python workers (pandas UDF / mapInPandas) must be able to import
+    # this package regardless of the driver's cwd: export the repo root
+    # on PYTHONPATH before the JVM (and hence the workers) spawn. On a
+    # real cluster the equivalent is --py-files / a shipped wheel.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     master = f"local[{cpus}]" if cpus else "local[*]"
     shuffle = str(cpus if cpus else (os.cpu_count() or 8))
     builder = (
@@ -66,4 +76,12 @@ def load(spark: SparkSession, sf_dir: str, name: str):
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The testdata files are single-row-group parquet → Spark cannot
+    # split the scan and every downstream map stage runs on ONE task.
+    # AQE only coalesces, never widens, so fan out here when the scan is
+    # under-partitioned. On a real many-file/many-row-group layout (the
+    # 100 TB case) scan parallelism >= cores and this is a no-op.
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        df = df.repartition(par)
     return df

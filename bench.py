@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md §"Baseline for the
+PySpark rebuild").
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with the built-in ``noop`` sink
+(no driver-side collect — measures the distributed plan, not result
+transfer). A warmup pass on sf0.001 absorbs JVM/codegen start-up cost
+so per-query numbers reflect steady-state throughput.
+
+Also reports ``blocks_per_sec`` through the canonical UTxO-balance
+lifecycle graph (SURVEY §2.C) to mirror the reference's headline
+blocks/s metric (docs/design/unified-branch-batch-commit.md:40-42).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM_DIR = "/root/testdata/sf0.001"
+
+# Headline set: the flagship pipeline plus one representative per
+# operator family (agg, joins, windows, dedup, set ops, datapipe).
+HEADLINE = [
+    "watched_balances",
+    "utxo_state",
+    "tx_flatten",
+    "group_sum_pricing",
+    "broadcast_lookup",
+    "semi_join_exists",
+    "anti_join_not_exists",
+    "union_dedup_priority",
+    "latest_per_key",
+    "topk_newest",
+    "explode_ordinal",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "doc_fingerprint",
+]
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from argus_spark.session import get_spark
+
+    spark = get_spark("argus_spark_bench")
+    qs = e.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warmup: tiny SF, absorbs session/codegen startup.
+    for n in names:
+        try:
+            _run(qs[n](spark, WARM_DIR))
+        except Exception:
+            pass
+
+    # Best-of-2 at the bench SF: the first sf0.1 execution of a plan pays
+    # JVM JIT/codegen compilation (observed 2-5x inflation on the nested/
+    # HOF-heavy plans); the second run is steady-state throughput, which
+    # is what BASELINE.md's blocks/s numbers measure too.
+    timings: dict[str, float] = {}
+    for n in names:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _run(qs[n](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[n] = round(best, 4)
+
+    # blocks/s through the canonical UTxO lifecycle graph (batch mode):
+    # how many distinct slots (= blocks, FIXTURES §5) the §2.C pipeline
+    # processes per wall-second.
+    from argus_spark.chain.synth import synth_blocks
+
+    n_blocks = synth_blocks(spark, SF_DIR).count()
+    t0 = time.perf_counter()
+    _run(qs["watched_balances"](spark, SF_DIR))
+    utxo_wall = time.perf_counter() - t0
+    blocks_per_sec = round(n_blocks / utxo_wall, 1) if utxo_wall > 0 else 0.0
+
+    sf = 0.1
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    if m:
+        try:
+            sf = float(m.group(1).rstrip("."))
+        except ValueError:
+            pass
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "blocks_per_sec_utxo_graph": blocks_per_sec,
+        "n_blocks": n_blocks,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
