@@ -1,0 +1,117 @@
+"""StreamingIndexer — Structured Streaming wrapper over IndexDriver.
+
+Maps the reference's steady-state loop (SURVEY §3.1) onto Spark
+streaming primitives:
+
+  reference                            Spark
+  ---------                            -----
+  chain provider push (A1-A3)          file/Kafka source → micro-batch
+  bounded channel + triggers (A6,A9)   micro-batch boundary (the trigger)
+  graph apply in topo order (A8)       foreachBatch body → IndexDriver.run
+  atomic data+ckpt commit (A11)        ParquetStateStore.commit per epoch
+  crash → replay from ckpt (A18,B41)   restart query: streaming checkpoint
+                                       re-feeds unread files; the driver's
+                                       own committed floor skips replayed
+                                       blocks (idempotent at-least-once)
+
+Two checkpoint layers cooperate, exactly as in the reference (which
+also has two: the node's intersection points AND the DB checkpoint):
+Spark's streaming checkpoint tracks *source progress* (files read);
+the store's ``reducer_states`` tracks *semantic progress* (slots
+committed per reducer). A crash between them is safe in both
+directions — unread files replay, replayed blocks are skipped.
+
+Events are control-plane rows (a few per block, no payload); collecting
+one micro-batch of them to the driver is the bounded-inbox analogue
+(A6), not a data-path collect. Block payloads flow only through
+DataFrame transforms inside the reducers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from argus_spark.lifecycle.dag import ReducerRegistry
+from argus_spark.lifecycle.driver import ChainEvent, DriverStats, IndexDriver
+from argus_spark.lifecycle.store import ParquetStateStore
+from argus_spark.sources.chain_feed import read_feed_stream
+
+
+@dataclass
+class StreamingStats:
+    micro_batches: int = 0
+    events: int = 0
+    driver: DriverStats = field(default_factory=DriverStats)
+
+
+class StreamingIndexer:
+    """Run a reducer DAG over a streaming chain-event feed.
+
+    One ``IndexDriver`` instance persists across micro-batches of a
+    run (in-memory checkpoint windows stay warm); a restarted process
+    reloads committed state from the store — SURVEY §3.3.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: ReducerRegistry,
+        store: ParquetStateStore,
+        blocks_df: DataFrame,
+        feed_dir: str,
+        checkpoint_dir: str,
+        batch_size: int = 500,
+        max_files_per_trigger: int | None = None,
+        window_k: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.feed_dir = feed_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        kwargs = {"batch_size": batch_size, "max_delay_s": float("inf")}
+        if window_k is not None:
+            kwargs["window_k"] = window_k
+        self.driver = IndexDriver(spark, registry, store, blocks_df, **kwargs)
+        self.stats = StreamingStats()
+
+    # foreachBatch body — one micro-batch of chain events
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.orderBy("seq").collect()  # control-plane rows only
+        if not rows:
+            return
+        events = [ChainEvent.from_row(r) for r in rows]
+        self.driver.run(events)  # flushes (drain trigger) before returning
+        self.stats.micro_batches += 1
+        self.stats.events += len(rows)
+        self.stats.driver = self.driver.stats
+
+    def run_available_now(self) -> StreamingStats:
+        """Process everything currently in the feed, then stop — the
+        reference's bounded live-smoke mode (A22). Restartable: the
+        streaming checkpoint skips already-read files."""
+        stream = read_feed_stream(
+            self.spark, self.feed_dir, self.max_files_per_trigger
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return self.stats
+
+    def run_continuous(self, processing_time: str = "1 seconds"):
+        """Follow-the-tip mode (A9 max-delay trigger ≈ processingTime).
+        Returns the live StreamingQuery; caller owns stop()."""
+        stream = read_feed_stream(
+            self.spark, self.feed_dir, self.max_files_per_trigger
+        )
+        return (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )

@@ -1,0 +1,87 @@
+"""Plan-quality gates: lock in the physical-plan properties that make
+the operators scale (pushdown, pruning, broadcast, partial agg,
+map-only pipelines). A failure here is a 100 TB regression caught at
+60 k rows."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from argus_spark.datapipe.dedup import dedup_exact
+from argus_spark.datapipe.similarity import ann_cosine_topk
+from argus_spark.datapipe.text import text_quality, token_count
+from argus_spark.operators.relational import (
+    broadcast_lookup,
+    filter_project,
+    group_sum_pricing,
+    semi_join_exists,
+)
+from argus_spark.operators.utxo import watched_balances
+from argus_spark.plans.checks import (
+    formatted_plan,
+    has_broadcast_hash_join,
+    has_partial_aggregation,
+    has_sort_merge_join,
+    n_shuffle_exchanges,
+    pushed_filters,
+    scan_columns,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_project_pushes_down_and_prunes(spark):
+    plan = formatted_plan(filter_project(spark, SF_SMOKE))
+    pushed = pushed_filters(plan)
+    assert any("l_quantity" in p for p in pushed), plan
+    assert any("l_shipdate" in p for p in pushed), plan
+    cols = scan_columns(plan)
+    # 7 needed columns, not the full 11-column lineitem schema
+    assert "l_comment" not in cols and "l_tax" not in cols, cols
+    assert n_shuffle_exchanges(plan) == 0, plan
+
+
+def test_broadcast_lookup_broadcasts_dims(spark):
+    plan = formatted_plan(broadcast_lookup(spark, SF_SMOKE))
+    assert has_broadcast_hash_join(plan), plan
+    assert not has_sort_merge_join(plan), plan
+    assert n_shuffle_exchanges(plan) == 0, plan  # fact side never shuffles
+
+
+def test_group_sum_pricing_partial_agg_single_shuffle(spark):
+    plan = formatted_plan(group_sum_pricing(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert n_shuffle_exchanges(plan) == 1, plan
+
+
+def test_semi_join_is_hash_join_not_cartesian(spark):
+    plan = formatted_plan(semi_join_exists(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan.replace(
+        "BroadcastNestedLoop", ""
+    ), plan
+
+
+def test_watched_balances_broadcasts_watched_set(spark):
+    plan = formatted_plan(watched_balances(spark, SF_SMOKE))
+    assert has_broadcast_hash_join(plan), plan
+
+
+def test_dedup_exact_is_one_shuffle(spark):
+    plan = formatted_plan(dedup_exact(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert n_shuffle_exchanges(plan) == 1, plan
+
+
+def test_text_ops_are_map_only(spark):
+    for q in (text_quality, token_count):
+        plan = formatted_plan(q(spark, SF_SMOKE))
+        assert n_shuffle_exchanges(plan) == 0, plan
+
+
+def test_ann_broadcasts_queries_no_corpus_shuffle(spark):
+    plan = formatted_plan(ann_cosine_topk(spark, SF_SMOKE))
+    # corpus side: scan → cosine → window. The only hash shuffle allowed
+    # is the per-query top-k window partitioning.
+    assert n_shuffle_exchanges(plan) <= 1, plan
