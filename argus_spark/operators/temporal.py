@@ -1,0 +1,343 @@
+"""Temporal / analytical operators over the ``events`` stream table —
+the stretch surface SURVEY §2 marks "explicitly absent" in the
+reference (time windows, as-of/range joins, cube/grouping sets,
+percentiles, approximate aggregates), provided via Spark built-ins.
+
+Scale notes:
+  * All window aggs are partial-aggregatable groupBys — one shuffle on
+    (window, key); Catalyst handles map-side combine.
+  * The as-of join is the union+ordered-window formulation — ONE
+    sort-shuffle by (user, ts); never a per-key loop or a point lookup
+    per row. This is the formulation that survives 100 TB.
+  * The range join buckets time into gap-sized bins and joins on
+    (key, bin±1) — candidate pairs stay linear in data size for fixed
+    gap; the exact predicate filters inside the bucket. A raw theta
+    join (the oracle) would be quadratic.
+  * Doubles aggregate via the fixed-point convention (``_fx``) so sums
+    are order-free and engine-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argus_spark.operators.relational import FX, _fx
+from argus_spark.session import load
+
+# --------------------------------------------------------------------------
+# Time-window aggregations (tumbling / sliding / session)
+# --------------------------------------------------------------------------
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact sum.
+    In streaming mode the same expression runs behind a watermark
+    (see streaming tests); windows align to epoch hours."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_fx(F.col("value"))).alias("_sv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("_sv").cast("double") / FX).alias("sum_value"),
+        )
+    )
+
+
+TUMBLING_WINDOW_AGG_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour (each event lands in two
+    windows) — count per window."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+SLIDING_WINDOW_AGG_SQL = """
+SELECT date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS window_start,
+       count(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1)) AS o(o)
+GROUP BY 1
+"""
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap: session start,
+    event count, exact value sum. ``session_window`` is the built-in
+    merging-window operator (streaming-capable); the oracle derives the
+    identical sessionization with a lag-gap-cumsum window."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_fx(F.col("value"))).alias("_sv"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            (F.col("_sv").cast("double") / FX).alias("sum_value"),
+        )
+    )
+
+
+SESSION_WINDOW_AGG_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS sum_value
+FROM s GROUP BY user_id, sess_id
+"""
+
+
+# --------------------------------------------------------------------------
+# As-of join (union + ordered window — the 100 TB formulation)
+# --------------------------------------------------------------------------
+
+
+def asof_join_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's latest strictly-prior view (as-of
+    join, left semantics). Both streams union into ONE ordered window
+    per user — a single sort-shuffle, no per-row lookups. (user_id, ts)
+    is unique in the feed, so the order is total and the result exact."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prior_view = F.last(
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(F.col("event_id"), F.col("value")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("pv", prior_view)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("pv.event_id").alias("view_id"),
+            F.col("pv.value").alias("view_value"),
+        )
+    )
+
+
+ASOF_JOIN_PRIOR_VIEW_SQL = """
+WITH t AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view'
+                         THEN struct_pack(event_id := event_id, value := value)
+                    END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+  FROM events
+)
+SELECT event_id AS click_id, user_id,
+       pv.event_id AS view_id, pv.value AS view_value
+FROM t WHERE event_type = 'click'
+"""
+
+
+# --------------------------------------------------------------------------
+# Range join (bucketed — linear candidates for fixed gap)
+# --------------------------------------------------------------------------
+
+RANGE_GAP_US = 300_000_000  # 5 minutes in microseconds
+
+
+def range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of events by the same user within 5 minutes of each other.
+    Scale shape: bucket time into gap-sized bins, probe (key, bin±1)
+    with an equi-join, verify the exact predicate inside the bucket —
+    candidates stay O(data × bucket-occupancy), never O(n²). The
+    oracle is the quadratic theta join (fine at oracle SF)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    a = e.select(
+        "user_id",
+        F.col("event_id").alias("ev_a"),
+        F.col("us").alias("us_a"),
+        F.explode(
+            F.array(
+                (F.col("us") / RANGE_GAP_US).cast("long") - 1,
+                (F.col("us") / RANGE_GAP_US).cast("long"),
+                (F.col("us") / RANGE_GAP_US).cast("long") + 1,
+            )
+        ).alias("bin"),
+    )
+    b = e.select(
+        "user_id",
+        F.col("event_id").alias("ev_b"),
+        F.col("us").alias("us_b"),
+        (F.col("us") / RANGE_GAP_US).cast("long").alias("bin"),
+    )
+    return (
+        a.join(b, ["user_id", "bin"], "inner")
+        .filter(
+            (F.col("ev_a") < F.col("ev_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= RANGE_GAP_US)
+        )
+        .select(
+            "user_id", "ev_a", "ev_b",
+            F.abs(F.col("us_a") - F.col("us_b")).alias("gap_us"),
+        )
+    )
+
+
+RANGE_JOIN_PAIRS_SQL = f"""
+SELECT a.user_id, a.event_id AS ev_a, b.event_id AS ev_b,
+       abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_GAP_US}
+"""
+
+
+# --------------------------------------------------------------------------
+# Cube / grouping sets / percentiles / approx
+# --------------------------------------------------------------------------
+
+
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): all four grouping
+    combinations in one pass (partial-aggregated expand)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    )
+    return e.cube("event_type", "hr").agg(F.count("*").alias("n"))
+
+
+CUBE_COUNTS_SQL = """
+SELECT event_type, hr, count(*) AS n
+FROM (SELECT event_type, hour(ts)::BIGINT AS hr FROM events)
+GROUP BY CUBE (event_type, hr)
+"""
+
+
+def grouping_sets_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((event_type), (user_id), ()): totals by
+    type, by user, and grand total — one scan, one expand."""
+    e = load(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_id,
+               sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS sv_fx,
+               count(*) AS n
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    ).select(
+        "event_type",
+        "user_id",
+        (F.col("sv_fx").cast("double") / FX).alias("sum_value"),
+        "n",
+    )
+
+
+GROUPING_SETS_VALUE_SQL = """
+SELECT event_type, user_id,
+       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS sum_value,
+       count(*) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), ())
+"""
+
+
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per event_type (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont`` — both sort + linear interpolation).
+    Exact percentile is a full sort per group; at 100 TB prefer
+    ``approx_percentile`` (see approx_distinct_users for the pattern)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("median_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+MEDIAN_VALUE_BY_TYPE_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS median_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct users per event_type (rsd 1%) next to
+    the exact count — the 100 TB cardinality estimator (no per-key set
+    materialization, mergeable sketches). No SQL oracle: HLL sketches
+    are implementation-specific; the driver records a rows-only check,
+    and the unit test asserts the approximation error bound vs exact."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tumbling_window_agg": tumbling_window_agg,
+    "sliding_window_agg": sliding_window_agg,
+    "session_window_agg": session_window_agg,
+    "asof_join_prior_view": asof_join_prior_view,
+    "range_join_pairs": range_join_pairs,
+    "cube_counts": cube_counts,
+    "grouping_sets_value": grouping_sets_value,
+    "median_value_by_type": median_value_by_type,
+    "approx_distinct_users": approx_distinct_users,
+}
+
+ORACLES: dict[str, str] = {
+    "tumbling_window_agg": TUMBLING_WINDOW_AGG_SQL,
+    "sliding_window_agg": SLIDING_WINDOW_AGG_SQL,
+    "session_window_agg": SESSION_WINDOW_AGG_SQL,
+    "asof_join_prior_view": ASOF_JOIN_PRIOR_VIEW_SQL,
+    "range_join_pairs": RANGE_JOIN_PAIRS_SQL,
+    "cube_counts": CUBE_COUNTS_SQL,
+    "grouping_sets_value": GROUPING_SETS_VALUE_SQL,
+    "median_value_by_type": MEDIAN_VALUE_BY_TYPE_SQL,
+    # approx_distinct_users: rows-only (sketches are engine-specific)
+}

@@ -45,6 +45,10 @@ HEADLINE = [
     "latest_per_key",
     "topk_newest",
     "explode_ordinal",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "asof_join_prior_view",
+    "range_join_pairs",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",

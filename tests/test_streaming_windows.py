@@ -1,0 +1,156 @@
+"""Streaming-only semantics: watermarked windowed aggregation (late-data
+drop) and applyInPandasWithState (custom stateful operator).
+
+These have no DuckDB oracle by nature (SURVEY §2 B38-B41: the driver
+records rows-only checks for non-SQL-expressible ops); correctness is
+asserted against hand-computed expectations and the batch equivalent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def _write_file(d: str, idx: int, rows: list[tuple[str, int, float]]) -> None:
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"ev-{idx:04d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for ts, uid, val in rows:
+            f.write(json.dumps({"ts": ts, "user_id": uid, "value": val}) + "\n")
+    os.replace(tmp, path)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """1-hour tumbling count with a 30-min watermark across a restart:
+    the watermark persists in the streaming checkpoint, so an event
+    arriving (in a later run) for an already-finalized window is
+    dropped; finalized windows emit exactly once (append mode)."""
+    feed = str(tmp_path / "feed")
+
+    emitted: dict[str, int] = {}
+
+    def run():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(feed)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+        def sink(batch_df, epoch_id):
+            for r in batch_df.collect():
+                emitted[str(r.ws)] = r.n
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return dict(emitted)
+
+    # run 1: window 10:00 gets 2 events; max ts 11:40 → watermark 11:10
+    # → the 10:00 window ([10,11) < 11:10) finalizes with n=2.
+    _write_file(feed, 0, [
+        ("2024-01-01 10:05:00", 1, 1.0),
+        ("2024-01-01 10:20:00", 2, 1.0),
+        ("2024-01-01 11:40:00", 3, 1.0),
+    ])
+    got = run()
+    assert got.get("2024-01-01 10:00:00") == 2, got
+
+    # run 2 (restart, same checkpoint → watermark 11:10 recovered):
+    # 10:30 is LATE (its window already finalized) → dropped;
+    # 11:45 joins the open 11:00 window; 13:00 advances the watermark
+    # to 12:30 which finalizes the 11:00 window with n=2 (NOT 3).
+    _write_file(feed, 1, [
+        ("2024-01-01 10:30:00", 4, 1.0),
+        ("2024-01-01 11:45:00", 5, 1.0),
+        ("2024-01-01 13:00:00", 6, 1.0),
+    ])
+    got = run()
+    assert got.get("2024-01-01 10:00:00") == 2, got  # emitted once, unchanged
+    assert got.get("2024-01-01 11:00:00") == 2, got  # late row excluded
+    assert "2024-01-01 13:00:00" not in got, got     # still open
+
+
+def test_apply_in_pandas_with_state_running_counts(spark, tmp_path):
+    """Custom stateful operator (B38 analogue): per-user running event
+    count via applyInPandasWithState, checked against the batch
+    groupBy on the same data."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    feed = str(tmp_path / "feed")
+    _write_file(feed, 0, [
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 10:01:00", 1, 2.0),
+        ("2024-01-01 10:02:00", 2, 3.0),
+    ])
+    _write_file(feed, 1, [
+        ("2024-01-01 10:03:00", 1, 4.0),
+        ("2024-01-01 10:04:00", 2, 5.0),
+        ("2024-01-01 10:05:00", 3, 6.0),
+    ])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("total_events", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType(), True)])
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [n]})
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+    counts = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("state_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM state_sink").collect()
+    # last emission per user is the running total
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r.user_id] = max(final.get(r.user_id, 0), r.total_events)
+    assert final == {1: 3, 2: 2, 3: 1}, rows
