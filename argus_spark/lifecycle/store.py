@@ -129,11 +129,24 @@ class ParquetStateStore:
     ) -> DataFrame | None:
         """Snapshot read. ``min_slot`` prunes file-groups by their slot
         range before Spark ever lists them (manifest-level partition
-        pruning)."""
+        pruning). Keyed tables (see :meth:`commit` ``upserts``) resolve
+        merge-on-read: latest version per key wins."""
         groups = self.table_groups(name, min_slot)
         if not groups:
             return None
-        return spark.read.parquet(*[os.path.join(self.root, g.path) for g in groups])
+        df = spark.read.parquet(*[os.path.join(self.root, g.path) for g in groups])
+        keys = self.current_manifest().get("keyed_tables", {}).get(name)
+        if keys:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy(*keys).orderBy(F.desc("_v"), F.desc("slot"))
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_v")
+            )
+        return df
 
     def reducer_states(self) -> dict[str, ReducerStateRow]:
         out = {}
@@ -166,19 +179,31 @@ class ParquetStateStore:
         retract_from: int | None = None,
         spark: SparkSession | None = None,
         meta: dict[str, Any] | None = None,
+        upserts: dict[str, tuple[DataFrame, list[str], int, int]] | None = None,
     ) -> dict:
         """One atomic transaction: optional slot-range retraction,
-        appends for any number of tables, and checkpoint upserts.
+        appends + keyed upserts for any number of tables, and
+        checkpoint upserts.
 
         ``appends[table] = (df, min_slot, max_slot)`` — the epoch's slot
         range is known to the driver, so no extra jobs to discover it.
         Data files are written first (invisible), the manifest rename
         publishes everything at once.
+
+        ``upserts[table] = (df, keys, lo, hi)`` — B5 keyed MERGE as
+        merge-on-read: the new rows are appended stamped with the commit
+        version; :meth:`read_table` resolves latest-per-key. Writes stay
+        O(delta) at any table size (the Delta/Iceberg MERGE-on-read
+        strategy), :meth:`compact` bounds read amplification, and slot-
+        range retraction automatically *resurrects* the previous version
+        of a key (the reference's spent-slot un-update, B7) because the
+        newer version lives in a newer slot range.
         """
         manifest = self.current_manifest()
         tables: dict[str, list[dict]] = {
             k: list(v) for k, v in manifest["tables"].items()
         }
+        keyed: dict[str, list[str]] = dict(manifest.get("keyed_tables", {}))
 
         if retract_from is not None:
             assert spark is not None, "retraction needs a SparkSession"
@@ -187,6 +212,23 @@ class ParquetStateStore:
         wrote_data = retract_from is not None
         for name, (df, lo, hi) in appends.items():
             group = self._write_group(name, df, lo, hi)
+            if group is not None:
+                tables.setdefault(name, []).append(group.as_dict())
+                wrote_data = True
+
+        version = manifest["id"] + 1
+        for name, (df, keys, lo, hi) in (upserts or {}).items():
+            prev = keyed.get(name)
+            if prev is not None and prev != list(keys):
+                raise ValueError(
+                    f"upsert keys for {name!r} changed: {prev} -> {list(keys)}"
+                )
+            keyed[name] = list(keys)
+            from pyspark.sql import functions as F
+
+            group = self._write_group(
+                name, df.withColumn("_v", F.lit(version)), lo, hi
+            )
             if group is not None:
                 tables.setdefault(name, []).append(group.as_dict())
                 wrote_data = True
@@ -202,9 +244,10 @@ class ParquetStateStore:
                 }
 
         new_manifest = {
-            "id": manifest["id"] + 1,
+            "id": version,
             "ts": time.time(),
             "tables": tables,
+            "keyed_tables": keyed,
             "reducer_states": new_states,
             "meta": meta or {},
         }
@@ -237,6 +280,39 @@ class ParquetStateStore:
                     kept.append(ng.as_dict())
             out[name] = kept
         return out
+
+    def compact(self, spark: SparkSession, name: str) -> dict:
+        """Rewrite a table's file-groups into one resolved group —
+        bounds merge-on-read amplification for keyed tables and group
+        fan-out for append tables. Publishes a new manifest; old groups
+        become vacuum-able garbage. At 100 TB this is the periodic
+        compaction job (per slot-range partition, not whole-table)."""
+        from pyspark.sql import functions as F
+
+        groups = self.table_groups(name)
+        if not groups:
+            return self.current_manifest()
+        resolved = self.read_table(spark, name)
+        manifest = self.current_manifest()
+        version = manifest["id"] + 1
+        keys = manifest.get("keyed_tables", {}).get(name)
+        if keys:
+            resolved = resolved.withColumn("_v", F.lit(version))
+        lo = min(g.min_slot for g in groups)
+        hi = max(g.max_slot for g in groups)
+        group = self._write_group(name, resolved, lo, hi)
+        tables = {k: list(v) for k, v in manifest["tables"].items()}
+        tables[name] = [group.as_dict()] if group else []
+        new_manifest = {
+            "id": version,
+            "ts": time.time(),
+            "tables": tables,
+            "keyed_tables": dict(manifest.get("keyed_tables", {})),
+            "reducer_states": dict(manifest["reducer_states"]),
+            "meta": {"compacted": name},
+        }
+        self._publish(new_manifest)
+        return new_manifest
 
     def vacuum(self) -> int:
         """Remove data file-groups no longer referenced by the current

@@ -1,0 +1,113 @@
+"""Property-based lifecycle test (SURVEY §5: "adding hypothesis-style
+random block streams (random reorg points) is a cheap upgrade") —
+random interleavings of forward sync and reorgs must always leave the
+sink equal to the stateless prefix recompute.
+
+Model: the chain is the canonical slot list; a script is a sequence of
+(advance k | reorg depth d) ops. After any script, the committed
+``block_tests`` table must hold exactly the model's applied prefix —
+regardless of batch boundaries, rollback types, or replay overlap.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from argus_spark.chain.synth import synth_blocks
+from argus_spark.lifecycle.dag import Reducer, ReducerRegistry
+from argus_spark.lifecycle.driver import ChainEvent, IndexDriver
+from argus_spark.lifecycle.store import ParquetStateStore
+from argus_spark.reducers.examples import _blocks_reducer
+from tests.conftest import SF_SMOKE
+
+N_BLOCKS = 12
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    blocks = synth_blocks(spark, SF_SMOKE).orderBy("slot").limit(N_BLOCKS).cache()
+    slots = [r.slot for r in blocks.select("slot").orderBy("slot").collect()]
+    yield blocks, slots
+    blocks.unpersist()
+
+
+def _script(draw):
+    """A random op script over a chain of N_BLOCKS slots."""
+    ops = []
+    pos = 0  # number of applied blocks in the model
+    n_ops = draw(st.integers(min_value=2, max_value=6))
+    for _ in range(n_ops):
+        if pos == 0 or draw(st.booleans()):
+            k = draw(st.integers(min_value=1, max_value=N_BLOCKS - pos))
+            if k:
+                ops.append(("advance", k))
+                pos += k
+        if pos > 0 and draw(st.booleans()):
+            d = draw(st.integers(min_value=1, max_value=pos))
+            typ = draw(st.sampled_from(["inclusive", "exclusive"]))
+            ops.append(("reorg", d, typ))
+            pos -= d
+        if pos >= N_BLOCKS:
+            break
+    return ops
+
+
+@given(data=st.data(), batch_size=st.sampled_from([1, 3, 500]))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_reorg_scripts_match_model(spark, chain, data, batch_size):
+    blocks, slots = chain
+    ops = _script(data.draw)
+
+    events: list[ChainEvent] = []
+    pos = 0
+    for op in ops:
+        if op[0] == "advance":
+            k = op[1]
+            for s in slots[pos : pos + k]:
+                events.append(ChainEvent("roll_forward", block_slot=s))
+            pos += k
+        else:
+            _, d, typ = op
+            pos -= d
+            # keep slots[:pos]: inclusive deletes >= slots[pos];
+            # exclusive keeps its point and deletes above it
+            if typ == "inclusive":
+                rb_slot = slots[pos]
+            else:
+                rb_slot = slots[pos - 1] if pos > 0 else -1
+            events.append(
+                ChainEvent(
+                    "roll_back", rollback_slot=rb_slot, rollback_type=typ
+                )
+            )
+
+    with tempfile.TemporaryDirectory() as td:
+        store = ParquetStateStore(os.path.join(td, "store"))
+        reg = ReducerRegistry().register(Reducer("block_tests", _blocks_reducer))
+        driver = IndexDriver(
+            spark, reg, store, blocks,
+            batch_size=batch_size, window_k=5,
+            max_rollback_slots=10**12,
+        )
+        driver.run(events)
+
+        df = store.read_table(spark, "block_tests")
+        got = sorted(r.slot for r in df.select("slot").collect()) if df is not None else []
+        assert got == slots[:pos], (ops, batch_size)
+        # checkpoint agrees with the data
+        st_row = store.reducer_states().get("block_tests")
+        if pos > 0:
+            assert st_row is not None
+            assert st_row.resume_slot >= slots[pos - 1]
