@@ -209,14 +209,10 @@ class ParquetStateStore:
             assert spark is not None, "retraction needs a SparkSession"
             tables = self._retract_groups(spark, tables, retract_from)
 
-        wrote_data = retract_from is not None
-        for name, (df, lo, hi) in appends.items():
-            group = self._write_group(name, df, lo, hi)
-            if group is not None:
-                tables.setdefault(name, []).append(group.as_dict())
-                wrote_data = True
-
         version = manifest["id"] + 1
+        write_tasks: list[tuple[str, DataFrame, int, int]] = []
+        for name, (df, lo, hi) in appends.items():
+            write_tasks.append((name, df, lo, hi))
         for name, (df, keys, lo, hi) in (upserts or {}).items():
             prev = keyed.get(name)
             if prev is not None and prev != list(keys):
@@ -226,9 +222,23 @@ class ParquetStateStore:
             keyed[name] = list(keys)
             from pyspark.sql import functions as F
 
-            group = self._write_group(
-                name, df.withColumn("_v", F.lit(version)), lo, hi
-            )
+            write_tasks.append((name, df.withColumn("_v", F.lit(version)), lo, hi))
+
+        # Independent tables write concurrently — Spark schedules the
+        # jobs in parallel across the executor pool, collapsing the
+        # epoch's critical path from Σ(writes) to ~max(writes). Nothing
+        # is visible until the manifest rename below (atomicity holds).
+        wrote_data = retract_from is not None
+        if len(write_tasks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(write_tasks))) as ex:
+                groups = list(
+                    ex.map(lambda t: (t[0], self._write_group(*t)), write_tasks)
+                )
+        else:
+            groups = [(t[0], self._write_group(*t)) for t in write_tasks]
+        for name, group in groups:
             if group is not None:
                 tables.setdefault(name, []).append(group.as_dict())
                 wrote_data = True

@@ -100,6 +100,45 @@ def main() -> None:
     utxo_wall = time.perf_counter() - t0
     blocks_per_sec = round(n_blocks / utxo_wall, 1) if utxo_wall > 0 else 0.0
 
+    # Lifecycle throughput — the reference's headline metric (blocks/s
+    # through real reducers into a transactional sink; BASELINE.md:
+    # ~1,013 blk/s at BatchSize=500 into Postgres). Here: the 4-reducer
+    # example DAG through IndexDriver into the snapshot store, 2,000
+    # blocks per epoch (Spark's knee is bigger batches than Postgres's
+    # fsync knee), best-of-2 with a warmup run.
+    import shutil
+    import tempfile
+
+    from argus_spark.chain.synth import synth_watched
+    from argus_spark.lifecycle.driver import ChainEvent, IndexDriver
+    from argus_spark.lifecycle.store import ParquetStateStore
+    from argus_spark.reducers.examples import build_example_registry
+
+    td = tempfile.mkdtemp(prefix="argus_bench_")
+    try:
+        n_lc = 2000
+        bp = os.path.join(td, "blocks")
+        synth_blocks(spark, SF_DIR).orderBy("slot").limit(n_lc).write.parquet(bp)
+        lc_blocks = spark.read.parquet(bp)
+        watched = synth_watched(spark, SF_DIR).cache()
+        watched.count()
+        slots = [r.slot for r in lc_blocks.select("slot").orderBy("slot").collect()]
+        events = [ChainEvent("roll_forward", block_slot=s) for s in slots]
+        lc_wall = float("inf")
+        for i in range(2):
+            store = ParquetStateStore(os.path.join(td, f"store{i}"))
+            drv = IndexDriver(
+                spark, build_example_registry(spark, watched), store, lc_blocks,
+                batch_size=2000, max_delay_s=1e9, max_rollback_slots=10**12,
+            )
+            t0 = time.perf_counter()
+            drv.run(list(events))
+            lc_wall = min(lc_wall, time.perf_counter() - t0)
+        lifecycle_bps = round(n_lc / lc_wall, 1)
+        watched.unpersist()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
     sf = 0.1
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     if m:
@@ -115,6 +154,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "blocks_per_sec_utxo_graph": blocks_per_sec,
+        "blocks_per_sec_lifecycle": lifecycle_bps,
         "n_blocks": n_blocks,
     }
     print(json.dumps(out))
