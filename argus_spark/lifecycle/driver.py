@@ -124,6 +124,7 @@ class IndexDriver:
         max_delay_s: float = 1.0,
         window_k: int = DEFAULT_WINDOW,
         max_rollback_slots: int = DEFAULT_MAX_ROLLBACK_SLOTS,
+        telemetry=None,  # optional lifecycle.telemetry.Telemetry (A21)
     ) -> None:
         self.spark = spark
         self.registry = registry
@@ -133,6 +134,7 @@ class IndexDriver:
         self.max_delay_s = max_delay_s
         self.window_k = window_k
         self.max_rollback_slots = max_rollback_slots
+        self.telemetry = telemetry
         registry.validate()
         self._order = registry.topo_order()
         # in-memory checkpoint windows, loaded from the committed manifest
@@ -227,6 +229,7 @@ class IndexDriver:
 
         pending_out: dict[str, list[DataFrame]] = {}
         appends: dict[str, tuple[DataFrame, int, int]] = {}
+        epoch_times: dict[str, float] = {}
         try:
             for r in self._order:
                 floor = self._resume[r.name]
@@ -236,9 +239,10 @@ class IndexDriver:
                 )
                 t = time.monotonic()
                 outputs = r.apply(ctx) or {}
+                epoch_times[r.name] = time.monotonic() - t
                 self.stats.reducer_seconds[r.name] = self.stats.reducer_seconds.get(
                     r.name, 0.0
-                ) + (time.monotonic() - t)
+                ) + epoch_times[r.name]
                 for tbl, df in outputs.items():
                     pending_out.setdefault(tbl, []).append(df)
 
@@ -275,6 +279,10 @@ class IndexDriver:
             self._deferred_states = not manifest.get("_wrote_data", True)
             self.stats.blocks += n_blocks
             self.stats.epochs += 1
+            if self.telemetry is not None:
+                self.telemetry.record_epoch(
+                    manifest["id"], lo, hi, n_blocks, epoch_times
+                )
         finally:
             if n_blocks > 1:
                 blocks.unpersist()
@@ -309,6 +317,8 @@ class IndexDriver:
         )
         self.rewind_to(delete_from)
         self.stats.rollbacks += 1
+        if self.telemetry is not None:
+            self.telemetry.record_event("rollback", ev.rollback_type or "", delete_from)
 
     def rewind_to(self, delete_from: int, meta: dict[str, Any] | None = None) -> None:
         """A17 operator rewind / A12 reorg retraction: one atomic commit

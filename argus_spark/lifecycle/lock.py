@@ -1,0 +1,140 @@
+"""SingleInstanceLock — advisory single-writer mutual exclusion
+(SURVEY §2.A A19).
+
+The reference guards its sink with a Postgres session advisory lock
+(PostgresSingleInstanceLock.cs:28-201: FNV-1a key of the schema name,
+poll ``pg_try_advisory_lock``, health-probe the holding connection) or
+a Mongo TTL lease (MongoSingleInstanceLock.cs:11-55: atomic upsert of a
+lease document, renew at < lease interval, steal when expired).
+
+A Spark driver is already the single writer for its own job, but the
+*store* can be shared by several drivers (backfill + tail, or a crashed
+driver's supervisor restart racing the old process). This lock is the
+Mongo-lease pattern on the store's filesystem, which is the only
+coordination substrate the store itself needs:
+
+  * acquire  = atomic ``O_CREAT | O_EXCL`` create of ``_lock.json``
+               holding (owner, expires_at) — the atomic-upsert analogue
+  * renew    = rewrite-and-rename while held, pushing expires_at out
+  * steal    = if the lease has expired, unlink + retry create (the
+               dead holder's supervisor may be gone for good)
+  * release  = unlink when owner matches
+
+Crash-safety: a holder that dies without releasing simply lets the
+lease expire — exactly the Mongo TTL behaviour. ``held()`` is the
+health-probe: callers embedding long work should assert it still owns
+the lease before each commit (the reference stops the host on loss,
+CardanoIndexWorker.cs:81-84).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class LockLostError(Exception):
+    """The lease expired (or was stolen) while we believed we held it."""
+
+
+class SingleInstanceLock:
+    def __init__(self, root: str, lease_s: float = 30.0, owner: str | None = None):
+        self.path = os.path.join(root, "_lock.json")
+        self.lease_s = lease_s
+        self.owner = owner or f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        os.makedirs(root, exist_ok=True)
+
+    # ---------------- internals ----------------
+
+    def _read(self) -> dict | None:
+        try:
+            with open(self.path) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _try_create(self) -> bool:
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(
+                fd,
+                json.dumps(
+                    {"owner": self.owner, "expires_at": time.time() + self.lease_s}
+                ).encode(),
+            )
+        finally:
+            os.close(fd)
+        return True
+
+    # ---------------- API (mirrors ISingleInstanceLock) ----------------
+
+    def try_acquire(self) -> bool:
+        """One non-blocking attempt (``pg_try_advisory_lock``)."""
+        if self._try_create():
+            return True
+        cur = self._read()
+        if cur is None or cur.get("expires_at", 0) <= time.time():
+            # expired lease — steal (Mongo's expired-lease takeover)
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+            return self._try_create()
+        return cur.get("owner") == self.owner
+
+    def wait_for_acquisition(
+        self, timeout_s: float | None = None, poll_s: float = 0.2
+    ) -> bool:
+        """Park until the lock is ours (WaitForAcquisitionAsync). Returns
+        False only on timeout."""
+        deadline = None if timeout_s is None else time.monotonic() + timeout_s
+        while True:
+            if self.try_acquire():
+                return True
+            if deadline is not None and time.monotonic() >= deadline:
+                return False
+            time.sleep(poll_s)
+
+    def held(self) -> bool:
+        """Health probe: do we still own an unexpired lease?"""
+        cur = self._read()
+        return (
+            cur is not None
+            and cur.get("owner") == self.owner
+            and cur.get("expires_at", 0) > time.time()
+        )
+
+    def renew(self) -> None:
+        """Extend the lease (must renew at < lease_s cadence while busy).
+        Raises LockLostError if the lease was lost — the caller should
+        stop, like the reference stops its host on lock loss."""
+        if not self.held():
+            raise LockLostError(f"lease at {self.path} lost by {self.owner}")
+        tmp = self.path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"owner": self.owner, "expires_at": time.time() + self.lease_s}, fh
+            )
+        os.rename(tmp, self.path)
+
+    def release(self) -> None:
+        if self.held():
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+
+    # ---------------- context manager ----------------
+
+    def __enter__(self) -> "SingleInstanceLock":
+        if not self.wait_for_acquisition():
+            raise LockLostError("unreachable: untimed wait returned False")
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()

@@ -66,6 +66,32 @@ def read_feed_stream(
     return reader.json(feed_dir)
 
 
+def adaptive_pipeline_depth(max_depth: int, tip_gap: int) -> int:
+    """A2 — source batch depth as a function of the slot-gap to tip
+    (N2NProvider.AdaptivePipelineDepth, N2NProvider.cs:263-279): 1 at
+    the tip (never over-request), growing monotonically with the gap,
+    clamped to ``max_depth``. Feed the result to ``read_feed_stream``'s
+    ``max_files_per_trigger`` (or Kafka's ``maxOffsetsPerTrigger``) to
+    reproduce the reference's latency-vs-throughput trade."""
+    if tip_gap <= 4:
+        target = 1
+    elif tip_gap <= 20:
+        target = 2
+    elif tip_gap <= 100:
+        target = 5
+    elif tip_gap <= 500:
+        target = 20
+    elif tip_gap <= 2_000:
+        target = 100
+    elif tip_gap <= 10_000:
+        target = 500
+    elif tip_gap <= 50_000:
+        target = 2_000
+    else:
+        target = max_depth
+    return min(max_depth, max(1, target))
+
+
 def read_blocks(spark: SparkSession, path: str) -> DataFrame:
     """B1 — batch scan of a materialized nested blocks table with the
     declared schema (no inference; SURVEY §1.2)."""
