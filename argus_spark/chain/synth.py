@@ -204,7 +204,9 @@ def synth_chain_events(
     slot order, with scripted ``(after_seq, rollback_slot, type)``
     reorgs interleaved — the MockChainSyncProvider.cs:108-134 pattern.
     """
-    blocks = synth_blocks(spark, sf_dir).select("slot").orderBy("slot")
+    from argus_spark.sources.ingest import blocks_table
+
+    blocks = blocks_table(spark, sf_dir).select("slot").orderBy("slot")
     if limit:
         blocks = blocks.limit(limit)
     rows = [r.slot for r in blocks.collect()]

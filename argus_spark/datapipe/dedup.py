@@ -47,7 +47,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by content digest. One hash aggregate,
     map-side partial, uniform keys — the 100 TB plan is a single
     shuffle on the digest."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", widen=True)
     return (
         d.groupBy(F.md5("text").alias("text_md5"))
         .agg(
@@ -79,7 +79,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     12 JVM-side md5 passes, no shuffle, no Python. Candidates come from
     one explode + self-equi-join on (band, band_hash): the canonical
     distributed LSH shape. P(candidate) = 1-(1-J^4)^3 ≈ .79 @ J=0.8."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", widen=True)
     words = F.array_distinct(words_col())
 
     def sig_col(i: int) -> F.Column:
@@ -199,7 +199,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees recall for Hamming ≤ 3 over 4 chunks; we accept ≤ 6 so
     the band join is a recall-biased candidate filter, like production
     SimHash dedup), verify with exact ``bit_count(xor)``."""
-    d = load(spark, sf_dir, "documents").select(
+    d = load(spark, sf_dir, "documents", widen=True).select(
         "doc_id", _simhash_col().alias("simhash")
     )
     chunks = F.array(
@@ -274,7 +274,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     this quadratic — at 100 TB add a document-frequency cut (drop
     tokens with df > k%) or positional prefix filtering before the
     join. Kept exact here so the oracle is exact too."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", widen=True)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(words_col())).alias("w")
     )
@@ -371,7 +371,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dedup *verification* stage over LSH candidates; never run raw at
     100 TB. Norms are precomputed per row so each candidate pair costs
     one 64-wide fold, not three."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", _as_double("embedding").alias("v")
     )
     e = e.withColumn("nrm", norm(F.col("v")))

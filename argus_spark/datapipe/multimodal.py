@@ -125,7 +125,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → fake image blobs (mapInPandas encode) → decoded
     header metadata (mapInPandas decode). Two Arrow round-trips over a
     real binary column — the full multimodal plumbing path."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    d = load(spark, sf_dir, "documents", widen=True).select("doc_id", "n_chars", "text")
     blobs = d.mapInPandas(_encode_batches, schema=_BLOB_SCHEMA)
     return blobs.mapInPandas(_decode_batches, schema=_META_SCHEMA)
 

@@ -60,7 +60,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each query (vec_id < 8).
     Broadcast queries × corpus scan; ties broken by neighbor id so the
     ranking is total."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", _as_double("embedding").alias("v")
     )
     e = e.withColumn("nrm", norm(F.col("v")))
@@ -136,7 +136,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the probe is an equi-join on ``bucket`` — this is the
     shape that survives 100 TB (add multi-probe / band repetition for
     recall; single-probe kept here so the oracle is closed-form)."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", _as_double("embedding").alias("v")
     )
     bucketed = e.withColumn("bucket", _bucket_col(F.col("v"))).withColumn(

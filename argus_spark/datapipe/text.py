@@ -43,7 +43,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality signals: word count, mean word length, stopword
     ratio, punctuation ratio, and a fixed-weight composite score —
     the standard pre-training quality-filter features."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", widen=True)
     ws = words_col()
     n_words = F.size(ws).cast("long")
     char_sum = F.aggregate(
@@ -97,7 +97,7 @@ FROM m
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: score = count of per-language function
     words, argmax with alphabetical tie-break. Map-side only."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", widen=True)
     ws = words_col()
     def score_col(markers: list[str]) -> F.Column:
         # closure, not a default arg (PySpark HOFs dispatch on lambda arity)
@@ -152,7 +152,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens ([A-Za-z]+ | digits |
     single other char) + chars-per-token — the budget estimator for a
     tokenizer-bound pipeline."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", widen=True)
     ws_tokens = F.size(words_col()).cast("long")
     bpe_tokens = F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("long")
     return d.select(
@@ -187,7 +187,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint: left-fold polynomial hash
     over the word sequence — equal fingerprints ⟹ (w.h.p.) same word
     sequence; used as a cheap shard-local pre-dedup key."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", widen=True)
     hs = F.transform(words_col(), lambda w: h64(w, "fp") % F.lit(FP_WORD_MOD))
     fp = F.aggregate(
         hs,

@@ -225,9 +225,14 @@ class IndexDriver:
         )
         n_blocks = len(slots)
         if n_blocks > 1:
-            blocks = blocks.cache()  # reused by every reducer in the epoch
+            # Reused by every reducer in the epoch. Materialize eagerly:
+            # the epoch's writes run concurrently, and concurrent actions
+            # on a cold cache each recompute the scan instead of sharing.
+            blocks = blocks.cache()
+            blocks.count()
 
         pending_out: dict[str, list[DataFrame]] = {}
+        cached_out: list[DataFrame] = []
         appends: dict[str, tuple[DataFrame, int, int]] = {}
         epoch_times: dict[str, float] = {}
         try:
@@ -244,6 +249,16 @@ class IndexDriver:
                     r.name, 0.0
                 ) + epoch_times[r.name]
                 for tbl, df in outputs.items():
+                    # Each output is consumed up to three times: by its
+                    # own sink write, by dependents' read-your-writes
+                    # plans (B17), and by dependents' writes. Cache +
+                    # eager count in topo order ⇒ each lineage computes
+                    # exactly once; everything downstream reads the
+                    # cached rows (Spark's cache manager substitutes
+                    # matching plan subtrees in later plans too).
+                    df = df.cache()
+                    df.count()
+                    cached_out.append(df)
                     pending_out.setdefault(tbl, []).append(df)
 
             for tbl, dfs in pending_out.items():
@@ -284,6 +299,8 @@ class IndexDriver:
                     manifest["id"], lo, hi, n_blocks, epoch_times
                 )
         finally:
+            for df in cached_out:
+                df.unpersist()
             if n_blocks > 1:
                 blocks.unpersist()
 

@@ -111,9 +111,11 @@ def watched_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     unspent = utxo_unspent(spark, sf_dir)
     watched = synth_watched(spark, sf_dir)
     bal = unspent.groupBy("address_name").agg(F.sum("amount").alias("balance"))
+    # left outer can only broadcast its RIGHT (non-preserved) side; the
+    # aggregate is ≤ one row per watched address, so it is the small side
     return (
-        F.broadcast(watched)
-        .join(bal, watched.name == bal.address_name, "left")
+        watched
+        .join(F.broadcast(bal), watched.name == bal.address_name, "left")
         .select(
             F.col("name").alias("address_name"),
             "address",
@@ -162,8 +164,8 @@ def balances_after_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bal = unspent.groupBy("address_name").agg(F.sum("amount").alias("balance"))
     return (
-        F.broadcast(watched)
-        .join(bal, watched.name == bal.address_name, "left")
+        watched
+        .join(F.broadcast(bal), watched.name == bal.address_name, "left")
         .select(
             F.col("name").alias("address_name"),
             F.coalesce(F.col("balance"), F.lit(0)).alias("balance"),
@@ -193,8 +195,11 @@ LEFT JOIN (
 def tx_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9/B10/B11 over the real nested blocks: posexplode block→tx, then
     per-tx input/output cardinalities and output total from the nested
-    arrays."""
-    blocks = synth_blocks(spark, sf_dir)
+    arrays. Scans the materialized ingest table (A4: decode once) — the
+    query cost is explode + agg, not nested-table construction."""
+    from argus_spark.sources.ingest import blocks_table
+
+    blocks = blocks_table(spark, sf_dir)
     txs = blocks.select(
         "slot", "height", F.posexplode("txs").alias("tx_pos", "tx")
     )
@@ -229,7 +234,9 @@ GROUP BY o.slot, o.tx_hash, i.n_inputs
 def checkpoint_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13/B27 — the newest K=10 distinct-slot points over the block
     stream (the persisted rollback buffer)."""
-    blocks = synth_blocks(spark, sf_dir)
+    from argus_spark.sources.ingest import blocks_table
+
+    blocks = blocks_table(spark, sf_dir)
     return (
         blocks.select("slot", "hash")
         .orderBy(F.desc("slot"))

@@ -125,9 +125,11 @@ def make_balance_reducer(watched: DataFrame):
             )
         bal = unspent.groupBy("address_name").agg(F.sum("amount").alias("balance"))
         hi = ctx.epoch_range[1]
+        # broadcast the aggregate (right/non-preserved side of the left
+        # outer — the only broadcastable side; ≤ one row per address)
         snap = (
-            F.broadcast(watched.select(F.col("name").alias("address_name"), "address"))
-            .join(bal, "address_name", "left")
+            watched.select(F.col("name").alias("address_name"), "address")
+            .join(F.broadcast(bal), "address_name", "left")
             .select(
                 F.lit("balance_by_address").alias("reducer"),
                 "address_name",

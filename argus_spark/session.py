@@ -63,25 +63,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str):
+def load(spark: SparkSession, sf_dir: str, name: str, widen: bool = False):
     """Read one testdata table (TESTDATA.md). Parquet scan → Catalyst
     gets pushdown + pruning for free.
 
     ``events.ts`` arrives as nanos-since-epoch (legacy nanosAsLong);
     normalize to a microsecond timestamp with integer div (ns epoch
     exceeds 2^53 — float division would lose precision).
+
+    ``widen=True`` fans the scan out to full parallelism. The testdata
+    files are few-row-group parquet, so Spark cannot split the scan and
+    CPU-heavy map stages (hashing, shingling, UDF text analysis) would
+    run on a handful of tasks; AQE only coalesces, never widens. Opt-in
+    because the repartition is a full extra shuffle — queries whose
+    first shuffle is an agg/join key get wide parallelism there anyway
+    and must not pay it. On a real many-file layout (the 100 TB case)
+    scan parallelism >= cores and this is a no-op either way.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # The testdata files are single-row-group parquet → Spark cannot
-    # split the scan and every downstream map stage runs on ONE task.
-    # AQE only coalesces, never widens, so fan out here when the scan is
-    # under-partitioned. On a real many-file/many-row-group layout (the
-    # 100 TB case) scan parallelism >= cores and this is a no-op.
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, par // 2):
-        df = df.repartition(par)
+    if widen:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, par // 2):
+            df = df.repartition(par)
     return df

@@ -92,9 +92,9 @@ def main() -> None:
     # blocks/s through the canonical UTxO lifecycle graph (batch mode):
     # how many distinct slots (= blocks, FIXTURES §5) the §2.C pipeline
     # processes per wall-second.
-    from argus_spark.chain.synth import synth_blocks
+    from argus_spark.sources.ingest import blocks_table
 
-    n_blocks = synth_blocks(spark, SF_DIR).count()
+    n_blocks = blocks_table(spark, SF_DIR).count()
     t0 = time.perf_counter()
     _run(qs["watched_balances"](spark, SF_DIR))
     utxo_wall = time.perf_counter() - t0
@@ -113,28 +113,40 @@ def main() -> None:
     from argus_spark.lifecycle.driver import ChainEvent, IndexDriver
     from argus_spark.lifecycle.store import ParquetStateStore
     from argus_spark.reducers.examples import build_example_registry
+    from argus_spark.sources.ingest import first_n_blocks
 
     td = tempfile.mkdtemp(prefix="argus_bench_")
     try:
-        n_lc = 2000
-        bp = os.path.join(td, "blocks")
-        synth_blocks(spark, SF_DIR).orderBy("slot").limit(n_lc).write.parquet(bp)
-        lc_blocks = spark.read.parquet(bp)
         watched = synth_watched(spark, SF_DIR).cache()
         watched.count()
-        slots = [r.slot for r in lc_blocks.select("slot").orderBy("slot").collect()]
-        events = [ChainEvent("roll_forward", block_slot=s) for s in slots]
-        lc_wall = float("inf")
-        for i in range(2):
-            store = ParquetStateStore(os.path.join(td, f"store{i}"))
-            drv = IndexDriver(
-                spark, build_example_registry(spark, watched), store, lc_blocks,
-                batch_size=2000, max_delay_s=1e9, max_rollback_slots=10**12,
-            )
-            t0 = time.perf_counter()
-            drv.run(list(events))
-            lc_wall = min(lc_wall, time.perf_counter() - t0)
-        lifecycle_bps = round(n_lc / lc_wall, 1)
+
+        def lc_run(n_lc: int, batch: int, tag: str) -> float:
+            # slot-threshold filter over the range-partitioned ingest
+            # table — per-epoch slot predicates prune at the file level
+            lc_blocks = first_n_blocks(spark, SF_DIR, n_lc)
+            slots = [
+                r.slot for r in lc_blocks.select("slot").orderBy("slot").collect()
+            ]
+            events = [ChainEvent("roll_forward", block_slot=s) for s in slots]
+            wall = float("inf")
+            for i in range(2):
+                store = ParquetStateStore(os.path.join(td, f"store_{tag}_{i}"))
+                drv = IndexDriver(
+                    spark, build_example_registry(spark, watched), store, lc_blocks,
+                    batch_size=batch, max_delay_s=1e9, max_rollback_slots=10**12,
+                )
+                t0 = time.perf_counter()
+                drv.run(list(events))
+                wall = min(wall, time.perf_counter() - t0)
+            return round(n_lc / wall, 1)
+
+        # Reference shape (BASELINE.md): 220 blk/s per-block-commit →
+        # 1,013 blk/s at its batch-500 fsync knee. Spark's equivalent
+        # knee is bigger micro-batches (per-epoch job overhead amortizes
+        # where Postgres amortized fsyncs): report the same batch-500
+        # point for comparability plus the knee throughput.
+        lifecycle_bps_500 = lc_run(2000, 500, "b500")
+        lifecycle_bps = lc_run(20000, 20000, "knee")
         watched.unpersist()
     finally:
         shutil.rmtree(td, ignore_errors=True)
@@ -155,6 +167,7 @@ def main() -> None:
         "sf": sf,
         "blocks_per_sec_utxo_graph": blocks_per_sec,
         "blocks_per_sec_lifecycle": lifecycle_bps,
+        "blocks_per_sec_lifecycle_batch500": lifecycle_bps_500,
         "n_blocks": n_blocks,
     }
     print(json.dumps(out))
