@@ -25,20 +25,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from argus_spark.chain.synth import (
-    CHAIN_SQL_CTES,
-    synth_blocks,
-    synth_inputs,
-    synth_outputs,
-    synth_watched,
-)
+from argus_spark.chain.synth import CHAIN_SQL_CTES, synth_watched
+from argus_spark.sources.ingest import inputs_table, outputs_table
 
 
 def utxo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full wallet_utxos table: every created output with its spent_slot
     (NULL = unspent) — the B14 spend match as a left join."""
-    out = synth_outputs(spark, sf_dir)
-    inp = synth_inputs(spark, sf_dir)
+    out = outputs_table(spark, sf_dir)
+    inp = inputs_table(spark, sf_dir)
     return out.join(
         inp,
         (out.tx_hash == inp.tx_id) & (out.tx_index == inp.idx),
@@ -63,8 +58,8 @@ LEFT JOIN inputs i ON o.tx_hash = i.tx_id AND o.tx_index = i.idx
 def utxo_spent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14 — outputs that have been consumed (left_semi on the spend
     refs)."""
-    out = synth_outputs(spark, sf_dir)
-    inp = synth_inputs(spark, sf_dir)
+    out = outputs_table(spark, sf_dir)
+    inp = inputs_table(spark, sf_dir)
     return out.join(
         inp,
         (out.tx_hash == inp.tx_id) & (out.tx_index == inp.idx),
@@ -85,8 +80,8 @@ WHERE EXISTS (SELECT 1 FROM inputs i
 
 def utxo_unspent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15 — the unspent set: created minus spent (left_anti)."""
-    out = synth_outputs(spark, sf_dir)
-    inp = synth_inputs(spark, sf_dir)
+    out = outputs_table(spark, sf_dir)
+    inp = inputs_table(spark, sf_dir)
     return out.join(
         inp,
         (out.tx_hash == inp.tx_id) & (out.tx_index == inp.idx),
@@ -148,8 +143,8 @@ def balances_after_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     X stays in-plan (scalar subquery via cross join) — no driver-side
     collect on the data path."""
-    out = synth_outputs(spark, sf_dir)
-    inp = synth_inputs(spark, sf_dir)
+    out = outputs_table(spark, sf_dir)
+    inp = inputs_table(spark, sf_dir)
     watched = synth_watched(spark, sf_dir)
     x = out.agg(F.floor(F.max("slot") / 2).alias("x"))
     surviving = out.crossJoin(F.broadcast(x)).filter(F.col("slot") < F.col("x"))

@@ -78,6 +78,46 @@ def block_count(spark: SparkSession, sf_dir: str) -> int:
     return blocks_table(spark, sf_dir).count()
 
 
+def outputs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat created-outputs view from the materialized nested table —
+    row-identical to ``chain.synth.synth_outputs`` (the outputs array is
+    ordinal-sorted at build, so the array position IS tx_index) but a
+    scan + explode instead of a window shuffle over lineitem."""
+    b = blocks_table(spark, sf_dir)
+    tx = b.select("slot", F.explode("txs").alias("tx"))
+    return tx.select(
+        F.col("tx.tx_hash").alias("tx_hash"),
+        F.posexplode("tx.outputs").alias("tx_index", "o"),
+        "slot",
+    ).select(
+        "tx_hash",
+        "tx_index",
+        "slot",
+        F.col("o.address").alias("address"),
+        # address = 'addr_<k>', address_name = 's_<k>' (FIXTURES §5)
+        F.concat(F.lit("s_"), F.expr("substring(o.address, 6)")).alias(
+            "address_name"
+        ),
+        F.col("o.lovelace").alias("amount"),
+    )
+
+
+def inputs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat spend-refs view from the materialized nested table — the
+    inputs array of the *spending* block, so spend_slot = block slot;
+    row-identical to ``chain.synth.synth_inputs`` (inputs only exist at
+    block slots by construction)."""
+    b = blocks_table(spark, sf_dir)
+    tx = b.select("slot", F.explode("txs").alias("tx"))
+    return tx.select(
+        F.explode("tx.inputs").alias("inp"), F.col("slot").alias("spend_slot")
+    ).select(
+        F.col("inp.tx_id").alias("tx_id"),
+        F.col("inp.index").alias("idx"),
+        "spend_slot",
+    )
+
+
 def first_n_blocks(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     """The chain's first ``n`` blocks, cheaply: a slot-threshold filter
     over the range-partitioned table (file-pruned), not a global sort."""
