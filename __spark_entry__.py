@@ -25,9 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    from argus_spark.operators import relational, temporal, utxo
+    from argus_spark.operators import relational, skew, temporal, utxo
 
-    mods = [relational, temporal, utxo]
+    mods = [relational, skew, temporal, utxo]
     try:
         from argus_spark.datapipe import registry as dp_registry
 

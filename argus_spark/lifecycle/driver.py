@@ -235,6 +235,12 @@ class IndexDriver:
         cached_out: list[DataFrame] = []
         appends: dict[str, tuple[DataFrame, int, int]] = {}
         epoch_times: dict[str, float] = {}
+        # DAG level per reducer → write waves (parents' sinks before
+        # dependents' sinks, parallel within a level)
+        level: dict[str, int] = {}
+        for r in self._order:
+            level[r.name] = 0 if r.depends_on is None else level[r.depends_on] + 1
+        table_level: dict[str, int] = {}
         try:
             for r in self._order:
                 floor = self._resume[r.name]
@@ -251,15 +257,16 @@ class IndexDriver:
                 for tbl, df in outputs.items():
                     # Each output is consumed up to three times: by its
                     # own sink write, by dependents' read-your-writes
-                    # plans (B17), and by dependents' writes. Cache +
-                    # eager count in topo order ⇒ each lineage computes
-                    # exactly once; everything downstream reads the
-                    # cached rows (Spark's cache manager substitutes
-                    # matching plan subtrees in later plans too).
+                    # plans (B17), and by dependents' writes. cache() +
+                    # level-waved writes (below) ⇒ each lineage
+                    # materializes exactly once — its own sink write —
+                    # and everything downstream reads the cached rows
+                    # (Spark's cache manager substitutes matching plan
+                    # subtrees in later plans too).
                     df = df.cache()
-                    df.count()
                     cached_out.append(df)
                     pending_out.setdefault(tbl, []).append(df)
+                    table_level[tbl] = level[r.name]
 
             for tbl, dfs in pending_out.items():
                 df = dfs[0]
@@ -284,10 +291,16 @@ class IndexDriver:
                 self._windows[r.name] = w
                 self._resume[r.name] = max(self._resume[r.name], hi)
 
+            n_levels = max(table_level.values(), default=0) + 1
+            waves = [
+                [t for t, lv in table_level.items() if lv == i]
+                for i in range(n_levels)
+            ]
             manifest = self.store.commit(
                 appends=appends,
                 states=self._state_rows(),
                 meta={"epoch": [lo, hi], "n_blocks": n_blocks},
+                waves=waves,
             )
             # A10 — if nothing was written, the manifest still published
             # (cheap local JSON); defer-if-empty is tracked for parity

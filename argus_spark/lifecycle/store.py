@@ -180,6 +180,7 @@ class ParquetStateStore:
         spark: SparkSession | None = None,
         meta: dict[str, Any] | None = None,
         upserts: dict[str, tuple[DataFrame, list[str], int, int]] | None = None,
+        waves: list[list[str]] | None = None,
     ) -> dict:
         """One atomic transaction: optional slot-range retraction,
         appends + keyed upserts for any number of tables, and
@@ -198,6 +199,13 @@ class ParquetStateStore:
         range retraction automatically *resurrects* the previous version
         of a key (the reference's spent-slot un-update, B7) because the
         newer version lives in a newer slot range.
+
+        ``waves`` — optional write scheduling hint: table-name groups
+        executed sequentially, parallel within a group. The driver
+        passes DAG levels so a dependent table's write runs after its
+        (cached) parents materialized — each lineage computes exactly
+        once, with level-parallelism preserved. Unlisted tables join a
+        final wave. Atomicity is unaffected (one manifest rename).
         """
         manifest = self.current_manifest()
         tables: dict[str, list[dict]] = {
@@ -226,18 +234,32 @@ class ParquetStateStore:
 
         # Independent tables write concurrently — Spark schedules the
         # jobs in parallel across the executor pool, collapsing the
-        # epoch's critical path from Σ(writes) to ~max(writes). Nothing
-        # is visible until the manifest rename below (atomicity holds).
+        # epoch's critical path from Σ(writes) to ~max(writes) per wave.
+        # Nothing is visible until the manifest rename (atomicity holds).
         wrote_data = retract_from is not None
-        if len(write_tasks) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        by_name = {t[0]: t for t in write_tasks}
+        ordered: list[list[tuple]] = []
+        seen: set[str] = set()
+        for wave in waves or []:
+            tasks = [by_name[n] for n in wave if n in by_name and n not in seen]
+            seen.update(t[0] for t in tasks)
+            if tasks:
+                ordered.append(tasks)
+        rest = [t for t in write_tasks if t[0] not in seen]
+        if rest:
+            ordered.append(rest)
 
-            with ThreadPoolExecutor(max_workers=min(8, len(write_tasks))) as ex:
-                groups = list(
-                    ex.map(lambda t: (t[0], self._write_group(*t)), write_tasks)
-                )
-        else:
-            groups = [(t[0], self._write_group(*t)) for t in write_tasks]
+        groups: list[tuple[str, FileGroup | None]] = []
+        from concurrent.futures import ThreadPoolExecutor
+
+        for tasks in ordered:
+            if len(tasks) > 1:
+                with ThreadPoolExecutor(max_workers=min(8, len(tasks))) as ex:
+                    groups.extend(
+                        ex.map(lambda t: (t[0], self._write_group(*t)), tasks)
+                    )
+            else:
+                groups.extend((t[0], self._write_group(*t)) for t in tasks)
         for name, group in groups:
             if group is not None:
                 tables.setdefault(name, []).append(group.as_dict())

@@ -1,0 +1,151 @@
+"""Skew-aware operators — the 100 TB mitigation toolkit.
+
+The reference never needs these (Postgres absorbs its writes), but any
+Spark plan that shuffles on a hot key does: a handful of keys owning
+most rows turns one reducer task into the job's critical path. Two
+mitigations, both result-identical to their naive forms:
+
+  * **Salted two-phase aggregation** — partial-aggregate on
+    (key, salt), then re-aggregate on key. The first shuffle spreads a
+    hot key over ``n_salts`` reducers; the second moves only
+    ``n_salts`` pre-aggregated rows per key. Works for any commutative
+    associative aggregate (sum/count/min/max).
+  * **Salted broadcast-side explosion join** — for a skewed fact ⋈
+    small dim: salt the fact side with ``pmod(hash, n)``, explode the
+    dim side n ways, equi-join on (key, salt). Spark 3+ AQE's
+    skew-join split covers the sort-merge case automatically (enabled
+    in session.py); this form is for when the build side fits memory.
+
+Fixed-point sums (``floor(x * 1e6)`` → BIGINT) keep double aggregation
+exact and order-free, so salted and unsalted plans — and the DuckDB
+oracle — agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argus_spark.session import load
+
+FX = 1_000_000
+
+
+def salted_group_sum(
+    df: DataFrame,
+    key: str | Column,
+    value: Column,
+    n_salts: int = 16,
+    sum_alias: str = "sum_value",
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """Two-phase (salted) sum+count per key. Result-identical to
+    ``df.groupBy(key).agg(sum, count)`` for associative aggregates —
+    the salt only reshapes the shuffle. The salt is derived from
+    ``spark_partition_id()``: uniform across input partitions, no
+    dependence on row content, and map-side combine still applies
+    within each partition."""
+    salt = (F.spark_partition_id() % n_salts).alias("_salt")
+    partial = (
+        df.select(F.col(key).alias("_k") if isinstance(key, str) else key.alias("_k"),
+                  value.alias("_v"), salt)
+        .groupBy("_k", "_salt")
+        .agg(F.sum("_v").alias("_ps"), F.count(F.lit(1)).alias("_pc"))
+    )
+    return (
+        partial.groupBy("_k")
+        .agg(F.sum("_ps").alias(sum_alias), F.sum("_pc").alias(count_alias))
+        .withColumnRenamed("_k", key if isinstance(key, str) else "key")
+    )
+
+
+def skew_salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted aggregation over the events stream keyed by event_type —
+    five distinct keys over the whole table, the canonical hot-key
+    shape. Oracle = the plain GROUP BY (identical result by
+    construction)."""
+    e = load(spark, sf_dir, "events")
+    out = salted_group_sum(
+        e,
+        "event_type",
+        F.floor(F.col("value") * FX).cast("long"),
+        n_salts=16,
+        sum_alias="_sfx",
+        count_alias="n_events",
+    )
+    return out.select(
+        "event_type",
+        (F.col("_sfx").cast("double") / FX).alias("sum_value"),
+        "n_events",
+    )
+
+
+SKEW_SALTED_GROUP_SUM_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS sum_value,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def salted_broadcast_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skewed fact ⋈ small dim without a hot shuffle partition: salt the
+    fact rows by content hash, replicate each dim row ``n_salts`` ways,
+    join on (key, salt). Equivalent rows to a plain inner equi-join."""
+    f = fact.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return f.join(F.broadcast(d), [key, "_salt"], "inner").drop("_salt")
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join demo: events (hot event_type keys) ⋈ the 5-row type
+    dim; per-type fixed-point value totals after the join. Oracle = the
+    plain join + GROUP BY."""
+    e = load(spark, sf_dir, "events")
+    dim = e.select("event_type").distinct().withColumn(
+        "type_tag", F.concat(F.lit("t_"), F.col("event_type"))
+    )
+    joined = salted_broadcast_join(
+        e.select("event_type", F.floor(F.col("value") * FX).cast("long").alias("_vfx")),
+        dim,
+        "event_type",
+    )
+    return (
+        joined.groupBy("event_type", "type_tag")
+        .agg(
+            (F.sum("_vfx").cast("double") / FX).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+SELECT e.event_type,
+       't_' || e.event_type AS type_tag,
+       CAST(sum(CAST(floor(e.value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS sum_value,
+       count(*) AS n_events
+FROM events e
+JOIN (SELECT DISTINCT event_type FROM events) d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "skew_salted_group_sum": skew_salted_group_sum,
+    "skew_salted_join": skew_salted_join,
+}
+
+ORACLES: dict[str, str] = {
+    "skew_salted_group_sum": SKEW_SALTED_GROUP_SUM_SQL,
+    "skew_salted_join": SKEW_SALTED_JOIN_SQL,
+}

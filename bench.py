@@ -120,7 +120,7 @@ def main() -> None:
         watched = synth_watched(spark, SF_DIR).cache()
         watched.count()
 
-        def lc_run(n_lc: int, batch: int, tag: str) -> float:
+        def lc_run(n_lc: int, batch: int, tag: str, registry_fn=None) -> float:
             # slot-threshold filter over the range-partitioned ingest
             # table — per-epoch slot predicates prune at the file level
             lc_blocks = first_n_blocks(spark, SF_DIR, n_lc)
@@ -131,8 +131,13 @@ def main() -> None:
             wall = float("inf")
             for i in range(2):
                 store = ParquetStateStore(os.path.join(td, f"store_{tag}_{i}"))
+                reg = (
+                    registry_fn()
+                    if registry_fn
+                    else build_example_registry(spark, watched)
+                )
                 drv = IndexDriver(
-                    spark, build_example_registry(spark, watched), store, lc_blocks,
+                    spark, reg, store, lc_blocks,
                     batch_size=batch, max_delay_s=1e9, max_rollback_slots=10**12,
                 )
                 t0 = time.perf_counter()
@@ -147,6 +152,16 @@ def main() -> None:
         # point for comparability plus the knee throughput.
         lifecycle_bps_500 = lc_run(2000, 500, "b500")
         lifecycle_bps = lc_run(20000, 20000, "knee")
+
+        # Depth (in)dependence — the reference's sequential cascade
+        # collapses ~30x on a 3-deep chain (274 vs 8,200 slots/s, Bench
+        # README.md:7; channels recover 2.92x). Lazy plan composition +
+        # concurrent sink writes should make Spark's throughput flat in
+        # depth; the ratio is the property BASELINE.md asks to reproduce.
+        from argus_spark.reducers.examples import build_chain_registry
+
+        depth1_bps = lc_run(10000, 10000, "d1", lambda: build_chain_registry(1))
+        depth3_bps = lc_run(10000, 10000, "d3", lambda: build_chain_registry(3))
         watched.unpersist()
     finally:
         shutil.rmtree(td, ignore_errors=True)
@@ -168,6 +183,9 @@ def main() -> None:
         "blocks_per_sec_utxo_graph": blocks_per_sec,
         "blocks_per_sec_lifecycle": lifecycle_bps,
         "blocks_per_sec_lifecycle_batch500": lifecycle_bps_500,
+        "blocks_per_sec_depth1_chain": depth1_bps,
+        "blocks_per_sec_depth3_chain": depth3_bps,
+        "depth3_retention": round(depth3_bps / depth1_bps, 3) if depth1_bps else 0.0,
         "n_blocks": n_blocks,
     }
     print(json.dumps(out))

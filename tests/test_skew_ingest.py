@@ -1,0 +1,101 @@
+"""Skew operators (salted == plain invariance) and the materialized
+ingest table (pruning + flat-view equivalence with the synthesis
+definitions)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from argus_spark.chain.synth import synth_inputs, synth_outputs
+from argus_spark.operators.skew import salted_broadcast_join, salted_group_sum
+from argus_spark.plans.checks import formatted_plan, pushed_filters
+from argus_spark.sources.ingest import (
+    blocks_table,
+    first_n_blocks,
+    inputs_table,
+    outputs_table,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(map(str, r)) for r in df.collect())
+
+
+class TestSalted:
+    def test_salted_group_sum_equals_plain(self, spark):
+        e = spark.range(0, 5000).select(
+            (F.col("id") % 3).cast("string").alias("k"),
+            (F.col("id") * 7 % 101).alias("v"),
+        )
+        plain = e.groupBy("k").agg(
+            F.sum("v").alias("sum_value"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for n_salts in (1, 4, 32):
+            salted = salted_group_sum(e, "k", F.col("v"), n_salts=n_salts)
+            assert _rows(salted) == _rows(plain), n_salts
+
+    def test_salted_join_equals_plain(self, spark):
+        fact = spark.range(0, 2000).select(
+            (F.col("id") % 4).cast("string").alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.createDataFrame(
+            [(str(i), f"tag{i}") for i in range(4)], ["k", "tag"]
+        )
+        plain = fact.join(dim, "k", "inner").select("k", "v", "tag")
+        for n_salts in (1, 3, 8):
+            salted = salted_broadcast_join(fact, dim, "k", n_salts=n_salts).select(
+                "k", "v", "tag"
+            )
+            assert _rows(salted) == _rows(plain), n_salts
+
+
+class TestIngest:
+    def test_flat_views_match_synthesis(self, spark):
+        """outputs_table/inputs_table (explode of the materialized
+        nested table) must be row-identical to the window-based
+        synthesis definitions — the ingest contract."""
+        got = outputs_table(spark, SF_SMOKE).select(
+            "tx_hash", "tx_index", "slot", "address", "address_name", "amount"
+        )
+        want = synth_outputs(spark, SF_SMOKE).select(
+            "tx_hash", "tx_index", "slot", "address", "address_name", "amount"
+        )
+        assert _rows(got) == _rows(want)
+
+        got_i = inputs_table(spark, SF_SMOKE).select("tx_id", "idx", "spend_slot")
+        want_i = synth_inputs(spark, SF_SMOKE).select("tx_id", "idx", "spend_slot")
+        assert _rows(got_i) == _rows(want_i)
+
+    def test_slot_filter_pushes_down_to_scan(self, spark):
+        """Epoch reads (slot range) must prune at the parquet scan of
+        the range-partitioned ingest table — the property that keeps
+        per-epoch cost ∝ epoch size, not chain length."""
+        b = blocks_table(spark, SF_SMOKE).filter(
+            (F.col("slot") >= 10) & (F.col("slot") <= 20)
+        )
+        plan = formatted_plan(b)
+        pushed = pushed_filters(plan)
+        assert any("slot" in p for p in pushed), plan
+
+    def test_first_n_blocks_count_and_order(self, spark):
+        total = blocks_table(spark, SF_SMOKE).count()
+        n = min(50, total)
+        f = first_n_blocks(spark, SF_SMOKE, n)
+        assert f.count() == n
+        # the n smallest slots, exactly
+        all_slots = [
+            r.slot
+            for r in blocks_table(spark, SF_SMOKE)
+            .select("slot")
+            .orderBy("slot")
+            .limit(n)
+            .collect()
+        ]
+        got = sorted(r.slot for r in f.select("slot").collect())
+        assert got == sorted(all_slots)
