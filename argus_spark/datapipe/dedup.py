@@ -320,6 +320,108 @@ WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= {JACCARD_TAU}
 
 
 # --------------------------------------------------------------------------
+# Near-dup cluster resolution (connected components)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Connected components by min-label propagation with pointer
+    jumping: per round, label(v) ← min(label(v), neighbors' labels,
+    label(label(v))). The label-of-label hop halves pointer chains, so
+    rounds ≈ O(log diameter) instead of O(diameter). Returns
+    (doc, label) for every vertex incident to an edge; label = the
+    component's smallest member id.
+
+    Iterative-plan hygiene: each round ends in ``localCheckpoint`` —
+    without lineage truncation the logical plan nests one union+agg
+    deeper per round and Catalyst analysis time doubles per iteration
+    (measured: round 5 costs 10x round 1). On a cluster, swap for
+    reliable ``checkpoint(dir)`` (executor loss mid-loop must replay
+    from a real checkpoint, not lineage). Each round is two
+    vertex-keyed equi-joins + one aggregate; at extreme scale the same
+    loop upgrades to alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce"). The
+    convergence probe is a limit(1) existence check, not a data
+    collect."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint()
+    )
+    sym = sym.localCheckpoint()
+    for _ in range(max_iters):
+        msgs = sym.join(
+            labels.withColumnRenamed("doc", "src"), "src"
+        ).select(F.col("dst").alias("doc"), "label")
+        mapping = labels.select(
+            F.col("doc").alias("m_doc"), F.col("label").alias("m_label")
+        )
+        jumped = labels.join(
+            mapping, labels.label == mapping.m_doc
+        ).select("doc", F.col("m_label").alias("label"))
+        new_labels = (
+            msgs.unionByName(labels)
+            .unionByName(jumped)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline's resolution stage: verified near-dup
+    pairs (exact Jaccard ≥ 0.9, from the LSH→verify stages) → connected
+    components → one canonical doc per cluster (the smallest doc_id —
+    deterministic keep-first, B24's tie-break). Singleton docs (no dup)
+    are not emitted — at 100 TB the cluster table is a small side
+    output joined back as an anti-filter."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(edges)
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc") == F.col("label")).alias("is_canonical"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_JACCARD_SQL})
+), e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(doc, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc
+)
+SELECT doc AS doc_id, min(r) AS cluster_id,
+       doc = min(r) AS is_canonical
+FROM reach GROUP BY doc
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
@@ -412,6 +514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -420,5 +523,6 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
 }

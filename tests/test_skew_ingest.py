@@ -55,6 +55,25 @@ class TestSalted:
             assert _rows(salted) == _rows(plain), n_salts
 
 
+class TestConnectedComponents:
+    def test_known_components(self, spark):
+        from argus_spark.datapipe.dedup import connected_components
+
+        # triangle {1,2,3}, pair {4,5}, long path 10-11-...-20 (exercises
+        # pointer jumping), isolated 99 (no edge -> absent from output)
+        edges = [(1, 2), (2, 3), (1, 3), (4, 5)] + [
+            (i, i + 1) for i in range(10, 20)
+        ]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            (r.doc, r.label) for r in connected_components(df).collect()
+        }
+        want = {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)} | {
+            (i, 10) for i in range(10, 21)
+        }
+        assert got == want
+
+
 class TestIngest:
     def test_flat_views_match_synthesis(self, spark):
         """outputs_table/inputs_table (explode of the materialized
