@@ -225,11 +225,12 @@ class IndexDriver:
         )
         n_blocks = len(slots)
         if n_blocks > 1:
-            # Reused by every reducer in the epoch. Materialize eagerly:
-            # the epoch's writes run concurrently, and concurrent actions
-            # on a cold cache each recompute the scan instead of sharing.
+            # Reused by every reducer in the epoch. Materialized eagerly
+            # (by the tip-points collect below — TakeOrdered evaluates
+            # every partition, filling the cache): the epoch's writes run
+            # concurrently, and concurrent actions on a cold cache each
+            # recompute the scan instead of sharing.
             blocks = blocks.cache()
-            blocks.count()
 
         pending_out: dict[str, list[DataFrame]] = {}
         cached_out: list[DataFrame] = []
@@ -242,6 +243,18 @@ class IndexDriver:
             level[r.name] = 0 if r.depends_on is None else level[r.depends_on] + 1
         table_level: dict[str, int] = {}
         try:
+            # checkpoint advance source: the newest K points of the epoch
+            # (folding newest K gives the same window as folding all N).
+            # Collected BEFORE the reducer loop — the one action that
+            # both fills the shared block cache and fetches the control-
+            # plane points (a few rows, not a data-path collect).
+            tip_points = [
+                Point(slot=row["slot"], hash=row["hash"])
+                for row in blocks.select("slot", "hash")
+                .orderBy(F.desc("slot"))
+                .limit(self.window_k)
+                .collect()
+            ][::-1]
             for r in self._order:
                 floor = self._resume[r.name]
                 my_blocks = blocks.filter(F.col("slot") > floor) if floor >= lo else blocks
@@ -274,15 +287,6 @@ class IndexDriver:
                     df = df.unionByName(d)
                 appends[tbl] = (df, lo, hi)
 
-            # checkpoint advance: fold the newest K points of the epoch
-            # (folding all N gives the same window as folding newest K)
-            tip_points = [
-                Point(slot=row["slot"], hash=row["hash"])
-                for row in blocks.select("slot", "hash")
-                .orderBy(F.desc("slot"))
-                .limit(self.window_k)
-                .collect()
-            ][::-1]
             for r in self._order:
                 w = self._windows[r.name]
                 for p in tip_points:

@@ -74,6 +74,48 @@ class TestConnectedComponents:
         assert got == want
 
 
+class TestBucketed:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """The 100 TB layout contract: two tables bucketed on the join
+        key join with zero shuffles; the same join unbucketed shuffles
+        both sides."""
+        from argus_spark.operators.bucketed import co_located_join, write_bucketed
+        from argus_spark.plans.checks import formatted_plan, n_shuffle_exchanges
+        from argus_spark.sources.ingest import inputs_table, outputs_table
+
+        out = outputs_table(spark, SF_SMOKE).withColumnRenamed("tx_hash", "k")
+        inp = (
+            inputs_table(spark, SF_SMOKE)
+            .withColumnRenamed("tx_id", "k")
+            .withColumnRenamed("idx", "tx_index")
+        )
+        # disable auto-broadcast: at smoke scale every join broadcasts,
+        # hiding the layout effect this test pins down (at 100 TB
+        # neither side fits in memory — SMJ is the real plan)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            unbucketed = out.join(inp, ["k", "tx_index"], "inner")
+            assert n_shuffle_exchanges(formatted_plan(unbucketed)) >= 1
+
+            write_bucketed(
+                out, "b_outputs", ["k"], 8, path=str(tmp_path / "b_outputs")
+            )
+            write_bucketed(
+                inp, "b_inputs", ["k"], 8, path=str(tmp_path / "b_inputs")
+            )
+            joined = co_located_join(spark, "b_outputs", "b_inputs", ["k"])
+            plan = formatted_plan(joined)
+            assert n_shuffle_exchanges(plan) == 0, plan
+            # same rows as the unbucketed single-key join
+            want = out.join(inp, ["k"], "inner").count()
+            assert joined.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_outputs")
+            spark.sql("DROP TABLE IF EXISTS b_inputs")
+
+
 class TestIngest:
     def test_flat_views_match_synthesis(self, spark):
         """outputs_table/inputs_table (explode of the materialized
