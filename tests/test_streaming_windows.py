@@ -96,9 +96,9 @@ def test_watermark_drops_late_data(spark, tmp_path):
 
 def test_apply_in_pandas_with_state_running_counts(spark, tmp_path):
     """Custom stateful operator (B38 analogue): per-user running event
-    count via applyInPandasWithState, checked against the batch
-    groupBy on the same data."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    count + value sum via streaming.stateful.running_totals, checked
+    against the batch groupBy on the same data."""
+    from argus_spark.streaming.stateful import running_totals
 
     feed = str(tmp_path / "feed")
     _write_file(feed, 0, [
@@ -112,33 +112,12 @@ def test_apply_in_pandas_with_state_running_counts(spark, tmp_path):
         ("2024-01-01 10:05:00", 3, 6.0),
     ])
 
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType(), True),
-            T.StructField("total_events", T.LongType(), True),
-        ]
-    )
-    state_schema = T.StructType([T.StructField("n", T.LongType(), True)])
-
-    def update(key, pdfs, state: GroupState):
-        n = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            n += len(pdf)
-        state.update((n,))
-        yield pd.DataFrame({"user_id": [key[0]], "total_events": [n]})
-
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .json(feed)
     )
-    counts = stream.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    counts = running_totals(stream, "user_id", "value")
     q = (
         counts.writeStream.format("memory")
         .queryName("state_sink")
@@ -149,8 +128,10 @@ def test_apply_in_pandas_with_state_running_counts(spark, tmp_path):
     )
     q.awaitTermination()
     rows = spark.sql("SELECT * FROM state_sink").collect()
-    # last emission per user is the running total
-    final: dict[int, int] = {}
+    # last (largest) emission per user is the running total
+    final: dict[int, tuple[int, float]] = {}
     for r in rows:
-        final[r.user_id] = max(final.get(r.user_id, 0), r.total_events)
-    assert final == {1: 3, 2: 2, 3: 1}, rows
+        prev = final.get(r.user_id, (0, 0.0))
+        if r.total_events >= prev[0]:
+            final[r.user_id] = (r.total_events, r.total_value)
+    assert final == {1: (3, 7.0), 2: (2, 8.0), 3: (1, 6.0)}, rows
