@@ -72,24 +72,48 @@ MH_BANDS = 3       # bands
 MH_R = MH_K // MH_BANDS  # rows per band
 
 
+# Universal-hash permutation constants: sig_i = min over words of
+# (A_i * h' + B_i) % P with h' = h % P and P = 2^31-1 (Mersenne
+# prime). One md5 per word (not one per signature slot — a 12x cut of
+# the map-stage hash work); the linear family keeps slots independent.
+# P must be SMALL relative to the products (A*h' < 2^62 wraps ~2^31
+# times around P) so each permutation genuinely reorders the hash
+# space — a large P wraps at most twice, leaving the map monotonic, so
+# every slot picks the same argmin word and LSH degenerates to
+# single-hash minhash (measured: 10x pair blowup). Products stay below
+# 2^62: exact in signed int64 in both engines, ANSI-overflow-safe.
+MH_P = (1 << 31) - 1
+_mh_rng = __import__("random").Random(0xA57)
+MH_A = [_mh_rng.randrange(1, MH_P) for _ in range(MH_K)]
+MH_B = [_mh_rng.randrange(0, MH_P) for _ in range(MH_K)]
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12) over the word *set*, banded 3×4 → candidate pairs.
 
-    Per-row signature: ``array_min(transform(words, h64_seed_i))`` —
-    12 JVM-side md5 passes, no shuffle, no Python. Candidates come from
-    one explode + self-equi-join on (band, band_hash): the canonical
+    Per-row signature: one JVM-side md5 pass over the word set, then 12
+    integer permutations (``array_min(transform(hs, a*h'+b mod p))``) —
+    no shuffle, no Python. The base-hash projection stays separate from
+    the signature projection; CollapseProject does not inline it because
+    the HOF is non-cheap, so md5 runs once. Candidates come from one
+    explode + self-equi-join on (band, band_hash): the canonical
     distributed LSH shape. P(candidate) = 1-(1-J^4)^3 ≈ .79 @ J=0.8."""
     d = load(spark, sf_dir, "documents", widen=True)
     words = F.array_distinct(words_col())
+    base = d.select(
+        "doc_id", F.transform(words, lambda w: h64(w, "mh") % MH_P).alias("hs")
+    )
 
     def sig_col(i: int) -> F.Column:
         # NB: closure, not a default arg — PySpark HOFs dispatch on lambda
         # arity, so a 2-arg lambda would receive the array index instead.
-        seed = f"mh{i}"
-        return F.array_min(F.transform(words, lambda w: h64(w, seed)))
+        a, b = MH_A[i], MH_B[i]
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (a * h + b) % MH_P)
+        )
 
     sigs = [sig_col(i).alias(f"s{i}") for i in range(MH_K)]
-    sig = d.select("doc_id", *sigs)
+    sig = base.select("doc_id", *sigs)
     bands = F.array(
         *[
             F.struct(
@@ -117,7 +141,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     sig_exprs = ",\n    ".join(
-        f"list_min(list_transform(words, x -> {h64_sql('x', f'mh{i}')})) AS s{i}"
+        f"list_min(list_transform(hs, h -> ({MH_A[i]} * h + {MH_B[i]}) % {MH_P})) AS s{i}"
         for i in range(MH_K)
     )
     band_selects = "\nUNION ALL\n".join(
@@ -132,10 +156,14 @@ def _minhash_sql() -> str:
     return f"""
 WITH w AS (
   SELECT doc_id, list_distinct({words_sql()}) AS words FROM documents
+), base AS (
+  SELECT doc_id,
+         list_transform(words, x -> {h64_sql('x', 'mh')} % {MH_P}) AS hs
+  FROM w
 ), sig AS (
   SELECT doc_id,
     {sig_exprs}
-  FROM w
+  FROM base
 ), bands AS (
 {band_selects}
 )

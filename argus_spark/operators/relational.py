@@ -566,6 +566,33 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
 """
 
 
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stretch string/regex library (SURVEY lists it as absent in the
+    reference): regexp extract, regexp split-count, regexp_replace with
+    global flag, case map, padding. Patterns kept in the common
+    Java-regex/RE2 subset so Spark and DuckDB agree."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.lower("text"), "[a-z]+", 0).alias("first_word"),
+        F.size(F.split(F.trim(F.col("text")), "[ ]+")).alias("n_tokens"),
+        F.upper(F.substring("text", 1, 6)).alias("head_upper"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+        F.lpad(F.col("n_chars").cast("string"), 8, "0").alias("padded_len"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT doc_id,
+       regexp_extract(lower(text), '[a-z]+') AS first_word,
+       len(regexp_split_to_array(trim(text), '[ ]+')) AS n_tokens,
+       upper(substr(text, 1, 6)) AS head_upper,
+       regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+       lpad(CAST(n_chars AS VARCHAR), 8, '0') AS padded_len
+FROM documents
+"""
+
+
 def stable_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34 — deterministic stable key hash (advisory-lock key shape;
     md5 is the cross-engine-stable choice)."""
@@ -622,6 +649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hex_canonical": hex_canonical,
     "prefix_display": prefix_display,
     "json_extract": json_extract,
+    "string_funcs": string_funcs,
     "stable_hash": stable_hash,
     "slot_arithmetic": slot_arithmetic,
 }
@@ -652,6 +680,7 @@ ORACLES: dict[str, str] = {
     "hex_canonical": HEX_CANONICAL_SQL,
     "prefix_display": PREFIX_DISPLAY_SQL,
     "json_extract": JSON_EXTRACT_SQL,
+    "string_funcs": STRING_FUNCS_SQL,
     "stable_hash": STABLE_HASH_SQL,
     "slot_arithmetic": SLOT_ARITHMETIC_SQL,
 }
