@@ -74,6 +74,46 @@ class TestConnectedComponents:
         assert got == want
 
 
+def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_random_graphs(spark):
+    """Property: distributed label propagation == sequential union-find
+    on random graphs (deterministic seeds; covers chains, cliques,
+    forests and singleton-free edge soups)."""
+    import random
+
+    from argus_spark.datapipe.dedup import connected_components
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = rng.randint(10, 60)
+        m = rng.randint(5, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {(r.doc, r.label) for r in connected_components(df).collect()}
+        want = set(_union_find_labels(edges).items())
+        assert got == want, (seed, sorted(got - want)[:5], sorted(want - got)[:5])
+
+
 class TestBucketed:
     def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
         """The 100 TB layout contract: two tables bucketed on the join
