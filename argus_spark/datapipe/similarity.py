@@ -188,12 +188,140 @@ SELECT q_id, n_id, rnk, cos_sim FROM (
 """
 
 
+CENTROID_STRIDE = 25   # nlist = n/25 deterministic sample (vec_id % 25 == 0)
+NPROBE = 2
+IVF_TOP_K = 3
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: the inverted-file scale path (complements the LSH one).
+
+    Centroids are a deterministic corpus sample (``vec_id % 25 == 0`` —
+    stands in for a k-means codebook; the cell/probe machinery is
+    identical). Every corpus vector is assigned to its nearest centroid
+    by cosine; queries probe their ``NPROBE``=2 nearest cells and rank
+    exact cosine top-3 among candidates in those cells.
+
+    Plan shape at 100 TB: the codebook folds into ONE broadcast row
+    (``array<struct<cid,cv,cn>>``), so cell assignment is a pure
+    map-side expression (``array_min`` over per-centroid scores) — the
+    corpus is never shuffled to meet its centroids, and the only
+    exchange carrying corpus-derived rows is the final per-query top-k
+    window over candidates already cut ~nlist/nprobe× by the broadcast
+    hash probe on ``cell``. Ties break toward the smaller id in both
+    engines.
+    """
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    e = e.withColumn("nrm", norm(F.col("v")))
+    # One-row codebook: nlist centroid structs in a single array value.
+    codebook = (
+        e.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cb"))
+    )
+
+    def _scored_cells() -> F.Column:
+        # array<struct<ns,cid>>: ns = -cosine, so ascending struct order
+        # is (cosine desc, cid asc) — min = nearest cell.
+        return F.transform(
+            F.col("cb"),
+            lambda c: F.struct(
+                (-cosine_prenorm(_dot(F.col("v"), c["cv"]), F.col("nrm"),
+                                 c["cn"])).alias("ns"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+    with_cb = e.crossJoin(F.broadcast(codebook))
+    assigned = with_cb.withColumn(
+        "cell", F.array_min(_scored_cells())["cid"]
+    ).select("vec_id", "v", "nrm", "cell")
+    qprobe = (
+        with_cb.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(_scored_cells()), 1, NPROBE),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"), "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(qprobe), "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "cos_sim",
+            cosine_prenorm(_dot(F.col("qv"), F.col("v")), F.col("qn"), F.col("nrm")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("q_id", F.col("vec_id").alias("n_id"), "rnk", "cos_sim")
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ e AS (SELECT vec_id, v, {_norm_sql('v')} AS nrm FROM e0),
+ cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+  WHERE vec_id % {CENTROID_STRIDE} = 0
+), assigned AS (
+  SELECT vec_id, v, nrm, cid AS cell FROM (
+    SELECT e.vec_id, e.v, e.nrm, cent.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dot_sql('e.v', 'cent.cv')} / (e.nrm * cent.cn) DESC,
+                      cent.cid
+           ) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT q_id, qv, qn, cid AS cell FROM (
+    SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, cent.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dot_sql('q.v', 'cent.cv')} / (q.nrm * cent.cn) DESC,
+                      cent.cid
+           ) AS rn
+    FROM e q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {NPROBE}
+), scored AS (
+  SELECT q_id, a.vec_id AS n_id,
+         {_dot_sql('qv', 'a.v')} / (qn * a.nrm) AS cos_sim
+  FROM qprobe JOIN assigned a USING (cell)
+  WHERE q_id <> a.vec_id
+)
+SELECT q_id, n_id, rnk, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, n_id) AS rnk
+  FROM scored
+) WHERE rnk <= {IVF_TOP_K}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
+    "ann_ivf_topk": ANN_IVF_TOPK_SQL,
 }

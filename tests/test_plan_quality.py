@@ -85,3 +85,15 @@ def test_ann_broadcasts_queries_no_corpus_shuffle(spark):
     # corpus side: scan → cosine → window. The only hash shuffle allowed
     # is the per-query top-k window partitioning.
     assert n_shuffle_exchanges(plan) <= 1, plan
+
+
+def test_ann_ivf_corpus_never_shuffles_for_assignment(spark):
+    from argus_spark.datapipe.similarity import ann_ivf_topk
+
+    plan = formatted_plan(ann_ivf_topk(spark, SF_SMOKE))
+    # codebook folds to one broadcast row → cell assignment is map-side;
+    # probe is a broadcast hash join on cell; the only corpus-derived
+    # shuffle is the per-query top-k window over probed candidates.
+    assert has_broadcast_hash_join(plan), plan
+    assert not has_sort_merge_join(plan), plan
+    assert n_shuffle_exchanges(plan) <= 1, plan
