@@ -7,9 +7,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from argus_spark.datapipe import dedup, multimodal, similarity, text
+from argus_spark.datapipe import dedup, multimodal, sampling, similarity, text
 
-_MODULES = [dedup, similarity, text, multimodal]
+_MODULES = [dedup, similarity, text, multimodal, sampling]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

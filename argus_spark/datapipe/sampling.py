@@ -1,0 +1,223 @@
+"""Training-data sampling / mixture / term-weighting operators over the
+``documents`` table — the selection layer of a pre-training pipeline
+(the reference has no analogue; these are the beyond-reference datapipe
+ops the build brief calls for, in the same oracle-checked style).
+
+All randomness is *hash-determinism*: the shared md5-based ``h64``
+(hashing.py) drives every sampling decision, so a run is reproducible
+across engines, partitionings, and cluster sizes — the property a
+100 TB pipeline actually needs (re-running a failed stage must pick the
+same rows).
+
+Scale shapes:
+  * ``sample_stratified`` — map-side filter, zero shuffle: rate lookup
+    is a literal CASE, the keep/drop decision is pure per-row hashing.
+  * ``dataset_mixture``   — per-source exact quotas: tiny count agg →
+    broadcast back → per-source top-k by hash (WindowGroupLimit prunes
+    map-side, so the shuffle carries ≈ quota rows per source, not the
+    corpus).
+  * ``tfidf_top_terms``   — explode → two partial-agged shuffles (term
+    stats are corpus-wide by construction) → per-doc top-k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from argus_spark.datapipe.hashing import h64, h64_sql, words_col, words_sql
+from argus_spark.session import load
+
+# Per-source keep-rate in percent; sources absent from the map fall back
+# to DEFAULT_RATE. Mirrors a real mixture config (e.g. upsample books,
+# downsample web crawl).
+SAMPLE_RATES: dict[str, int] = {
+    "src0": 100, "src1": 80, "src2": 60, "src3": 40, "src4": 20,
+    "src5": 10, "src6": 90, "src7": 70, "src8": 50, "src9": 30,
+}
+DEFAULT_RATE = 25
+
+# dataset_mixture: relative integer weights and a global budget.
+MIX_WEIGHTS: dict[str, int] = {"src0": 4, "src1": 2, "src2": 2, "src3": 1}
+MIX_BUDGET = 120
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic stratified sampling: keep a doc iff
+    ``h64(doc_id) % 100 < rate(source)``. Pure map-side — the decision
+    needs no shuffle, no RNG state, and is stable under retries and
+    repartitioning (unlike ``df.sample``, whose output depends on the
+    partitioning)."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    rate = F.lit(DEFAULT_RATE)
+    for src, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    bucket = h64(F.col("doc_id").cast("string"), "strat") % F.lit(100)
+    return (
+        d.withColumn("bucket", bucket)
+        .withColumn("rate", rate)
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "source", "bucket", "rate")
+    )
+
+
+_RATE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items())
+    )
+    + f" ELSE {DEFAULT_RATE} END"
+)
+
+SAMPLE_STRATIFIED_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         {h64_sql("doc_id::VARCHAR", "strat")} % 100 AS bucket,
+         {_RATE_SQL} AS rate
+  FROM documents
+)
+SELECT doc_id, source, bucket, rate FROM b WHERE bucket < rate
+"""
+
+
+def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota mixture sampling: split a global budget across
+    sources by weight (quota_s = budget * w_s / Σw, capped at the
+    source's size), then take each source's quota as the docs with the
+    smallest sampling hashes — a deterministic 'bottom-k by hash'
+    reservoir. Weight-listed sources only.
+
+    Integer arithmetic end-to-end (quotas via integer floor division),
+    so both engines agree exactly; the per-source counts are a tiny
+    aggregate broadcast back onto the corpus."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    wsum = sum(MIX_WEIGHTS.values())
+    weight = F.lit(None).cast("long")
+    for src, w in sorted(MIX_WEIGHTS.items()):
+        weight = F.when(F.col("source") == src, F.lit(w)).otherwise(weight)
+    pool = d.withColumn("w", weight).filter(F.col("w").isNotNull())
+    quotas = (
+        pool.groupBy("source", "w")
+        .agg(F.count("*").alias("n_src"))
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("n_src"),
+                (F.lit(MIX_BUDGET) * F.col("w") / F.lit(wsum)).cast("long"),
+            ),
+        )
+        .select("source", "n_src", "quota")
+    )
+    ranked = (
+        pool.join(F.broadcast(quotas), "source")
+        .withColumn("h", h64(F.col("doc_id").cast("string"), "mix"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= F.col("quota")).select(
+        "doc_id", "source", "quota", "rk"
+    )
+
+
+_WEIGHT_SQL = (
+    "CASE "
+    + " ".join(f"WHEN source = '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items()))
+    + " ELSE NULL END"
+)
+
+DATASET_MIXTURE_SQL = f"""
+WITH pool AS (
+  SELECT doc_id, source, {_WEIGHT_SQL}::BIGINT AS w FROM documents
+  WHERE {_WEIGHT_SQL} IS NOT NULL
+), quotas AS (
+  SELECT source, count(*)::BIGINT AS n_src,
+         least(count(*)::BIGINT,
+               ({MIX_BUDGET} * any_value(w)) // {sum(MIX_WEIGHTS.values())}) AS quota
+  FROM pool GROUP BY source
+), ranked AS (
+  SELECT p.doc_id, p.source, q.quota,
+         row_number() OVER (
+           PARTITION BY p.source
+           ORDER BY {h64_sql("p.doc_id::VARCHAR", "mix")}, p.doc_id
+         ) AS rk
+  FROM pool p JOIN quotas q USING (source)
+)
+SELECT doc_id, source, quota, rk FROM ranked WHERE rk <= quota
+"""
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·inverse-df.
+
+    Weight = tf × (N+1)/(df+1) — the idf log is omitted deliberately:
+    ranking is what matters and a single correctly-rounded IEEE
+    division (exact int→double inputs) is bit-identical across engines,
+    where ``ln`` implementations may differ in the last ulp.
+
+    Plan: explode(words) → per-(doc,term) count (partial-agged) →
+    per-term df (partial-agged, joined back — term dictionary is far
+    smaller than the corpus) → per-doc top-k window."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    n_docs = d.count()  # control-plane scalar (one tiny job)
+    terms = d.select(
+        "doc_id", F.explode(words_col()).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "score",
+        F.col("tf").cast("double")
+        * (F.lit(float(n_docs + 1)) / (F.col("df").cast("double") + F.lit(1.0))),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({words_sql()}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM terms GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf::DOUBLE * (((SELECT count(*) FROM documents) + 1)::DOUBLE
+                          / (df.df::DOUBLE + 1.0)) AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, score, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sample_stratified": sample_stratified,
+    "dataset_mixture": dataset_mixture,
+    "tfidf_top_terms": tfidf_top_terms,
+}
+
+ORACLES: dict[str, str] = {
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "dataset_mixture": DATASET_MIXTURE_SQL,
+    "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+}

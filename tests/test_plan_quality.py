@@ -87,6 +87,20 @@ def test_ann_broadcasts_queries_no_corpus_shuffle(spark):
     assert n_shuffle_exchanges(plan) <= 1, plan
 
 
+def test_sample_stratified_is_map_only(spark):
+    from argus_spark.datapipe.sampling import sample_stratified
+
+    plan = formatted_plan(sample_stratified(spark, SF_SMOKE))
+    assert n_shuffle_exchanges(plan) == 0, plan
+
+
+def test_tfidf_partial_aggregates(spark):
+    from argus_spark.datapipe.sampling import tfidf_top_terms
+
+    plan = formatted_plan(tfidf_top_terms(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+
+
 def test_ann_ivf_corpus_never_shuffles_for_assignment(spark):
     from argus_spark.datapipe.similarity import ann_ivf_topk
 
