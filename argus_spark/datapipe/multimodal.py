@@ -144,10 +144,114 @@ FROM documents
 """
 
 
+RESIZE_MAX_SIDE = 128
+
+_RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, r_width long, r_height long, "
+    "n_payload long"
+)
+
+
+def resize_dims(w: int, h: int, max_side: int = RESIZE_MAX_SIDE) -> tuple[int, int]:
+    """Integer aspect-preserving downscale (no-op if already small).
+    Pure integer math so the oracle predicts it exactly."""
+    m = max(w, h)
+    if m <= max_side:
+        return w, h
+    return w * max_side // m, h * max_side // m
+
+
+def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for i, b in zip(pdf["doc_id"], pdf["blob"]):
+            fmt, w, h, n_payload = decode_blob_header(b)
+            rw, rh = resize_dims(w, h)
+            rows.append((int(i), w, h, rw, rh, n_payload))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "r_width", "r_height",
+                           "n_payload"]
+        ).astype("int64")
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: blobs → header decode → aspect-preserving
+    downscale to ≤128 px longest side, all inside one ``mapInPandas``
+    pass (a real codec would also re-encode the pixel payload here —
+    that swap touches only ``_resize_batches``, not the plan)."""
+    d = load(spark, sf_dir, "documents", widen=True).select("doc_id", "n_chars", "text")
+    blobs = d.mapInPandas(_encode_batches, schema=_BLOB_SCHEMA)
+    return blobs.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         (16 + n_chars % 240)::BIGINT AS width,
+         (16 + (doc_id * 7) % 240)::BIGINT AS height,
+         strlen(substr(text, 1, 16))::BIGINT AS n_payload
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CASE WHEN greatest(width, height) <= {RESIZE_MAX_SIDE} THEN width
+            ELSE width * {RESIZE_MAX_SIDE} // greatest(width, height) END AS r_width,
+       CASE WHEN greatest(width, height) <= {RESIZE_MAX_SIDE} THEN height
+            ELSE height * {RESIZE_MAX_SIDE} // greatest(width, height) END AS r_height,
+       n_payload
+FROM m
+"""
+
+
+FRAME_STEP = 7
+
+_FRAMES_SCHEMA = "doc_id long, frame_idx long, n_frames long"
+
+
+def _frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Cardinality-changing mapInPandas: one input blob → 0..n frame rows
+    # (the exact shape a real video frame sampler needs).
+    for pdf in it:
+        rows = []
+        for i, b in zip(pdf["doc_id"], pdf["blob"]):
+            n_frames = len(b) - HEADER_LEN
+            rows.extend(
+                (int(i), idx, n_frames) for idx in range(0, n_frames, FRAME_STEP)
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "n_frames"], dtype="int64"
+        )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: treat each blob's payload bytes as video
+    frames and emit every ``FRAME_STEP``-th frame index. Demonstrates a
+    row-expanding ``mapInPandas`` over binary input — swap the loop body
+    for a real demuxer (pyav/ffmpeg) when a codec is installed
+    (``sample_video_frames`` stub above)."""
+    d = load(spark, sf_dir, "documents", widen=True).select("doc_id", "n_chars", "text")
+    blobs = d.mapInPandas(_encode_batches, schema=_BLOB_SCHEMA)
+    return blobs.mapInPandas(_frame_sample_batches, schema=_FRAMES_SCHEMA)
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, strlen(substr(text, 1, 16))::BIGINT AS n_frames FROM documents
+)
+SELECT doc_id,
+       unnest(range(0, n_frames, {FRAME_STEP}))::BIGINT AS frame_idx,
+       n_frames
+FROM m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": multimodal_meta,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
     "multimodal_meta": MULTIMODAL_META_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
 }
