@@ -135,3 +135,80 @@ def test_apply_in_pandas_with_state_running_counts(spark, tmp_path):
         if r.total_events >= prev[0]:
             final[r.user_id] = (r.total_events, r.total_value)
     assert final == {1: (3, 7.0), 2: (2, 8.0), 3: (1, 6.0)}, rows
+
+
+def test_streaming_first_wins_dedup_idempotent(spark, tmp_path):
+    """Incremental exact dedup with unbounded lookback: only the first
+    occurrence of a user_id ever reaches the output table, and a full
+    replay (fresh checkpoint over the same feed) appends nothing."""
+    from argus_spark.streaming.dedup import first_wins_dedup_sink
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "deduped")
+    _write_file(feed, 0, [
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 10:01:00", 1, 2.0),   # in-batch dup
+        ("2024-01-01 10:02:00", 2, 3.0),
+    ])
+    _write_file(feed, 1, [
+        ("2024-01-01 10:03:00", 1, 4.0),   # cross-batch dup
+        ("2024-01-01 10:04:00", 3, 5.0),
+    ])
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                first_wins_dedup_sink(spark, out, ["user_id"])
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    got = sorted(
+        (r.user_id, r.value) for r in spark.read.parquet(out).collect()
+    )
+    assert [u for u, _ in got] == [1, 2, 3], got
+    # first occurrence won for user 1 (value 1.0 or 2.0 — in-batch tie
+    # collapses to one row; cross-batch 4.0 must NOT be present)
+    assert dict(got)[1] != 4.0, got
+
+    run("ckpt2")  # full replay, fresh checkpoint
+    n_after = spark.read.parquet(out).count()
+    assert n_after == 3, n_after
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Bounded-lookback dedup: duplicates inside the lateness horizon
+    are dropped, state is watermark-evicted (Spark-native operator)."""
+    from argus_spark.streaming.dedup import dedup_within_watermark
+
+    feed = str(tmp_path / "feed")
+    _write_file(feed, 0, [
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 10:05:00", 1, 2.0),   # dup within horizon
+        ("2024-01-01 10:06:00", 2, 3.0),
+    ])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(feed)
+    deduped = dedup_within_watermark(stream, ["user_id"], "ts", "30 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r.user_id, r.value)
+        for r in spark.sql("SELECT * FROM wm_dedup_sink").collect()
+    )
+    assert rows == [(1, 1.0), (2, 3.0)], rows
