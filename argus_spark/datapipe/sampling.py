@@ -210,14 +210,83 @@ SELECT doc_id, term, tf, df, score, rnk FROM (
 """
 
 
+N_SHARDS = 8
+SEQ_CAPACITY = 512  # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-concatenation packing: place every doc at a (shard,
+    seq_id, offset) in fixed-capacity token sequences — the layout step
+    that turns a filtered corpus into training shards.
+
+    Deterministic end-to-end: shard = hash % N_SHARDS, order within a
+    shard = (hash, doc_id) (hash order ≡ a reproducible global
+    shuffle), position = running sum of preceding docs' token counts,
+    seq_id = position // capacity. Docs may straddle a boundary —
+    downstream concatenation splits there; this operator's contract is
+    the placement, which is the distributed part.
+
+    Scale shape: the only shuffle is hash-partitioning by shard; the
+    running sum is a per-shard window, so parallelism = N_SHARDS (set
+    it to O(cluster cores) in production — there is no global order to
+    maintain, by design)."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    n_tokens = F.size(words_col()).cast("long")
+    h = h64(F.col("doc_id").cast("string"), "pack")
+    base = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        h.alias("h"),
+        (h % F.lit(N_SHARDS)).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        pos.alias("pos"),
+        (pos / F.lit(SEQ_CAPACITY)).cast("long").alias("seq_id"),
+        (pos % F.lit(SEQ_CAPACITY)).alias("offset"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({words_sql()})::BIGINT AS n_tokens,
+         {h64_sql("doc_id::VARCHAR", "pack")} AS h
+  FROM documents
+), pos AS (
+  SELECT doc_id, h % {N_SHARDS} AS shard, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY h % {N_SHARDS}
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS pos
+  FROM base
+)
+SELECT doc_id, shard, n_tokens, pos,
+       pos // {SEQ_CAPACITY} AS seq_id,
+       pos % {SEQ_CAPACITY} AS offset
+FROM pos
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": sample_stratified,
     "dataset_mixture": dataset_mixture,
     "tfidf_top_terms": tfidf_top_terms,
+    "pack_sequences": pack_sequences,
 }
 
 ORACLES: dict[str, str] = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "dataset_mixture": DATASET_MIXTURE_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
 }
