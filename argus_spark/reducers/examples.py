@@ -81,6 +81,11 @@ def make_utxo_reducer(watched: DataFrame):
         # this epoch's created rows (read-your-writes B17 — intra-epoch
         # spends resolve correctly). The epoch's inputs are small →
         # broadcast them and probe the big UTxO side, never the reverse.
+        # 100 TB note: this probe scans the committed table (an old UTxO
+        # is always spendable, so slot pruning can't help); the scale
+        # mitigation is layout, not logic — write wallet_utxos bucketed
+        # by tx_hash (operators/bucketed.py) so the probe prunes to the
+        # buckets the epoch's inputs hash into.
         inputs = txs.select(
             "slot", F.explode("tx.inputs").alias("inp")
         ).select(
@@ -101,6 +106,11 @@ def make_utxo_reducer(watched: DataFrame):
             .select(
                 F.col("u.tx_hash").alias("tx_hash"),
                 F.col("u.tx_index").alias("tx_index"),
+                # address/amount denormalized onto the spend row so the
+                # balance fold is incremental (delta = created − spent
+                # per epoch) without re-joining the full UTxO set
+                F.col("u.address_name").alias("address_name"),
+                F.col("u.amount").alias("amount"),
                 F.col("i.spend_slot").alias("slot"),  # spend slot → rollbackable
             )
         )
@@ -111,32 +121,70 @@ def make_utxo_reducer(watched: DataFrame):
 
 def make_balance_reducer(watched: DataFrame):
     """Per-epoch balance snapshot per watched address (B18 + B23),
-    slot-stamped with the epoch tip so rollback retracts snapshots."""
+    slot-stamped with the epoch tip so rollback retracts snapshots.
+
+    **Incremental fold**: new snapshot = previous snapshot + (created −
+    spent) since the previous snapshot's slot. The delta scan is
+    manifest-pruned to the file-groups above ``prev_slot`` (typically
+    the current epoch only), so per-epoch cost is O(epoch), flat in
+    chain length — where a from-scratch anti-join recompute was
+    O(chain) per epoch, O(chain²) for a sync. Every snapshot row covers
+    every watched address (0-filled), so the previous snapshot is a
+    complete balance vector; lovelace sums are integers, so the
+    incremental fold is exactly the from-scratch result (oracle-checked
+    through rollback/replay in test_lifecycle_e2e). The ``slot >
+    prev_slot`` predicate — not "this epoch's blocks" — also makes
+    mid-epoch rollbacks exact: surviving rows between the last
+    surviving snapshot and the fork are swept into the next delta."""
 
     def _apply(ctx) -> dict[str, DataFrame]:
-        utxos = ctx.table("wallet_utxos")
-        spends = ctx.table("utxo_spends")
-        if utxos is None:
-            return {}
-        unspent = utxos
-        if spends is not None:
-            unspent = utxos.join(
-                spends.select("tx_hash", "tx_index"), ["tx_hash", "tx_index"], "left_anti"
-            )
-        bal = unspent.groupBy("address_name").agg(F.sum("amount").alias("balance"))
         hi = ctx.epoch_range[1]
-        # broadcast the aggregate (right/non-preserved side of the left
-        # outer — the only broadcastable side; ≤ one row per address)
-        snap = (
-            watched.select(F.col("name").alias("address_name"), "address")
-            .join(F.broadcast(bal), "address_name", "left")
-            .select(
-                F.lit("balance_by_address").alias("reducer"),
-                "address_name",
-                "address",
-                F.lit(hi).cast("long").alias("slot"),
-                F.coalesce(F.col("balance"), F.lit(0)).alias("balance"),
+        # control-plane: previous snapshot slot from the manifest alone
+        prev_slot = max(
+            (g.max_slot for g in ctx.store.table_groups("watched_address_balances")),
+            default=-1,
+        )
+        created = ctx.table("wallet_utxos", min_slot=prev_slot + 1)
+        if created is None:
+            return {}
+        spent = ctx.table("utxo_spends", min_slot=prev_slot + 1)
+        plus = (
+            created.filter(F.col("slot") > prev_slot)
+            .groupBy("address_name")
+            .agg(F.sum("amount").alias("plus"))
+        )
+        base = watched.select(F.col("name").alias("address_name"), "address")
+        if prev_slot >= 0:
+            prev = (
+                ctx.store.read_table(ctx.spark, "watched_address_balances", prev_slot)
+                .filter(F.col("slot") == prev_slot)
+                .select("address_name", F.col("balance").alias("prev_balance"))
             )
+            base = base.join(F.broadcast(prev), "address_name", "left")
+        else:
+            base = base.withColumn("prev_balance", F.lit(None).cast("long"))
+        # broadcast the aggregates (right/non-preserved side of the left
+        # outer — the only broadcastable side; ≤ one row per address)
+        merged = base.join(F.broadcast(plus), "address_name", "left")
+        if spent is not None:
+            minus = (
+                spent.filter(F.col("slot") > prev_slot)
+                .groupBy("address_name")
+                .agg(F.sum("amount").alias("minus"))
+            )
+            merged = merged.join(F.broadcast(minus), "address_name", "left")
+        else:
+            merged = merged.withColumn("minus", F.lit(None).cast("long"))
+        snap = merged.select(
+            F.lit("balance_by_address").alias("reducer"),
+            "address_name",
+            "address",
+            F.lit(hi).cast("long").alias("slot"),
+            (
+                F.coalesce(F.col("prev_balance"), F.lit(0))
+                + F.coalesce(F.col("plus"), F.lit(0))
+                - F.coalesce(F.col("minus"), F.lit(0))
+            ).alias("balance"),
         )
         return {"watched_address_balances": snap}
 

@@ -52,8 +52,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_quality",
     "doc_fingerprint",
+    "sample_stratified",
+    "pack_sequences",
 ]
 
 
