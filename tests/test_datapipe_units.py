@@ -54,3 +54,23 @@ def test_lsh_planes_deterministic():
 def test_fingerprint_arithmetic_bounds():
     # every intermediate stays inside int64: acc*mult + h < 2^63
     assert (FP_MOD - 1) * FP_MULT + (FP_WORD_MOD - 1) < 2**63
+
+
+def test_sampling_deterministic_under_repartitioning(spark):
+    """The docstring property that matters at 100 TB: hash-driven
+    sampling and packing decisions are pure functions of the row, so
+    results are identical no matter how the input is partitioned."""
+    from argus_spark.datapipe.sampling import pack_sequences, sample_stratified
+    from tests.conftest import SF_SMOKE
+
+    for fn in (sample_stratified, pack_sequences):
+        base = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+        parts = sorted(
+            map(
+                tuple,
+                fn(spark, SF_SMOKE)
+                .repartition(7)
+                .collect(),
+            )
+        )
+        assert base == parts, fn.__name__
