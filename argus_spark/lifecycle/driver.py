@@ -125,9 +125,13 @@ class IndexDriver:
         window_k: int = DEFAULT_WINDOW,
         max_rollback_slots: int = DEFAULT_MAX_ROLLBACK_SLOTS,
         telemetry=None,  # optional lifecycle.telemetry.Telemetry (A21)
+        compact_every: int | None = None,  # epochs between maintenance passes
+        compact_min_groups: int = 8,  # only touch tables fragmented past this
     ) -> None:
         self.spark = spark
         self.registry = registry
+        self.compact_every = compact_every
+        self.compact_min_groups = compact_min_groups
         self.store = store
         self.blocks_df = blocks_df
         self.batch_size = batch_size
@@ -315,11 +319,29 @@ class IndexDriver:
                 self.telemetry.record_epoch(
                     manifest["id"], lo, hi, n_blocks, epoch_times
                 )
+            if self.compact_every and self.stats.epochs % self.compact_every == 0:
+                self._maintain()
         finally:
             for df in cached_out:
                 df.unpersist()
             if n_blocks > 1:
                 blocks.unpersist()
+
+    def _maintain(self) -> None:
+        """Scheduled maintenance: frozen-zone compaction + vacuum.
+        Only file-groups wholly below the rollback horizon (tip −
+        max_rollback_slots) are merged, so retraction cost stays
+        O(reorg depth) while read amplification and file fan-out stay
+        bounded in chain length — the Delta/Iceberg OPTIMIZE analogue,
+        commit-atomic via the same manifest rename."""
+        tip = max((self._resume[r.name] for r in self._order), default=-1)
+        horizon = tip - self.max_rollback_slots
+        if horizon <= 0:
+            return
+        for tbl in list(self.store.current_manifest()["tables"]):
+            if len(self.store.table_groups(tbl)) >= self.compact_min_groups:
+                self.store.compact(self.spark, tbl, upto_slot=horizon)
+        self.store.vacuum()
 
     def _state_rows(self) -> dict[str, ReducerStateRow]:
         existing = self.store.reducer_states()

@@ -313,35 +313,63 @@ class ParquetStateStore:
             out[name] = kept
         return out
 
-    def compact(self, spark: SparkSession, name: str) -> dict:
-        """Rewrite a table's file-groups into one resolved group —
-        bounds merge-on-read amplification for keyed tables and group
-        fan-out for append tables. Publishes a new manifest; old groups
-        become vacuum-able garbage. At 100 TB this is the periodic
-        compaction job (per slot-range partition, not whole-table)."""
+    def compact(
+        self, spark: SparkSession, name: str, upto_slot: int | None = None
+    ) -> dict:
+        """Bound read amplification (keyed tables) and group fan-out
+        (append tables) by merging file-groups. Publishes a new
+        manifest; old groups become vacuum-able garbage.
+
+        ``upto_slot=None`` — full compaction: rewrite the whole table as
+        one *resolved* group (latest-per-key for keyed tables).
+
+        ``upto_slot=X`` — frozen-zone compaction, the form the driver
+        schedules: merge only groups wholly at or below ``X`` (the
+        rollback horizon, tip − max_rollback_slots) into one group by
+        RAW file concatenation — per-row ``_v`` stamps are preserved, so
+        merge-on-read semantics are untouched, and groups above the
+        horizon keep their boundaries, so retraction cost stays
+        O(reorg depth). At 100 TB this runs per slot-range partition,
+        not whole-table."""
         from pyspark.sql import functions as F
 
-        groups = self.table_groups(name)
-        if not groups:
-            return self.current_manifest()
-        resolved = self.read_table(spark, name)
         manifest = self.current_manifest()
         version = manifest["id"] + 1
-        keys = manifest.get("keyed_tables", {}).get(name)
-        if keys:
-            resolved = resolved.withColumn("_v", F.lit(version))
-        lo = min(g.min_slot for g in groups)
-        hi = max(g.max_slot for g in groups)
-        group = self._write_group(name, resolved, lo, hi)
+        groups = self.table_groups(name)
+        if upto_slot is not None:
+            frozen = [g for g in groups if g.max_slot <= upto_slot]
+            live = [g for g in groups if g.max_slot > upto_slot]
+            if len(frozen) < 2:
+                return manifest
+            raw = spark.read.parquet(
+                *[os.path.join(self.root, g.path) for g in frozen]
+            )
+            lo = min(g.min_slot for g in frozen)
+            hi = max(g.max_slot for g in frozen)
+            group = self._write_group(name, raw, lo, hi)
+            merged = ([group.as_dict()] if group else []) + [
+                g.as_dict() for g in live
+            ]
+        else:
+            if not groups:
+                return manifest
+            resolved = self.read_table(spark, name)
+            keys = manifest.get("keyed_tables", {}).get(name)
+            if keys:
+                resolved = resolved.withColumn("_v", F.lit(version))
+            lo = min(g.min_slot for g in groups)
+            hi = max(g.max_slot for g in groups)
+            group = self._write_group(name, resolved, lo, hi)
+            merged = [group.as_dict()] if group else []
         tables = {k: list(v) for k, v in manifest["tables"].items()}
-        tables[name] = [group.as_dict()] if group else []
+        tables[name] = merged
         new_manifest = {
             "id": version,
             "ts": time.time(),
             "tables": tables,
             "keyed_tables": dict(manifest.get("keyed_tables", {})),
             "reducer_states": dict(manifest["reducer_states"]),
-            "meta": {"compacted": name},
+            "meta": {"compacted": name, "upto_slot": upto_slot},
         }
         self._publish(new_manifest)
         return new_manifest

@@ -211,3 +211,48 @@ def test_empty_epoch_defers_commit(spark, chain, tmp_path):
     # checkpoint still advanced to the tip of what was fed
     states = store.reducer_states()
     assert states["noop"].window()[0].slot == slots[199]
+
+
+def test_auto_compaction_preserves_results_and_bounds_groups(spark, chain, tmp_path):
+    """Scheduled frozen-zone compaction + vacuum: group fan-out stays
+    bounded in epoch count, results stay exact, and a rollback within
+    the buffer still works after old groups merged (the horizon rule —
+    only groups wholly below tip − max_rollback_slots are touched)."""
+    blocks, watched, slots = chain
+    span = slots[-1] - slots[0]
+    buffer = span // 4  # last quarter of the chain stays uncompacted
+    store = ParquetStateStore(str(tmp_path / "store"))
+    reg = build_example_registry(spark, watched)
+    d = IndexDriver(
+        spark, reg, store, blocks,
+        batch_size=max(1, len(slots) // 12), max_delay_s=1e9,
+        max_rollback_slots=buffer,
+        compact_every=3, compact_min_groups=3,
+    )
+    stats = d.run(fwd(slots))
+    assert stats.epochs >= 10
+    # fan-out bounded: far fewer groups than epochs for every table
+    for tbl in ("block_tests", "wallet_utxos", "watched_address_balances"):
+        n_groups = len(store.table_groups(tbl))
+        assert n_groups < stats.epochs // 2, (tbl, n_groups, stats.epochs)
+    assert driver_balances(spark, store) == expected_balances(spark)
+    assert store.read_table(spark, "block_tests").count() == len(slots)
+
+    # rollback within the buffer is untouched by compaction
+    fork_slot = slots[-1] - buffer // 2
+    d.run([ChainEvent("roll_back", rollback_slot=fork_slot,
+                      rollback_type="exclusive")])
+    surviving = (
+        store.read_table(spark, "watched_address_balances")
+        .agg(F.max("slot").alias("m")).collect()[0]["m"]
+    )
+    assert surviving <= fork_slot
+    got = driver_balances(spark, store)
+    want = expected_balances(spark, upto_slot=surviving,
+                             unspend_from=surviving + 1)
+    assert got == want
+    # replay the fork → converge to tip again
+    d2 = IndexDriver(spark, reg, store, blocks, batch_size=200,
+                     max_delay_s=1e9, max_rollback_slots=10**12)
+    d2.run(fwd([s for s in slots if s > fork_slot]))
+    assert driver_balances(spark, store) == expected_balances(spark)
