@@ -111,3 +111,85 @@ def test_random_reorg_scripts_match_model(spark, chain, data, batch_size):
         if pos > 0:
             assert st_row is not None
             assert st_row.resume_slot >= slots[pos - 1]
+
+
+@given(data=st.data(), batch_size=st.sampled_from([2, 5]))
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_reorg_scripts_balance_fold_matches_oracle(
+    spark, chain, data, batch_size
+):
+    """The incremental balance fold (prev snapshot + created−spent
+    delta) must equal the stateless anti-join recompute after ANY
+    interleaving of advances and reorgs — mid-epoch forks, repeated
+    rollbacks, every batch boundary."""
+    from pyspark.sql import functions as F
+
+    from argus_spark.chain.synth import synth_inputs, synth_outputs, synth_watched
+    from argus_spark.reducers.examples import build_example_registry, current_balances
+
+    blocks, slots = chain
+    watched = synth_watched(spark, SF_SMOKE)
+    ops = _script(data.draw)
+
+    events: list[ChainEvent] = []
+    pos = 0
+    for op in ops:
+        if op[0] == "advance":
+            k = op[1]
+            for s in slots[pos : pos + k]:
+                events.append(ChainEvent("roll_forward", block_slot=s))
+            pos += k
+        else:
+            _, d, typ = op
+            pos -= d
+            rb_slot = slots[pos] if typ == "inclusive" else (
+                slots[pos - 1] if pos > 0 else -1
+            )
+            events.append(
+                ChainEvent("roll_back", rollback_slot=rb_slot, rollback_type=typ)
+            )
+
+    with tempfile.TemporaryDirectory() as td:
+        store = ParquetStateStore(os.path.join(td, "store"))
+        reg = build_example_registry(spark, watched)
+        driver = IndexDriver(
+            spark, reg, store, blocks,
+            batch_size=batch_size, window_k=5, max_rollback_slots=10**12,
+        )
+        driver.run(events)
+
+        snaps = store.read_table(spark, "watched_address_balances")
+        if snaps is None:
+            # every epoch tip was above the final fork → no snapshot
+            # survives; nothing to compare (block-table equality is the
+            # other property test's job)
+            return
+        surviving = snaps.agg(F.max("slot").alias("m")).collect()[0]["m"]
+        got = {
+            r["address_name"]: r["balance"]
+            for r in current_balances(spark, store).collect()
+        }
+        # stateless oracle at the surviving snapshot slot
+        out = synth_outputs(spark, SF_SMOKE).filter(F.col("slot") <= surviving)
+        inp = synth_inputs(spark, SF_SMOKE).filter(F.col("spend_slot") <= surviving)
+        unspent = out.join(
+            inp,
+            (out.tx_hash == inp.tx_id) & (out.tx_index == inp.idx),
+            "left_anti",
+        )
+        bal = unspent.groupBy("address_name").agg(F.sum("amount").alias("balance"))
+        want = {
+            r["address_name"]: r["balance"]
+            for r in F.broadcast(watched)
+            .join(bal, watched.name == bal.address_name, "left")
+            .select(
+                F.col("name").alias("address_name"),
+                F.coalesce(F.col("balance"), F.lit(0)).alias("balance"),
+            )
+            .collect()
+        }
+        assert got == want, (ops, batch_size, surviving)
