@@ -188,7 +188,9 @@ SELECT q_id, n_id, rnk, cos_sim FROM (
 """
 
 
-CENTROID_STRIDE = 25   # nlist = n/25 deterministic sample (vec_id % 25 == 0)
+# nlist = n/50 deterministic sample (vec_id % 50 == 0) — ≈ sqrt(n) at
+# the bench scales, the standard IVF codebook sizing
+CENTROID_STRIDE = 50
 NPROBE = 2
 IVF_TOP_K = 3
 
