@@ -210,11 +210,142 @@ FROM w
 """
 
 
+# Eval-set decontamination: n-gram size and the deterministic stand-in
+# benchmark sample (every 50th doc plays the held-out eval set).
+DECON_N = 8
+BENCH_STRIDE = 50
+
+
+def _gram_hashes(ws: F.Column, width: int, seed: str) -> F.Column:
+    """Hashes of all ``width``-word shingles of a word array — empty
+    when the doc is shorter than one shingle (NB: a bare
+    ``sequence(1, n-k)`` would run DESCENDING for short docs, Spark
+    auto-reverses; the ``when`` guard is load-bearing)."""
+    n = F.size(ws)
+    return F.when(
+        n >= F.lit(width),
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(width - 1)),
+            lambda i: h64(F.concat_ws(" ", F.slice(ws, i, width)), seed),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training/eval decontamination: flag corpus docs sharing any
+    8-word shingle with the benchmark set (docs ``doc_id % 50 == 0``
+    stand in for the eval suite). Returns contaminated non-benchmark
+    docs with their distinct-hit counts — the rows a pipeline would
+    drop or audit before training.
+
+    Plan: benchmark shingle hashes are DISTINCT'd then broadcast (an
+    eval suite is tiny next to a corpus), so the corpus side is one
+    scan → explode → broadcast semi-probe → per-doc count; the only
+    wide shuffle is the final per-doc aggregation, partial-agged."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    ws = words_col()
+    grams = d.select(
+        "doc_id", F.explode(_gram_hashes(ws, DECON_N, "decon")).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_STRIDE == 0)
+        .select("g")
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % BENCH_STRIDE != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+
+
+def _grams_sql(width: int, seed: str) -> str:
+    """DuckDB twin of ``_gram_hashes``: range(1, n-k+1) is empty when
+    n < width (half-open upper bound), matching the Spark guard."""
+    shingle = f"array_to_string(list_slice(ws, i, i + {width - 1}), ' ')"
+    return (
+        f"list_transform(range(1, greatest(len(ws) - {width - 1}, 0) + 1), "
+        f"i -> {h64_sql(shingle, seed)})"
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {words_sql()} AS ws FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_grams_sql(DECON_N, 'decon')}) AS g
+  FROM w
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_STRIDE} = 0
+)
+SELECT doc_id, count(DISTINCT g)::BIGINT AS n_hits
+FROM grams
+WHERE doc_id % {BENCH_STRIDE} <> 0
+  AND g IN (SELECT g FROM bench)
+GROUP BY doc_id
+"""
+
+REP_N = 3  # repetition shingle size
+REP_TAU = 0.2
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of a doc's 3-word
+    shingles taken by its single most-repeated shingle; ``repetitive``
+    flags ratio > 0.2. Degenerate docs (< one shingle) are excluded
+    (no signal). One explode → per-(doc,gram) partial-agged count →
+    per-doc max/sum — all shuffles partial-aggregate first."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    ws = words_col()
+    grams = d.select(
+        "doc_id", F.explode(_gram_hashes(ws, REP_N, "rep")).alias("g")
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max("c").alias("max_rep"),
+        F.sum("c").alias("n_grams"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "max_rep",
+        "n_grams",
+        (F.col("max_rep").cast("double") / F.col("n_grams").cast("double")).alias(
+            "rep_ratio"
+        ),
+        (
+            F.col("max_rep").cast("double") / F.col("n_grams").cast("double")
+            > F.lit(REP_TAU)
+        ).alias("repetitive"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {words_sql()} AS ws FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_grams_sql(REP_N, 'rep')}) AS g
+  FROM w
+), per_gram AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c FROM grams GROUP BY doc_id, g
+), per_doc AS (
+  SELECT doc_id, max(c)::BIGINT AS max_rep, sum(c)::BIGINT AS n_grams
+  FROM per_gram GROUP BY doc_id
+)
+SELECT doc_id, max_rep, n_grams,
+       max_rep::DOUBLE / n_grams::DOUBLE AS rep_ratio,
+       (max_rep::DOUBLE / n_grams::DOUBLE > {REP_TAU}) AS repetitive
+FROM per_doc
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "lang_id_ngram": lang_id_ngram,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "repetition_ratio": repetition_ratio,
 }
 
 ORACLES: dict[str, str] = {
@@ -222,4 +353,6 @@ ORACLES: dict[str, str] = {
     "lang_id_ngram": LANG_ID_NGRAM_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "decontaminate_ngram_overlap": DECONTAMINATE_SQL,
+    "repetition_ratio": REPETITION_SQL,
 }
