@@ -339,7 +339,50 @@ FROM per_doc
 """
 
 
+# Cleaning patterns — ASCII-only classes so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+WS_RE = r"[ \t]+"
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard pre-training cleanup: lowercase, URL/email scrub
+    (placeholder tokens keep token positions auditable), whitespace
+    collapse + trim. Pure map-side regexp chain — one scan, no
+    shuffle, whole-stage codegen."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    t = F.lower(F.col("text"))
+    t = F.regexp_replace(t, URL_RE, "<url>")
+    t = F.regexp_replace(t, EMAIL_RE, "<email>")
+    t = F.trim(F.regexp_replace(t, WS_RE, " "))
+    return d.select(
+        "doc_id",
+        t.alias("clean_text"),
+        F.length(t).alias("clean_chars"),
+        (F.length(t) < F.col("n_chars")).alias("shrunk"),
+    )
+
+
+TEXT_NORMALIZE_SQL = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(text), '{URL_RE}', '<url>', 'g'),
+             '{EMAIL_RE}', '<email>', 'g'),
+           '{WS_RE}', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       length(clean_text)::BIGINT AS clean_chars,
+       (length(clean_text) < n_chars) AS shrunk
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_normalize": text_normalize,
     "text_quality": text_quality,
     "lang_id_ngram": lang_id_ngram,
     "token_count": token_count,
@@ -349,6 +392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "text_normalize": TEXT_NORMALIZE_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id_ngram": LANG_ID_NGRAM_SQL,
     "token_count": TOKEN_COUNT_SQL,
