@@ -90,3 +90,43 @@ def load(spark: SparkSession, sf_dir: str, name: str, widen: bool = False):
         if df.rdd.getNumPartitions() < max(2, par // 2):
             df = df.repartition(par)
     return df
+
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_sql_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """SQL entry point: publish every testdata table plus the derived
+    chain views (``blocks``/``outputs``/``inputs``/``watched``) as temp
+    views, so the whole surface is directly queryable via
+    ``spark.sql(...)`` — a capability the reference lacks by design
+    (its API is code-first; SURVEY §2 "no SQL string entry point") but
+    Spark provides for free once the catalog is populated. Returns the
+    registered view names.
+
+    Views are lazy plans — registration costs nothing; Catalyst prunes
+    and pushes down through them exactly as through the DataFrame API.
+    """
+    from argus_spark.chain.synth import (
+        synth_blocks,
+        synth_inputs,
+        synth_outputs,
+        synth_watched,
+    )
+
+    names = []
+    for t in TESTDATA_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+        names.append(t)
+    for name, fn in (
+        ("blocks", synth_blocks),
+        ("outputs", synth_outputs),
+        ("inputs", synth_inputs),
+        ("watched", synth_watched),
+    ):
+        fn(spark, sf_dir).createOrReplaceTempView(name)
+        names.append(name)
+    return names

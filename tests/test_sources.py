@@ -52,3 +52,33 @@ def test_binary_fixture_ingest(spark, tmp_path):
     # nested payload survives the decode
     n_tx = decoded.select(F.explode("txs").alias("tx")).count()
     assert n_tx == src.select(F.explode("txs")).count()
+
+
+def test_register_sql_views_full_surface(spark):
+    """SQL entry point: every testdata table + derived chain view is
+    queryable via spark.sql, and a representative query through the
+    views matches the DataFrame-API result."""
+    from pyspark.sql import functions as F
+
+    from argus_spark.chain.synth import synth_outputs
+    from argus_spark.session import register_sql_views
+    from tests.conftest import SF_SMOKE
+
+    names = register_sql_views(spark, SF_SMOKE)
+    assert set(names) >= {"lineitem", "events", "blocks", "outputs", "watched"}
+    for n in names:
+        assert spark.sql(f"SELECT * FROM {n} LIMIT 1").count() >= 0
+    got = spark.sql(
+        "SELECT address_name, sum(amount) AS total FROM outputs "
+        "GROUP BY address_name ORDER BY address_name"
+    ).collect()
+    want = (
+        synth_outputs(spark, SF_SMOKE)
+        .groupBy("address_name")
+        .agg(F.sum("amount").alias("total"))
+        .orderBy("address_name")
+        .collect()
+    )
+    assert got == want
+    # events view is timestamp-normalized (the nanosAsLong gotcha)
+    assert dict(spark.sql("SELECT ts FROM events").dtypes)["ts"] == "timestamp"
