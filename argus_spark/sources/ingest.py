@@ -31,39 +31,57 @@ CACHE_ROOT = os.environ.get(
 )
 
 
-def _dest(sf_dir: str) -> str:
+def _dest(sf_dir: str, table: str = "blocks") -> str:
     key = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    return os.path.join(CACHE_ROOT, "blocks", key)
+    return os.path.join(CACHE_ROOT, table, key)
 
 
-def ingest_blocks(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
-    """Build-and-publish the nested blocks table for ``sf_dir``; returns
-    the materialized path. Idempotent; safe under concurrent callers."""
-    dest = _dest(sf_dir)
-    if os.path.isdir(dest) and not force:
-        return dest
-    from argus_spark.chain.synth import synth_blocks
-
+def _publish(df: DataFrame, dest: str, order_col: str) -> None:
+    """Crash-safe materialization: range-partition by the slot column
+    (file-level pruning for slot predicates), build into a temp
+    sibling, atomic rename into place."""
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     tmp = f"{dest}.build-{uuid.uuid4().hex}"
     try:
-        # Range-partition by slot: rollback (slot >= X) and epoch reads
-        # (slot BETWEEN lo AND hi) prune whole files via parquet min/max.
         (
-            synth_blocks(spark, sf_dir)
-            .repartitionByRange(32, "slot")
-            .sortWithinPartitions("slot")
+            df.repartitionByRange(32, order_col)
+            .sortWithinPartitions(order_col)
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        if force and os.path.isdir(dest):
-            shutil.rmtree(dest, ignore_errors=True)
         os.rename(tmp, dest)
     except OSError:
         if not os.path.isdir(dest):  # lost a benign publish race → reread
             raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ingest_blocks(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Build-and-publish the nested blocks table for ``sf_dir`` plus the
+    flat ``outputs``/``inputs`` silver views; returns the blocks path.
+    Idempotent; safe under concurrent callers. Materializing the flat
+    views too is the medallion-layer call: the hot UTxO queries start
+    from a columnar flat scan (with pushdown on slot/address) instead
+    of re-exploding the nested table on every query."""
+    dest = _dest(sf_dir)
+    if not os.path.isdir(dest) or force:
+        from argus_spark.chain.synth import synth_blocks
+
+        if force and os.path.isdir(dest):
+            shutil.rmtree(dest, ignore_errors=True)
+        # Range-partition by slot: rollback (slot >= X) and epoch reads
+        # (slot BETWEEN lo AND hi) prune whole files via parquet min/max.
+        _publish(synth_blocks(spark, sf_dir), dest, "slot")
+    for name, lineage, order_col in (
+        ("outputs", _outputs_lineage, "slot"),
+        ("inputs", _inputs_lineage, "spend_slot"),
+    ):
+        d2 = _dest(sf_dir, name)
+        if not os.path.isdir(d2) or force:
+            if force and os.path.isdir(d2):
+                shutil.rmtree(d2, ignore_errors=True)
+            _publish(lineage(spark, sf_dir), d2, order_col)
     return dest
 
 
@@ -78,12 +96,11 @@ def block_count(spark: SparkSession, sf_dir: str) -> int:
     return blocks_table(spark, sf_dir).count()
 
 
-def outputs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flat created-outputs view from the materialized nested table —
-    row-identical to ``chain.synth.synth_outputs`` (the outputs array is
-    ordinal-sorted at build, so the array position IS tx_index) but a
-    scan + explode instead of a window shuffle over lineitem."""
-    b = blocks_table(spark, sf_dir)
+def _outputs_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat created-outputs lineage (explode of the materialized nested
+    table; reads the parquet path directly — must not recurse back
+    through ``ingest_blocks``)."""
+    b = spark.read.parquet(_dest(sf_dir))
     tx = b.select("slot", F.explode("txs").alias("tx"))
     return tx.select(
         F.col("tx.tx_hash").alias("tx_hash"),
@@ -102,12 +119,10 @@ def outputs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def inputs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flat spend-refs view from the materialized nested table — the
-    inputs array of the *spending* block, so spend_slot = block slot;
-    row-identical to ``chain.synth.synth_inputs`` (inputs only exist at
-    block slots by construction)."""
-    b = blocks_table(spark, sf_dir)
+def _inputs_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat spend-refs lineage — the inputs array of the *spending*
+    block, so spend_slot = block slot."""
+    b = spark.read.parquet(_dest(sf_dir))
     tx = b.select("slot", F.explode("txs").alias("tx"))
     return tx.select(
         F.explode("tx.inputs").alias("inp"), F.col("slot").alias("spend_slot")
@@ -116,6 +131,24 @@ def inputs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inp.index").alias("idx"),
         "spend_slot",
     )
+
+
+def outputs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat created-outputs view, materialized on first use (silver
+    layer) — row-identical to ``chain.synth.synth_outputs`` (the
+    outputs array is ordinal-sorted at build, so the array position IS
+    tx_index). Queries scan flat columnar parquet with pushdown on
+    (slot, address, …) instead of re-exploding the nested table."""
+    ingest_blocks(spark, sf_dir)
+    return spark.read.parquet(_dest(sf_dir, "outputs"))
+
+
+def inputs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat spend-refs view, materialized on first use — row-identical
+    to ``chain.synth.synth_inputs`` (inputs only exist at block slots by
+    construction)."""
+    ingest_blocks(spark, sf_dir)
+    return spark.read.parquet(_dest(sf_dir, "inputs"))
 
 
 def first_n_blocks(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
