@@ -27,13 +27,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def _modules():
     from argus_spark.operators import relational, skew, temporal, utxo
 
-    mods = [relational, skew, temporal, utxo]
+    # Datapipe first: the round-1 correctness run walked registry order
+    # under a wall-clock budget and never reached the datapipe tail, so
+    # the queries with no CORRECTNESS row yet now register ahead of the
+    # already-green relational block.
+    mods = []
     try:
         from argus_spark.datapipe import registry as dp_registry
 
         mods.append(dp_registry)
     except ImportError:
         pass
+    mods.extend([relational, skew, temporal, utxo])
     return mods
 
 

@@ -9,7 +9,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from argus_spark.datapipe import dedup, multimodal, sampling, similarity, text
 
-_MODULES = [dedup, similarity, text, multimodal, sampling]
+# Ordered so the queries the round-1 correctness run never reached
+# (text/sampling/similarity/multimodal, then dedup's clusters/cosine)
+# register ahead of the already-green dedup quartet: the driver walks
+# registry order under a wall-clock budget, so untested entries go first.
+_MODULES = [text, sampling, similarity, multimodal, dedup]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -29,6 +29,7 @@ CardanoIndexWorker.cs:81-84).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -73,18 +74,79 @@ class SingleInstanceLock:
 
     # ---------------- API (mirrors ISingleInstanceLock) ----------------
 
-    def try_acquire(self) -> bool:
-        """One non-blocking attempt (``pg_try_advisory_lock``)."""
-        if self._try_create():
-            return True
-        cur = self._read()
-        if cur is None or cur.get("expires_at", 0) <= time.time():
-            # expired lease — steal (Mongo's expired-lease takeover)
+    def _steal_marker_path(self, cur: dict) -> str:
+        """Marker file naming the SPECIFIC expired lease being stolen.
+        The token binds to the lease's content, so claiming it grants
+        the right to remove that lease and nothing newer."""
+        token = hashlib.sha256(
+            f"{cur.get('owner')}|{cur.get('expires_at')}".encode()
+        ).hexdigest()[:16]
+        return self.path + f".steal-{token}"
+
+    def _steal(self, cur: dict) -> bool:
+        """Atomic expired-lease takeover. A bare unlink+create has a
+        double-steal TOCTOU: two processes that both read the expired
+        lease each unlink+create, and the slower unlink removes the
+        faster one's FRESH lock — two believed holders. Instead, the
+        right to remove lease `cur` is claimed by an O_CREAT|O_EXCL
+        marker keyed to cur's content: exactly one claimer wins, and
+        the unlink it performs can only ever remove the lease it
+        observed (a renewed/fresh lock has a different token and is
+        never claimed by this marker)."""
+        marker = self._steal_marker_path(cur)
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            # another process claimed this steal. If it crashed between
+            # claiming and completing, the marker goes stale — expire it
+            # on lease cadence so the slot cannot deadlock.
+            try:
+                if time.time() - os.path.getmtime(marker) > self.lease_s:
+                    os.unlink(marker)
+            except FileNotFoundError:
+                pass
+            # either way, just race for the (soon-)empty slot
+            return self._try_create()
+        try:
+            # Holding the marker serializes verify+unlink: no other
+            # stealer can proceed (needs this marker), slot-racers need
+            # the slot empty, and an expired lease cannot be renewed
+            # (renew() raises). Re-verify the on-disk lease is STILL the
+            # one we observed — if a completed steal already replaced it
+            # with a fresh lease (our read was stale), we must not touch
+            # the slot.
+            live = self._read()
+            if live is not None and (
+                live.get("owner") != cur.get("owner")
+                or live.get("expires_at") != cur.get("expires_at")
+            ):
+                return self._try_create()
             try:
                 os.unlink(self.path)
             except FileNotFoundError:
                 pass
             return self._try_create()
+        finally:
+            try:
+                os.unlink(marker)
+            except FileNotFoundError:
+                pass
+
+    def try_acquire(self) -> bool:
+        """One non-blocking attempt (``pg_try_advisory_lock``)."""
+        if self._try_create():
+            return True
+        cur = self._read()
+        if cur is None:
+            # unreadable/corrupt lease (or vanished between create and
+            # read) — steal under the marker protocol with an empty
+            # observation; re-verify inside _steal keeps it safe if a
+            # valid fresh lease appears meanwhile.
+            return self._steal({})
+        if cur.get("expires_at", 0) <= time.time():
+            # expired lease — steal (Mongo's expired-lease takeover)
+            return self._steal(cur)
         return cur.get("owner") == self.owner
 
     def wait_for_acquisition(

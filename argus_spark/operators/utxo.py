@@ -123,10 +123,10 @@ WATCHED_BALANCES_SQL = (
     CHAIN_SQL_CTES
     + """
 SELECT w.name AS address_name, w.address,
-       COALESCE(b.balance, 0) AS balance
+       CAST(COALESCE(b.balance, 0) AS BIGINT) AS balance
 FROM watched w
 LEFT JOIN (
-    SELECT o.address_name, sum(o.amount) AS balance
+    SELECT o.address_name, CAST(sum(o.amount) AS BIGINT) AS balance
     FROM outputs o
     WHERE NOT EXISTS (SELECT 1 FROM inputs i
                       WHERE o.tx_hash = i.tx_id AND o.tx_index = i.idx)
@@ -172,10 +172,10 @@ BALANCES_AFTER_ROLLBACK_SQL = (
     CHAIN_SQL_CTES
     + """
 , x AS (SELECT CAST(floor(max(slot) / 2) AS BIGINT) AS x FROM outputs)
-SELECT w.name AS address_name, COALESCE(b.balance, 0) AS balance
+SELECT w.name AS address_name, CAST(COALESCE(b.balance, 0) AS BIGINT) AS balance
 FROM watched w
 LEFT JOIN (
-    SELECT o.address_name, sum(o.amount) AS balance
+    SELECT o.address_name, CAST(sum(o.amount) AS BIGINT) AS balance
     FROM outputs o, x
     WHERE o.slot < x.x
       AND NOT EXISTS (SELECT 1 FROM inputs i, x x2
@@ -216,7 +216,7 @@ TX_FLATTEN_SQL = (
 SELECT o.slot, 0 AS tx_pos, o.tx_hash,
        COALESCE(i.n_inputs, 0) AS n_inputs,
        CAST(count(*) AS INT) AS n_outputs,
-       sum(o.amount) AS total_out
+       CAST(sum(o.amount) AS BIGINT) AS total_out
 FROM outputs o
 LEFT JOIN (SELECT spend_slot, CAST(count(*) AS INT) AS n_inputs
            FROM inputs GROUP BY spend_slot) i

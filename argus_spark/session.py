@@ -80,6 +80,28 @@ def load(spark: SparkSession, sf_dir: str, name: str, widen: bool = False):
     and must not pay it. On a real many-file layout (the 100 TB case)
     scan parallelism >= cores and this is a no-op either way.
     """
+    # The driver contract hands us ITS session (not get_spark()'s), so the
+    # nanos-as-long conf set at build time may be absent there. It is
+    # runtime-settable; set it defensively before every read so events
+    # (TIMESTAMP(NANOS)) parses on any session.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # locked conf on some managed runtime — reads of nanos fail loudly anyway
+    # Same defensive posture for shuffle width: a foreign session at the
+    # stock 200 shuffle partitions pays ~25x task overhead on local-mode
+    # runs (measured: dedup_ngram_jaccard 14.5s at 200 vs ~1s at cores).
+    # Only retune when the conf is still the Spark DEFAULT — an explicit
+    # user/driver setting is respected. Plan-level only; results are
+    # identical at any width.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -47,32 +47,75 @@ def duck_with_views(con: duckdb.DuckDBPyConnection, sf_dir: str):
 
 
 def _canon(v):
-    """Canonicalize a cell for order-insensitive comparison."""
+    """Canonicalize a cell for order-insensitive comparison.
+
+    Cells come from PANDAS frames (numpy scalars), not fetchall() Python
+    objects — this is deliberate: the driver's correctness gate hashes
+    pandas dataframes, where e.g. DuckDB HUGEINT (un-CAST sum(BIGINT))
+    degrades to float64 and hashes differently from Spark's int64. A
+    str()-over-fetchall mirror masked exactly that class in round 1
+    (VERDICT.md finding #2); hashing what the driver hashes means that
+    drift fails locally first."""
+    import numpy as np
+
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # collapse -0.0 vs 0.0 and tiny representation noise
-        return repr(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(str(_canon(x)) for x in v) + "]"
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        # collapse -0.0 vs 0.0 and tiny representation noise
+        return repr(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    try:
+        import pandas as pd
+
+        if v is pd.NaT:
+            return None
+    except Exception:
+        pass
     return str(v)
+
+
+def _is_null(v):
+    """Pandas-aware null check for scalar cells (arrays are never null
+    here — Spark/DuckDB return them as list/ndarray)."""
+    import numpy as np
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return False
+    import pandas as pd
+
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return v is None
 
 
 def compare_frames(spark_df, duck_rel, name: str, float_tol: float | None = None):
     """Driver-style compare: row count, column names, sorted-value
     equality. Columns sorted by name (the driver sorts before hashing),
-    rows sorted by their full canonical tuple."""
+    rows sorted by their full canonical tuple. Both sides are fetched as
+    PANDAS frames to reproduce the driver's type coercions (see _canon)."""
     sp_cols = sorted(spark_df.columns)
     du_cols_raw = [c[0] for c in duck_rel.description]
     du_cols = sorted(du_cols_raw)
     assert sp_cols == du_cols, f"{name}: columns {sp_cols} != {du_cols}"
-    du_order = [du_cols_raw.index(c) for c in du_cols]
 
-    sp_rows = [tuple(_canon(r[c]) for c in sp_cols) for r in spark_df.collect()]
+    sp_pdf = spark_df.toPandas()[sp_cols]
+    du_pdf = duck_rel.df()[du_cols]
+    sp_rows = [
+        tuple(None if _is_null(v) else _canon(v) for v in row)
+        for row in sp_pdf.itertuples(index=False, name=None)
+    ]
     du_rows = [
-        tuple(_canon(row[i]) for i in du_order) for row in duck_rel.fetchall()
+        tuple(None if _is_null(v) else _canon(v) for v in row)
+        for row in du_pdf.itertuples(index=False, name=None)
     ]
     assert len(sp_rows) == len(du_rows), (
         f"{name}: row count {len(sp_rows)} != {len(du_rows)}"

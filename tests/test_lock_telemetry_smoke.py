@@ -88,6 +88,57 @@ class TestSingleInstanceLock:
         assert a.try_acquire()
         assert json.load(open(path))["owner"] == a.owner
 
+    def test_double_steal_single_winner(self, tmp_path):
+        """The TOCTOU the marker protocol closes: two processes both
+        observe the same expired lease and both try to steal. Exactly
+        one may end up holding; the loser must NOT unlink the winner's
+        fresh lock."""
+        dead = SingleInstanceLock(str(tmp_path), lease_s=0.01)
+        dead.try_acquire()
+        time.sleep(0.05)
+        a = SingleInstanceLock(str(tmp_path), lease_s=30)
+        b = SingleInstanceLock(str(tmp_path), lease_s=30)
+        # both read the SAME expired lease before either steals
+        cur_a = a._read()
+        cur_b = b._read()
+        assert a._steal(cur_a)
+        # b's steal attempt runs after a already took over
+        assert not b._steal(cur_b)
+        assert a.held() and not b.held()
+
+    def test_steal_loser_cannot_unlink_fresh_lock(self, tmp_path):
+        """Directly: the slow stealer's unlink path must never remove a
+        fresh lease created after its stale read (the lease content
+        token no longer matches)."""
+        dead = SingleInstanceLock(str(tmp_path), lease_s=0.01)
+        dead.try_acquire()
+        time.sleep(0.05)
+        slow = SingleInstanceLock(str(tmp_path), lease_s=30)
+        stale = slow._read()  # slow observes the expired lease... then stalls
+        fast = SingleInstanceLock(str(tmp_path), lease_s=30)
+        assert fast.try_acquire()  # fast steals and now holds a fresh lease
+        assert not slow._steal(stale)
+        assert fast.held() and not slow.held()
+
+    def test_stale_steal_marker_expires(self, tmp_path):
+        """A claimer that crashed mid-steal leaves its marker behind;
+        after a lease interval the slot must be recoverable."""
+        dead = SingleInstanceLock(str(tmp_path), lease_s=0.01)
+        dead.try_acquire()
+        time.sleep(0.05)
+        a = SingleInstanceLock(str(tmp_path), lease_s=0.1)
+        cur = a._read()
+        marker = a._steal_marker_path(cur)
+        with open(marker, "w"):
+            pass  # simulate a crashed claimer's leftover marker
+        old = time.time() - 1.0
+        os.utime(marker, (old, old))
+        # crashed claimer never unlinked the lease either; expire path:
+        # first attempt clears the stale marker, then the steal succeeds
+        a.try_acquire()
+        assert a.wait_for_acquisition(timeout_s=2.0, poll_s=0.05)
+        assert a.held()
+
 
 class TestAdaptiveDepth:
     """Pins the exact reference table (AdaptivePipelineDepthTest.cs:5-20,
