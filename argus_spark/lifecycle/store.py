@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -87,6 +88,15 @@ class ReducerStateRow:
 class ParquetStateStore:
     def __init__(self, root: str) -> None:
         self.root = root
+        # table -> StructType, learned from our own writes/reads this
+        # process. Passing an explicit schema to spark.read skips the
+        # per-epoch parquet footer sampling job in read_table (measured
+        # ~0.1s per table per epoch on the lifecycle critical path).
+        self._schemas: dict[str, Any] = {}
+        # serializes manifest read→assemble→publish for PIPELINED
+        # commits (several in flight from one driver process); the
+        # cross-process story stays the advisory SingleInstanceLock
+        self._publish_lock = threading.Lock()
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
 
@@ -106,6 +116,11 @@ class ParquetStateStore:
     def _publish(self, manifest: dict) -> None:
         mid = manifest["id"]
         path = os.path.join(self.root, MANIFEST_DIR, f"{mid:012d}.json")
+        if os.path.exists(path):
+            # a lost-update would silently drop the earlier commit's
+            # file-groups; two writers racing one version must fail
+            # loudly instead (single-writer is the contract — A19)
+            raise RuntimeError(f"manifest {mid} already published (lost update?)")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -115,27 +130,56 @@ class ParquetStateStore:
 
     # ---------------- reads ----------------
 
-    def table_groups(self, name: str, min_slot: int | None = None) -> list[FileGroup]:
+    def table_groups(
+        self,
+        name: str,
+        min_slot: int | None = None,
+        manifest: dict | None = None,
+    ) -> list[FileGroup]:
+        if manifest is None:
+            manifest = self.current_manifest()
         groups = [
-            FileGroup.from_dict(g)
-            for g in self.current_manifest()["tables"].get(name, [])
+            FileGroup.from_dict(g) for g in manifest["tables"].get(name, [])
         ]
         if min_slot is not None:
             groups = [g for g in groups if g.max_slot >= min_slot]
         return groups
 
     def read_table(
-        self, spark: SparkSession, name: str, min_slot: int | None = None
+        self,
+        spark: SparkSession,
+        name: str,
+        min_slot: int | None = None,
+        manifest: dict | None = None,
     ) -> DataFrame | None:
         """Snapshot read. ``min_slot`` prunes file-groups by their slot
         range before Spark ever lists them (manifest-level partition
         pruning). Keyed tables (see :meth:`commit` ``upserts``) resolve
-        merge-on-read: latest version per key wins."""
-        groups = self.table_groups(name, min_slot)
+        merge-on-read: latest version per key wins.
+
+        ``manifest`` pins the read to an explicit snapshot (time-travel
+        — the pipelined driver reads every epoch against one frozen
+        manifest so concurrent publishes can't shift committed state
+        mid-epoch). Default: the latest published manifest.
+
+        For a KEYED table, group pruning happens after latest-per-key
+        resolution (as a row filter), never before: a pruned group
+        (max_slot < min_slot) can hold a key's newest ``_v`` while an
+        older version survives in a wide-slot-range group — pre-pruning
+        would resurrect the stale version as "latest"."""
+        if manifest is None:
+            manifest = self.current_manifest()
+        keys = manifest.get("keyed_tables", {}).get(name)
+        groups = self.table_groups(name, None if keys else min_slot, manifest)
         if not groups:
             return None
-        df = spark.read.parquet(*[os.path.join(self.root, g.path) for g in groups])
-        keys = self.current_manifest().get("keyed_tables", {}).get(name)
+        reader = spark.read
+        known = self._schemas.get(name)
+        if known is not None:
+            # learned from our own writes (keyed groups carry _v there,
+            # so it matches the on-disk files either way)
+            reader = reader.schema(known)
+        df = reader.parquet(*[os.path.join(self.root, g.path) for g in groups])
         if keys:
             from pyspark.sql import Window
             from pyspark.sql import functions as F
@@ -146,6 +190,8 @@ class ParquetStateStore:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn", "_v")
             )
+            if min_slot is not None:
+                df = df.filter(F.col("slot") >= min_slot)
         return df
 
     def reducer_states(self) -> dict[str, ReducerStateRow]:
@@ -162,11 +208,40 @@ class ParquetStateStore:
 
     # ---------------- writes ----------------
 
-    def _write_group(self, name: str, df: DataFrame, lo: int, hi: int) -> FileGroup | None:
+    def _write_group(
+        self,
+        name: str,
+        df: DataFrame,
+        lo: int,
+        hi: int,
+        parts: int | None = None,
+        shuffle: bool = False,
+    ) -> FileGroup | None:
         rel = os.path.join(DATA_DIR, name, f"g-{uuid.uuid4().hex}")
         full = os.path.join(self.root, rel)
+        if parts is not None and parts > 0:
+            # Write-width control (driver-sized per epoch, see _flush):
+            # ``coalesce`` for small epochs — free, but it PROPAGATES UP
+            # a narrow lineage, so a compute-heavy epoch would run its
+            # whole explode/join pipeline at the write width (measured
+            # 4x knee-throughput collapse). Large epochs therefore use
+            # ``repartition`` — one small shuffle decouples lineage
+            # parallelism (full) from output width (few files).
+            df = df.repartition(parts) if shuffle else df.coalesce(parts)
         df.write.mode("overwrite").parquet(full)
+        self._schemas[name] = df.schema
         rows = pads.dataset(full, format="parquet").count_rows()
+        if rows == 0:
+            # Verify-retry: concurrent first-materialization of a shared
+            # cached plan under AQE has been observed to transiently
+            # evaluate empty (see IndexDriver.run, which disables AQE
+            # for exactly this reason). An empty write is always
+            # re-verified with one re-execution before being treated as
+            # a genuinely empty output — cheap for true empties (the
+            # plan IS empty), and it converts a silent lost-epoch into
+            # a correct write for any residual race.
+            df.write.mode("overwrite").parquet(full)
+            rows = pads.dataset(full, format="parquet").count_rows()
         if rows == 0:
             shutil.rmtree(full, ignore_errors=True)
             return None
@@ -181,6 +256,10 @@ class ParquetStateStore:
         meta: dict[str, Any] | None = None,
         upserts: dict[str, tuple[DataFrame, list[str], int, int]] | None = None,
         waves: list[list[str]] | None = None,
+        states_fn=None,
+        write_parts: int | None = None,
+        write_shuffle: bool = False,
+        after=None,
     ) -> dict:
         """One atomic transaction: optional slot-range retraction,
         appends + keyed upserts for any number of tables, and
@@ -200,13 +279,76 @@ class ParquetStateStore:
         of a key (the reference's spent-slot un-update, B7) because the
         newer version lives in a newer slot range.
 
-        ``waves`` — optional write scheduling hint: table-name groups
-        executed sequentially, parallel within a group. The driver
-        passes DAG levels so a dependent table's write runs after its
-        (cached) parents materialized — each lineage computes exactly
-        once, with level-parallelism preserved. Unlisted tables join a
-        final wave. Atomicity is unaffected (one manifest rename).
+        ``waves`` — accepted for API compatibility and ignored: ALL
+        table writes now run in one concurrent pool regardless of DAG
+        level. Dependents referencing a parent's cached epoch output are
+        safe to write concurrently with the parent — Spark's block
+        manager takes a per-block write lock in getOrElseUpdate, so a
+        cached parent partition is computed exactly once no matter how
+        many concurrent jobs demand it (the rest block until it lands).
+        This collapses the epoch critical path from Σ(level waves) to
+        ~max(single write) — the round-1 bench showed the wave barrier
+        was the depth-3 retention killer (0.445: three sequential waves
+        of one table each). Atomicity is unaffected (one manifest
+        rename).
+
+        ``states_fn`` — optional zero-arg callable returning the states
+        dict, invoked AFTER data writes finish (and after ``after``
+        resolves) but BEFORE the manifest is assembled. Lets the driver
+        overlap control-plane work (the tip-points collect) with the
+        epoch's data writes instead of serializing it in front of them.
+
+        ``after`` — optional Future of the PREDECESSOR commit (pipelined
+        epochs, the reference's unified-batch design,
+        docs/design/unified-branch-batch-commit.md:107-114). Append-only
+        commits run their data writes immediately — written file-groups
+        are invisible until the manifest rename, so overlapping the
+        writes of successive epochs is safe — then wait for ``after``
+        and publish under the store's lock, preserving manifest order.
+        If the predecessor failed, this commit raises before publishing
+        (fail-fast A18: its orphaned files are vacuum-able garbage).
+        Retraction/upsert commits serialize entirely (they read manifest
+        state the predecessor may change).
         """
+        serial = retract_from is not None or bool(upserts)
+        if serial:
+            if after is not None:
+                after.result()
+            with self._publish_lock:
+                return self._commit_serial(
+                    appends, states, retract_from, spark, meta, upserts,
+                    states_fn, write_parts, write_shuffle,
+                )
+
+        # Append-only pipelined path: write data first (invisible),
+        # then order the publish behind the predecessor.
+        write_tasks = [(n, df, lo, hi) for n, (df, lo, hi) in appends.items()]
+        groups = self._write_groups_parallel(write_tasks, write_parts, write_shuffle)
+        if after is not None:
+            after.result()
+        with self._publish_lock:
+            manifest = self.current_manifest()
+            tables = {k: list(v) for k, v in manifest["tables"].items()}
+            wrote_data = False
+            for name, group in groups:
+                if group is not None:
+                    tables.setdefault(name, []).append(group.as_dict())
+                    wrote_data = True
+            if states_fn is not None:
+                assert states is None, "pass states OR states_fn, not both"
+                states = states_fn()
+            new_manifest = self._assemble(
+                manifest, tables, dict(manifest.get("keyed_tables", {})),
+                states, meta,
+            )
+            self._publish(new_manifest)
+        new_manifest["_wrote_data"] = wrote_data
+        return new_manifest
+
+    def _commit_serial(
+        self, appends, states, retract_from, spark, meta, upserts,
+        states_fn, write_parts, write_shuffle=False,
+    ) -> dict:
         manifest = self.current_manifest()
         tables: dict[str, list[dict]] = {
             k: list(v) for k, v in manifest["tables"].items()
@@ -232,39 +374,60 @@ class ParquetStateStore:
 
             write_tasks.append((name, df.withColumn("_v", F.lit(version)), lo, hi))
 
-        # Independent tables write concurrently — Spark schedules the
-        # jobs in parallel across the executor pool, collapsing the
-        # epoch's critical path from Σ(writes) to ~max(writes) per wave.
-        # Nothing is visible until the manifest rename (atomicity holds).
         wrote_data = retract_from is not None
-        by_name = {t[0]: t for t in write_tasks}
-        ordered: list[list[tuple]] = []
-        seen: set[str] = set()
-        for wave in waves or []:
-            tasks = [by_name[n] for n in wave if n in by_name and n not in seen]
-            seen.update(t[0] for t in tasks)
-            if tasks:
-                ordered.append(tasks)
-        rest = [t for t in write_tasks if t[0] not in seen]
-        if rest:
-            ordered.append(rest)
-
-        groups: list[tuple[str, FileGroup | None]] = []
-        from concurrent.futures import ThreadPoolExecutor
-
-        for tasks in ordered:
-            if len(tasks) > 1:
-                with ThreadPoolExecutor(max_workers=min(8, len(tasks))) as ex:
-                    groups.extend(
-                        ex.map(lambda t: (t[0], self._write_group(*t)), tasks)
-                    )
-            else:
-                groups.extend((t[0], self._write_group(*t)) for t in tasks)
-        for name, group in groups:
+        for name, group in self._write_groups_parallel(
+            write_tasks, write_parts, write_shuffle
+        ):
             if group is not None:
                 tables.setdefault(name, []).append(group.as_dict())
                 wrote_data = True
 
+        if states_fn is not None:
+            assert states is None, "pass states OR states_fn, not both"
+            states = states_fn()
+        new_manifest = self._assemble(manifest, tables, keyed, states, meta)
+        self._publish(new_manifest)
+        new_manifest["_wrote_data"] = wrote_data
+        return new_manifest
+
+    def _write_groups_parallel(
+        self,
+        write_tasks: list[tuple],
+        write_parts: int | None,
+        write_shuffle: bool = False,
+    ) -> list[tuple[str, FileGroup | None]]:
+        """ALL tables write concurrently (see commit docstring:
+        block-manager write locks make cross-level concurrency safe and
+        dedupe any cached parent computation). Nothing is visible until
+        the manifest rename."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(write_tasks) > 1:
+            with ThreadPoolExecutor(max_workers=min(8, len(write_tasks))) as ex:
+                return list(
+                    ex.map(
+                        lambda t: (
+                            t[0],
+                            self._write_group(
+                                *t, parts=write_parts, shuffle=write_shuffle
+                            ),
+                        ),
+                        write_tasks,
+                    )
+                )
+        return [
+            (t[0], self._write_group(*t, parts=write_parts, shuffle=write_shuffle))
+            for t in write_tasks
+        ]
+
+    def _assemble(
+        self,
+        manifest: dict,
+        tables: dict[str, list[dict]],
+        keyed: dict[str, list[str]],
+        states: dict[str, ReducerStateRow] | None,
+        meta: dict[str, Any] | None,
+    ) -> dict:
         new_states = dict(manifest["reducer_states"])
         if states:
             for name, st in states.items():
@@ -274,18 +437,14 @@ class ParquetStateStore:
                     "latest_points": st.latest_points,
                     "resume_slot": st.resume_slot,
                 }
-
-        new_manifest = {
-            "id": version,
+        return {
+            "id": manifest["id"] + 1,
             "ts": time.time(),
             "tables": tables,
             "keyed_tables": keyed,
             "reducer_states": new_states,
             "meta": meta or {},
         }
-        self._publish(new_manifest)
-        new_manifest["_wrote_data"] = wrote_data
-        return new_manifest
 
     def _retract_groups(
         self, spark: SparkSession, tables: dict[str, list[dict]], delete_from: int

@@ -100,8 +100,19 @@ def salted_broadcast_join(
 ) -> DataFrame:
     """Skewed fact ⋈ small dim without a hot shuffle partition: salt the
     fact rows by content hash, replicate each dim row ``n_salts`` ways,
-    join on (key, salt). Equivalent rows to a plain inner equi-join."""
-    f = fact.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    join on (key, salt). Equivalent rows to a plain inner equi-join.
+
+    The salt hashes ROW CONTENT (all fact columns), not
+    ``monotonically_increasing_id()`` — mii depends on partition layout,
+    so a task retry or different input split would re-salt rows
+    mid-query (round-1 verdict #7: results stayed correct for inner
+    joins, but runs weren't reproducible). Content hashing gives the
+    same salt for the same row on any partitioning; duplicate rows
+    sharing a salt is fine — the salt only spreads load, uniformity
+    suffers only if one exact row dominates."""
+    f = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    )
     d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return f.join(F.broadcast(d), [key, "_salt"], "inner").drop("_salt")
 

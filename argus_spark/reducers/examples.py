@@ -26,29 +26,40 @@ from pyspark.sql import functions as F
 from argus_spark.lifecycle.dag import Reducer, ReducerRegistry
 
 
+# Reducers build their epoch plans with ONE spark.sql() call over temp
+# views instead of chained DataFrame ops: each Python-side DataFrame
+# method is a Py4J round-trip + incremental analysis (~20-90 ms
+# measured), and the reducer loop is on the epoch critical path — at
+# batch-500 cadence the DataFrame formulation spent ~0.7 s/epoch just
+# BUILDING plans. A single SQL string parses and analyzes JVM-side in
+# one hop. The plans are identical (verified vs the DuckDB lifecycle
+# oracle in test_lifecycle_e2e).
+
+
 def _blocks_reducer(ctx) -> dict[str, DataFrame]:
+    ctx.blocks.createOrReplaceTempView("argus_blocks")
     return {
-        "block_tests": ctx.blocks.select(
-            "hash", "height", "slot", F.current_timestamp().alias("created_at")
+        "block_tests": ctx.spark.sql(
+            "SELECT hash, height, slot, current_timestamp() AS created_at"
+            " FROM argus_blocks"
         )
     }
 
 
 def _transactions_reducer(ctx) -> dict[str, DataFrame]:
-    txs = ctx.blocks.select(
-        F.col("hash").alias("block_hash"),
-        F.col("height").alias("block_height"),
-        "slot",
-        F.posexplode("txs").alias("tx_index", "tx"),
-    )
+    ctx.blocks.createOrReplaceTempView("argus_blocks")
     return {
-        "transaction_tests": txs.select(
-            F.col("tx.tx_hash").alias("tx_hash"),
-            F.col("tx_index").cast("long").alias("tx_index"),
-            "slot",
-            "block_hash",
-            "block_height",
-            F.col("tx.raw").alias("raw_tx"),
+        "transaction_tests": ctx.spark.sql(
+            """
+            SELECT tx.tx_hash       AS tx_hash,
+                   CAST(tx_index AS BIGINT) AS tx_index,
+                   slot,
+                   hash             AS block_hash,
+                   height           AS block_height,
+                   tx.raw           AS raw_tx
+            FROM argus_blocks
+            LATERAL VIEW posexplode(txs) t AS tx_index, tx
+            """
         )
     }
 
@@ -58,24 +69,24 @@ def make_utxo_reducer(watched: DataFrame):
     set — broadcast so the filter never shuffles the block side (B12)."""
 
     def _apply(ctx) -> dict[str, DataFrame]:
-        txs = ctx.blocks.select("slot", F.explode("txs").alias("tx"))
-        outputs = txs.select(
-            F.col("tx.tx_hash").alias("tx_hash"),
-            F.posexplode("tx.outputs").alias("tx_index", "out"),
-            "slot",
-        ).select(
-            "tx_hash",
-            "tx_index",
-            "slot",
-            F.col("out.address").alias("address"),
-            F.col("out.lovelace").alias("amount"),
+        ctx.blocks.createOrReplaceTempView("argus_blocks")
+        watched.select("address", "name").createOrReplaceTempView("argus_watched")
+        created = ctx.spark.sql(
+            """
+            SELECT /*+ BROADCAST(w) */
+                   o.tx_hash, o.tx_index, o.slot, o.address,
+                   w.name AS address_name, o.amount
+            FROM (
+              SELECT tx.tx_hash AS tx_hash, tx_index, slot,
+                     out.address AS address, out.lovelace AS amount
+              FROM argus_blocks
+              LATERAL VIEW explode(txs) bt AS tx
+              LATERAL VIEW posexplode(tx.outputs) ot AS tx_index, out
+            ) o
+            JOIN argus_watched w ON o.address = w.address
+            """
         )
-        created = outputs.join(
-            F.broadcast(watched.select("address", "name")), "address", "inner"
-        ).select(
-            "tx_hash", "tx_index", "slot", "address",
-            F.col("name").alias("address_name"), "amount",
-        )
+        created.createOrReplaceTempView("argus_epoch_created")
 
         # spend matching (B14): known UTxOs = committed wallet_utxos ∪
         # this epoch's created rows (read-your-writes B17 — intra-epoch
@@ -86,33 +97,30 @@ def make_utxo_reducer(watched: DataFrame):
         # mitigation is layout, not logic — write wallet_utxos bucketed
         # by tx_hash (operators/bucketed.py) so the probe prunes to the
         # buckets the epoch's inputs hash into.
-        inputs = txs.select(
-            "slot", F.explode("tx.inputs").alias("inp")
-        ).select(
-            F.col("inp.tx_id").alias("tx_id"),
-            F.col("inp.index").alias("index"),
-            F.col("slot").alias("spend_slot"),
+        committed_view = ctx.table_view("wallet_utxos")
+        known = (
+            f"(SELECT * FROM {committed_view}"
+            " UNION ALL SELECT * FROM argus_epoch_created)"
+            if committed_view
+            else "argus_epoch_created"
         )
-        committed = ctx.table("wallet_utxos")
-        known = created if committed is None else committed.unionByName(created)
-        spends = (
-            known.alias("u")
-            .join(
-                F.broadcast(inputs).alias("i"),
-                (F.col("u.tx_hash") == F.col("i.tx_id"))
-                & (F.col("u.tx_index") == F.col("i.index")),
-                "inner",
-            )
-            .select(
-                F.col("u.tx_hash").alias("tx_hash"),
-                F.col("u.tx_index").alias("tx_index"),
-                # address/amount denormalized onto the spend row so the
-                # balance fold is incremental (delta = created − spent
-                # per epoch) without re-joining the full UTxO set
-                F.col("u.address_name").alias("address_name"),
-                F.col("u.amount").alias("amount"),
-                F.col("i.spend_slot").alias("slot"),  # spend slot → rollbackable
-            )
+        # address/amount denormalized onto the spend row so the balance
+        # fold is incremental (delta = created − spent per epoch)
+        # without re-joining the full UTxO set; spend slot → rollbackable
+        spends = ctx.spark.sql(
+            f"""
+            SELECT /*+ BROADCAST(i) */
+                   u.tx_hash, u.tx_index, u.address_name, u.amount,
+                   i.spend_slot AS slot
+            FROM {known} u
+            JOIN (
+              SELECT inp.tx_id AS tx_id, inp.index AS index,
+                     slot AS spend_slot
+              FROM argus_blocks
+              LATERAL VIEW explode(txs) bt AS tx
+              LATERAL VIEW explode(tx.inputs) it AS inp
+            ) i ON u.tx_hash = i.tx_id AND u.tx_index = i.index
+            """
         )
         return {"wallet_utxos": created, "utxo_spends": spends}
 
@@ -139,52 +147,65 @@ def make_balance_reducer(watched: DataFrame):
 
     def _apply(ctx) -> dict[str, DataFrame]:
         hi = ctx.epoch_range[1]
-        # control-plane: previous snapshot slot from the manifest alone
-        prev_slot = max(
-            (g.max_slot for g in ctx.store.table_groups("watched_address_balances")),
-            default=-1,
-        )
-        created = ctx.table("wallet_utxos", min_slot=prev_slot + 1)
-        if created is None:
+        # control-plane: previous snapshot slot — table_tip, NOT the
+        # committed manifest: under pipelined commits the previous
+        # epoch's snapshot may still be in flight (visible only via
+        # ctx.table's pending union)
+        prev_slot = ctx.table_tip("watched_address_balances")
+        created_view = ctx.table_view("wallet_utxos", min_slot=prev_slot + 1)
+        if created_view is None:
             return {}
-        spent = ctx.table("utxo_spends", min_slot=prev_slot + 1)
-        plus = (
-            created.filter(F.col("slot") > prev_slot)
-            .groupBy("address_name")
-            .agg(F.sum("amount").alias("plus"))
+        spent_view = ctx.table_view("utxo_spends", min_slot=prev_slot + 1)
+        watched.createOrReplaceTempView("argus_watched_full")
+        # every aggregate/prev side broadcasts (≤ one row per watched
+        # address — the only broadcastable side of the left outers)
+        prev_cte = (
+            f"""prev AS (
+              SELECT address_name, balance AS prev_balance
+              FROM {ctx.table_view("watched_address_balances", min_slot=prev_slot)}
+              WHERE slot = {prev_slot}
+            ),"""
+            if prev_slot >= 0
+            else """prev AS (
+              SELECT CAST(NULL AS STRING) AS address_name,
+                     CAST(NULL AS BIGINT) AS prev_balance
+              WHERE FALSE
+            ),"""
         )
-        base = watched.select(F.col("name").alias("address_name"), "address")
-        if prev_slot >= 0:
-            prev = (
-                ctx.store.read_table(ctx.spark, "watched_address_balances", prev_slot)
-                .filter(F.col("slot") == prev_slot)
-                .select("address_name", F.col("balance").alias("prev_balance"))
-            )
-            base = base.join(F.broadcast(prev), "address_name", "left")
-        else:
-            base = base.withColumn("prev_balance", F.lit(None).cast("long"))
-        # broadcast the aggregates (right/non-preserved side of the left
-        # outer — the only broadcastable side; ≤ one row per address)
-        merged = base.join(F.broadcast(plus), "address_name", "left")
-        if spent is not None:
-            minus = (
-                spent.filter(F.col("slot") > prev_slot)
-                .groupBy("address_name")
-                .agg(F.sum("amount").alias("minus"))
-            )
-            merged = merged.join(F.broadcast(minus), "address_name", "left")
-        else:
-            merged = merged.withColumn("minus", F.lit(None).cast("long"))
-        snap = merged.select(
-            F.lit("balance_by_address").alias("reducer"),
-            "address_name",
-            "address",
-            F.lit(hi).cast("long").alias("slot"),
-            (
-                F.coalesce(F.col("prev_balance"), F.lit(0))
-                + F.coalesce(F.col("plus"), F.lit(0))
-                - F.coalesce(F.col("minus"), F.lit(0))
-            ).alias("balance"),
+        minus_cte = (
+            f"""minus AS (
+              SELECT address_name, sum(amount) AS minus
+              FROM {spent_view} WHERE slot > {prev_slot}
+              GROUP BY address_name
+            )"""
+            if spent_view is not None
+            else """minus AS (
+              SELECT CAST(NULL AS STRING) AS address_name,
+                     CAST(NULL AS BIGINT) AS minus
+              WHERE FALSE
+            )"""
+        )
+        snap = ctx.spark.sql(
+            f"""
+            WITH {prev_cte}
+            plus AS (
+              SELECT address_name, sum(amount) AS plus
+              FROM {created_view} WHERE slot > {prev_slot}
+              GROUP BY address_name
+            ),
+            {minus_cte}
+            SELECT /*+ BROADCAST(p), BROADCAST(pl), BROADCAST(m) */
+                   'balance_by_address' AS reducer,
+                   w.name AS address_name,
+                   w.address,
+                   CAST({hi} AS BIGINT) AS slot,
+                   coalesce(p.prev_balance, 0) + coalesce(pl.plus, 0)
+                     - coalesce(m.minus, 0) AS balance
+            FROM argus_watched_full w
+            LEFT JOIN prev p  ON w.name = p.address_name
+            LEFT JOIN plus pl ON w.name = pl.address_name
+            LEFT JOIN minus m ON w.name = m.address_name
+            """
         )
         return {"watched_address_balances": snap}
 

@@ -63,6 +63,51 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``argus_spark`` importable in Python WORKERS of any session.
+
+    The driver contract hands us a foreign session whose workers know
+    nothing about this repo: a pandas-UDF / ``mapInPandas`` closure
+    defined in this package pickles by reference, so the worker must
+    import ``argus_spark`` — and if the driver process was launched
+    outside the repo root, it can't (caught by the verify drive from
+    /tmp: ModuleNotFoundError in the multimodal stages). Fix the way a
+    real cluster does: ship the package as a zip via ``addPyFile``
+    (the runtime twin of ``spark-submit --py-files``), which each task
+    prepends to the worker's sys.path. Zip is built once per process,
+    shipped once per SparkContext."""
+    try:
+        sc = spark.sparkContext
+        app = sc.applicationId
+    except Exception:
+        return
+    if app in _SHIPPED_APPS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), f"argus_spark_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. connect-only session; worker imports fail loudly if truly needed
+    _SHIPPED_APPS.add(app)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str, widen: bool = False):
     """Read one testdata table (TESTDATA.md). Parquet scan → Catalyst
     gets pushdown + pruning for free.
@@ -80,14 +125,26 @@ def load(spark: SparkSession, sf_dir: str, name: str, widen: bool = False):
     and must not pay it. On a real many-file layout (the 100 TB case)
     scan parallelism >= cores and this is a no-op either way.
     """
-    # The driver contract hands us ITS session (not get_spark()'s), so the
-    # nanos-as-long conf set at build time may be absent there. It is
-    # runtime-settable; set it defensively before every read so events
-    # (TIMESTAMP(NANOS)) parses on any session.
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # locked conf on some managed runtime — reads of nanos fail loudly anyway
+    # The driver contract hands us ITS session (not get_spark()'s).
+    # Depending on that session's build-time confs, events.ts
+    # (parquet TIMESTAMP(NANOS)) arrives as bigint (legacy nanosAsLong,
+    # only honored at session build), timestamp_ntz (stock 4.x), or
+    # timestamp (inferTimestampNTZ off). All three are normalized to a
+    # plain LTZ timestamp below; pin the session timezone to UTC first
+    # (runtime-settable) so the NTZ→LTZ cast and all downstream
+    # hour()/window() extractions are oracle-comparable regardless of
+    # the host session's zone.
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # locked conf on some managed runtime — fail loudly at the read
+    # Workers on a foreign session must be able to import this package
+    # for the pandas-UDF operators (no-op after the first call).
+    ship_package(spark)
     # Same defensive posture for shuffle width: a foreign session at the
     # stock 200 shuffle partitions pays ~25x task overhead on local-mode
     # runs (measured: dedup_ngram_jaccard 14.5s at 200 vs ~1s at cores).
@@ -103,10 +160,17 @@ def load(spark: SparkSession, sf_dir: str, name: str, widen: bool = False):
     except Exception:
         pass
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos-since-epoch; integer div (ns epoch exceeds 2^53 —
+            # float division would lose precision)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # value-preserving under the UTC session tz pinned above
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if widen:
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(2, par // 2):

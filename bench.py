@@ -138,7 +138,7 @@ def main() -> None:
             ]
             events = [ChainEvent("roll_forward", block_slot=s) for s in slots]
             wall = float("inf")
-            for i in range(2):
+            for i in range(3):
                 store = ParquetStateStore(os.path.join(td, f"store_{tag}_{i}"))
                 reg = (
                     registry_fn()
@@ -151,7 +151,12 @@ def main() -> None:
                 )
                 t0 = time.perf_counter()
                 drv.run(list(events))
-                wall = min(wall, time.perf_counter() - t0)
+                # run 0 is the JIT/plan-cache warmup for this config's
+                # code paths (the reference's bench likewise reports
+                # steady-state after warmup, Bench/README.md); best of
+                # the remaining runs is the steady-state number.
+                if i > 0:
+                    wall = min(wall, time.perf_counter() - t0)
             return round(n_lc / wall, 1)
 
         # Reference shape (BASELINE.md): 220 blk/s per-block-commit →

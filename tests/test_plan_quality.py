@@ -111,3 +111,41 @@ def test_ann_ivf_corpus_never_shuffles_for_assignment(spark):
     assert has_broadcast_hash_join(plan), plan
     assert not has_sort_merge_join(plan), plan
     assert n_shuffle_exchanges(plan) <= 1, plan
+
+
+def test_embedding_cosine_has_no_nested_loop(spark):
+    """Round-1 verdict: the all-pairs theta join compiled to a
+    BroadcastNestedLoop (O(n²)). The banded-LSH rework must keep every
+    join equi-keyed."""
+    from argus_spark.datapipe.dedup import dedup_embedding_cosine
+
+    plan = formatted_plan(dedup_embedding_cosine(spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ngram_jaccard_prefix_filter_bounds_candidates(spark):
+    """The AllPairs prefix filter must (a) keep the join equi-keyed and
+    (b) actually cut the inverted index: prefix entries ≤ ~(1-τ)·tokens
+    + 1 per doc, far below the full token explode."""
+    from pyspark.sql import functions as F
+
+    from argus_spark.datapipe.dedup import JACCARD_TAU, dedup_ngram_jaccard
+    from argus_spark.datapipe.hashing import words_col
+    from argus_spark.session import load
+
+    plan = formatted_plan(dedup_ngram_jaccard(spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    d = load(spark, SF_SMOKE, "documents").select(
+        F.size(F.array_distinct(words_col())).alias("n")
+    )
+    tot = d.agg(
+        F.sum("n").alias("tokens"),
+        F.sum(
+            F.col("n") - F.ceil(F.lit(JACCARD_TAU) * F.col("n")) + 1
+        ).alias("prefix"),
+    ).first()
+    # prefix index ≈ (1-τ)+1/n of the full index — at τ=0.9 under 20%
+    assert tot["prefix"] < 0.25 * tot["tokens"], tot
