@@ -63,6 +63,38 @@ from argus_spark.lifecycle.state import (
 )
 from argus_spark.lifecycle.store import ParquetStateStore, ReducerStateRow
 
+# refcounted session-wide AQE disable (see IndexDriver.run docstring)
+_aqe_lock = __import__("threading").Lock()
+_aqe_state: dict[int, tuple[int, str | None]] = {}  # session id -> (count, saved)
+
+
+def _aqe_acquire(spark: SparkSession) -> None:
+    with _aqe_lock:
+        sid = id(spark)
+        count, saved = _aqe_state.get(sid, (0, None))
+        if count == 0:
+            try:
+                saved = spark.conf.get("spark.sql.adaptive.enabled")
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+            except Exception:
+                saved = None
+        _aqe_state[sid] = (count + 1, saved)
+
+
+def _aqe_release(spark: SparkSession) -> None:
+    with _aqe_lock:
+        sid = id(spark)
+        count, saved = _aqe_state.get(sid, (1, None))
+        if count <= 1:
+            _aqe_state.pop(sid, None)
+            if saved is not None:
+                try:
+                    spark.conf.set("spark.sql.adaptive.enabled", saved)
+                except Exception:
+                    pass
+        else:
+            _aqe_state[sid] = (count - 1, saved)
+
 
 @dataclass
 class ChainEvent:
@@ -298,21 +330,15 @@ class IndexDriver:
         an immediate recount returned 2,077; 0/10 with AQE off).
         Lifecycle epoch plans are small and explicitly sized
         (write_parts), so AQE buys nothing here; analytics queries on
-        the same session keep it — the conf is restored on exit."""
-        aqe_prev = None
-        try:
-            aqe_prev = self.spark.conf.get("spark.sql.adaptive.enabled")
-            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-        except Exception:
-            pass
+        the same session keep it. The toggle is REFCOUNTED so
+        concurrent per-root drivers (MultiRootDriver) on one session
+        don't re-enable AQE under each other — the conf restores when
+        the last running driver exits."""
+        _aqe_acquire(self.spark)
         try:
             return self._run(events)
         finally:
-            if aqe_prev is not None:
-                try:
-                    self.spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
-                except Exception:
-                    pass
+            _aqe_release(self.spark)
 
     def _run(self, events) -> DriverStats:
         t0 = time.monotonic()
@@ -671,10 +697,22 @@ class IndexDriver:
                 self._windows[r.name], delete_from, self.window_k
             )
             self._resume[r.name] = min(self._resume[r.name], delete_from - 1)
+        # Scope the retraction to THIS graph's tables when every
+        # reducer declares ownership — per-root processors share a
+        # store but roll back independently (the reference runs one
+        # chain connection per root subgraph). A registry with
+        # undeclared tables falls back to store-wide retraction.
+        owned: list[str] | None = []
+        for r in self._order:
+            if not r.tables:
+                owned = None
+                break
+            owned.extend(r.tables)
         self.store.commit(
             appends={},
             states=self._state_rows(),
             retract_from=delete_from,
+            retract_tables=owned,
             spark=self.spark,
             meta=meta or {"rollback_to": delete_from},
         )

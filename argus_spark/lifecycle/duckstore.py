@@ -213,6 +213,7 @@ class DuckDBStateStore:
         write_parts: int | None = None,
         write_shuffle: bool = False,
         after=None,
+        retract_tables: list[str] | None = None,
     ) -> dict:
         """One database transaction: retraction + appends + upserts +
         checkpoint rows, all-or-nothing. Spark stages each table's rows
@@ -243,7 +244,12 @@ class DuckDBStateStore:
             self._con.execute("BEGIN")
             try:
                 if retract_from is not None:
+                    scope = (
+                        set(retract_tables) if retract_tables is not None else None
+                    )
                     for name, keyed in catalog.items():
+                        if scope is not None and name not in scope:
+                            continue
                         self._con.execute(
                             f"DELETE FROM {_q(name)} WHERE slot >= {int(retract_from)}"
                         )

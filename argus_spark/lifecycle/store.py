@@ -260,6 +260,7 @@ class ParquetStateStore:
         write_parts: int | None = None,
         write_shuffle: bool = False,
         after=None,
+        retract_tables: list[str] | None = None,
     ) -> dict:
         """One atomic transaction: optional slot-range retraction,
         appends + keyed upserts for any number of tables, and
@@ -317,7 +318,7 @@ class ParquetStateStore:
             with self._publish_lock:
                 return self._commit_serial(
                     appends, states, retract_from, spark, meta, upserts,
-                    states_fn, write_parts, write_shuffle,
+                    states_fn, write_parts, write_shuffle, retract_tables,
                 )
 
         # Append-only pipelined path: write data first (invisible),
@@ -347,7 +348,7 @@ class ParquetStateStore:
 
     def _commit_serial(
         self, appends, states, retract_from, spark, meta, upserts,
-        states_fn, write_parts, write_shuffle=False,
+        states_fn, write_parts, write_shuffle=False, retract_tables=None,
     ) -> dict:
         manifest = self.current_manifest()
         tables: dict[str, list[dict]] = {
@@ -357,7 +358,10 @@ class ParquetStateStore:
 
         if retract_from is not None:
             assert spark is not None, "retraction needs a SparkSession"
-            tables = self._retract_groups(spark, tables, retract_from)
+            tables = self._retract_groups(
+                spark, tables, retract_from,
+                set(retract_tables) if retract_tables is not None else None,
+            )
 
         version = manifest["id"] + 1
         write_tasks: list[tuple[str, DataFrame, int, int]] = []
@@ -447,13 +451,23 @@ class ParquetStateStore:
         }
 
     def _retract_groups(
-        self, spark: SparkSession, tables: dict[str, list[dict]], delete_from: int
+        self,
+        spark: SparkSession,
+        tables: dict[str, list[dict]],
+        delete_from: int,
+        only: set[str] | None = None,
     ) -> dict[str, list[dict]]:
         """B6 as file-group surgery: drop groups fully ≥ delete_from,
         rewrite straddling groups filtered to ``slot < delete_from``,
-        keep groups fully below untouched."""
+        keep groups fully below untouched. ``only`` scopes the
+        retraction to one graph's tables (per-root processors share a
+        store but roll back independently — the reference's
+        one-chain-connection-per-root shape)."""
         out: dict[str, list[dict]] = {}
         for name, groups in tables.items():
+            if only is not None and name not in only:
+                out[name] = list(groups)
+                continue
             kept: list[dict] = []
             for gd in groups:
                 g = FileGroup.from_dict(gd)
