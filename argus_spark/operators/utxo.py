@@ -210,18 +210,33 @@ def tx_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Structural mirror of the engine's nested-table derivation
+# (chain/synth.py): per-tx aggregates grouped by (slot, tx_hash);
+# inputs attach SLOT-wise (ins_by_slot joins on slot == spend_slot in
+# synth_blocks, so every tx of a block sees the block's input list —
+# the oracle reproduces that rule rather than assuming one tx per
+# block); tx_pos = ordinal of the tx within its block's array, which
+# sort_array orders by tx_hash (binary string collation both engines).
 TX_FLATTEN_SQL = (
     CHAIN_SQL_CTES
     + """
-SELECT o.slot, 0 AS tx_pos, o.tx_hash,
+, per_tx AS (
+  SELECT slot, tx_hash,
+         CAST(count(*) AS INT) AS n_outputs,
+         CAST(sum(amount) AS BIGINT) AS total_out
+  FROM outputs GROUP BY slot, tx_hash
+)
+SELECT t.slot,
+       CAST(row_number() OVER (PARTITION BY t.slot ORDER BY t.tx_hash) - 1
+            AS INT) AS tx_pos,
+       t.tx_hash,
        COALESCE(i.n_inputs, 0) AS n_inputs,
-       CAST(count(*) AS INT) AS n_outputs,
-       CAST(sum(o.amount) AS BIGINT) AS total_out
-FROM outputs o
+       t.n_outputs,
+       t.total_out
+FROM per_tx t
 LEFT JOIN (SELECT spend_slot, CAST(count(*) AS INT) AS n_inputs
            FROM inputs GROUP BY spend_slot) i
-  ON o.slot = i.spend_slot
-GROUP BY o.slot, o.tx_hash, i.n_inputs
+  ON t.slot = i.spend_slot
 """
 )
 
