@@ -111,6 +111,34 @@ class Telemetry:
         )
 
 
+def render_dashboard(
+    spark: SparkSession, telemetry: Telemetry, tip_slot: int, width: int = 30
+) -> str:
+    """Text dashboard over the telemetry rows — the reference's TUI
+    (CardanoIndexWorker.Dashboard.cs:13-348: per-reducer progress bar,
+    %, latest slot, throughput). Rendering is driver-side formatting of
+    the same summary/progress DataFrames any metrics sink would read;
+    the collect is a handful of per-reducer rows (control-plane)."""
+    prog = {
+        r["reducer"]: r for r in telemetry.progress_df(spark, tip_slot).collect()
+    }
+    lines = [
+        f"{'reducer':<24} {'progress':<{width + 9}} {'slot':>10} "
+        f"{'blocks':>8} {'blk/s':>9} {'avg s/epoch':>12}"
+    ]
+    for r in telemetry.summary_df(spark).orderBy("reducer").collect():
+        p = prog.get(r["reducer"])
+        pct = p["pct"] if p else 0.0
+        filled = int(round(width * pct / 100.0))
+        bar = "#" * filled + "-" * (width - filled)
+        bps = r["blocks"] / r["total_s"] if r["total_s"] else 0.0
+        lines.append(
+            f"{r['reducer']:<24} [{bar}] {pct:6.2f}% {r['latest_slot']:>10} "
+            f"{r['blocks']:>8} {bps:>9.1f} {r['avg_s']:>12.3f}"
+        )
+    return "\n".join(lines)
+
+
 def attach_query_listener(spark: SparkSession, telemetry: Telemetry):
     """Register a StreamingQueryListener that folds micro-batch progress
     into the telemetry (rows/sec, batch duration). Returns the listener

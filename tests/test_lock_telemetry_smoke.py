@@ -188,6 +188,18 @@ class TestTelemetry:
         rows = t.events_df(spark).collect()
         assert rows[0]["kind"] == "rollback" and rows[0]["slot"] == 42
 
+    def test_render_dashboard(self, spark):
+        from argus_spark.lifecycle.telemetry import render_dashboard
+
+        t = Telemetry()
+        t.record_epoch(1, 0, 49, 50, {"a": 0.5, "b": 0.25})
+        out = render_dashboard(spark, t, tip_slot=100)
+        lines = out.splitlines()
+        assert lines[0].startswith("reducer")
+        row_a = next(line for line in lines if line.startswith("a"))
+        assert "49.00%" in row_a and "[" in row_a and "#" in row_a
+        assert "100.0" in row_a  # 50 blocks / 0.5 s
+
 
 def _seed_states(store: ParquetStateStore, slots: dict[str, int]) -> None:
     states = {
