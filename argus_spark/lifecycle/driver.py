@@ -218,7 +218,16 @@ class IndexDriver:
         telemetry=None,  # optional lifecycle.telemetry.Telemetry (A21)
         compact_every: int | None = None,  # epochs between maintenance passes
         compact_min_groups: int = 8,  # only touch tables fragmented past this
-        pipeline_depth: int = 2,  # max commits in flight (1 = synchronous)
+        # Max commits in flight. 1 (default) = synchronous per-epoch
+        # commit: measured FASTER and far more stable on local[N] —
+        # cross-epoch job concurrency (N+1's writes + broadcasts racing
+        # N's over shared cold caches) produced 2-6x wall-clock swings,
+        # while the within-epoch concurrency + SQL plan building already
+        # saturate the local pool. 2+ enables the reference's
+        # unified-batch overlap (docs/design/unified-branch-batch-
+        # commit.md:107-114) — the right setting when the commit path
+        # has real I/O latency to hide (object store, JDBC sink).
+        pipeline_depth: int = 1,
         cache_min_blocks: int = 0,  # cache epoch outputs at/above this size
     ) -> None:
         self.spark = spark

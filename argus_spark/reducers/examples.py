@@ -172,39 +172,36 @@ def make_balance_reducer(watched: DataFrame):
               WHERE FALSE
             ),"""
         )
-        minus_cte = (
-            f"""minus AS (
-              SELECT address_name, sum(amount) AS minus
-              FROM {spent_view} WHERE slot > {prev_slot}
-              GROUP BY address_name
-            )"""
+        # one SIGNED delta aggregate (created +amount, spent -amount)
+        # instead of separate plus/minus CTEs — halves the joins and
+        # aggregations on the epoch's slowest write (the balance
+        # snapshot is the commit critical path at small batch sizes)
+        spent_arm = (
+            f"""UNION ALL
+              SELECT address_name, -amount AS amt
+              FROM {spent_view} WHERE slot > {prev_slot}"""
             if spent_view is not None
-            else """minus AS (
-              SELECT CAST(NULL AS STRING) AS address_name,
-                     CAST(NULL AS BIGINT) AS minus
-              WHERE FALSE
-            )"""
+            else ""
         )
         snap = ctx.spark.sql(
             f"""
             WITH {prev_cte}
-            plus AS (
-              SELECT address_name, sum(amount) AS plus
-              FROM {created_view} WHERE slot > {prev_slot}
-              GROUP BY address_name
-            ),
-            {minus_cte}
-            SELECT /*+ BROADCAST(p), BROADCAST(pl), BROADCAST(m) */
+            delta AS (
+              SELECT address_name, sum(amt) AS d FROM (
+                SELECT address_name, amount AS amt
+                FROM {created_view} WHERE slot > {prev_slot}
+                {spent_arm}
+              ) GROUP BY address_name
+            )
+            SELECT /*+ BROADCAST(p), BROADCAST(d) */
                    'balance_by_address' AS reducer,
                    w.name AS address_name,
                    w.address,
                    CAST({hi} AS BIGINT) AS slot,
-                   coalesce(p.prev_balance, 0) + coalesce(pl.plus, 0)
-                     - coalesce(m.minus, 0) AS balance
+                   coalesce(p.prev_balance, 0) + coalesce(d.d, 0) AS balance
             FROM argus_watched_full w
             LEFT JOIN prev p  ON w.name = p.address_name
-            LEFT JOIN plus pl ON w.name = pl.address_name
-            LEFT JOIN minus m ON w.name = m.address_name
+            LEFT JOIN delta d ON w.name = d.address_name
             """
         )
         return {"watched_address_balances": snap}

@@ -75,11 +75,18 @@ def driver_balances(spark, store):
     return {r["address_name"]: r["balance"] for r in df.collect()}
 
 
-def test_forward_sync_matches_oracle(spark, chain, tmp_path):
+@pytest.mark.parametrize("depth", [1, 2])
+def test_forward_sync_matches_oracle(spark, chain, tmp_path, depth):
+    # depth=2 exercises PIPELINED commits (unified-batch overlap):
+    # in-flight pending visibility, frozen-manifest snapshots, ordered
+    # publish — the non-default path must stay oracle-exact
     blocks, watched, slots = chain
     store = ParquetStateStore(str(tmp_path / "store"))
     reg = build_example_registry(spark, watched)
-    d = IndexDriver(spark, reg, store, blocks, batch_size=400, max_delay_s=1e9)
+    d = IndexDriver(
+        spark, reg, store, blocks, batch_size=400, max_delay_s=1e9,
+        pipeline_depth=depth,
+    )
     stats = d.run(fwd(slots))
     assert stats.blocks == len(slots)
     assert stats.epochs >= len(slots) // 400
@@ -156,20 +163,28 @@ def test_crash_recovery_resume(spark, chain, tmp_path):
     )
 
 
-def test_deep_rollback_then_fresh_driver_no_duplicates(spark, chain, tmp_path):
+@pytest.mark.parametrize("depth", [1, 2])
+def test_deep_rollback_then_fresh_driver_no_duplicates(spark, chain, tmp_path, depth):
     """Regression: a rollback deeper than the checkpoint window empties
     the window, but the persisted resume cursor still marks the exact
     committed floor — a fresh driver must NOT re-apply (and duplicate)
-    blocks below the fork."""
+    blocks below the fork. depth=2 additionally covers rollback
+    draining the pipelined in-flight commits first."""
     blocks, watched, slots = chain
     store = ParquetStateStore(str(tmp_path / "store"))
     reg = build_example_registry(spark, watched)
-    d = IndexDriver(spark, reg, store, blocks, batch_size=500, max_delay_s=1e9)
+    d = IndexDriver(
+        spark, reg, store, blocks, batch_size=500, max_delay_s=1e9,
+        pipeline_depth=depth,
+    )
     d.run(fwd(slots))
     fork_slot = slots[len(slots) // 2]  # far deeper than the 10-point window
     d.run([ChainEvent("roll_back", rollback_slot=fork_slot, rollback_type="exclusive")])
 
-    d2 = IndexDriver(spark, reg, store, blocks, batch_size=500, max_delay_s=1e9)
+    d2 = IndexDriver(
+        spark, reg, store, blocks, batch_size=500, max_delay_s=1e9,
+        pipeline_depth=depth,
+    )
     stats = d2.run(fwd(slots))  # full at-least-once replay from genesis
     assert stats.skipped > 0
     assert driver_balances(spark, store) == expected_balances(spark)
