@@ -43,6 +43,7 @@ DataFrame transforms — nothing on the data path is collected.
 
 from __future__ import annotations
 
+import itertools
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -62,6 +63,17 @@ from argus_spark.lifecycle.state import (
     window_roll_forward,
 )
 from argus_spark.lifecycle.store import ParquetStateStore, ReducerStateRow
+
+# Temp views are session-global, and MultiRootDriver runs per-root
+# drivers on concurrent threads over ONE SparkSession — so every view a
+# reducer registers must be namespaced per driver or two roots can
+# silently bind each other's epoch plans (a root on epoch [100,600]
+# analyzing over another root's [0,500] blocks). Each IndexDriver draws
+# a process-unique namespace; ReducerContext prefixes every view with
+# it. Plans are safe once built: spark.sql() inlines the view's
+# analyzed plan at analysis time, so a later createOrReplaceTempView
+# (next epoch, same driver) never mutates an in-flight commit's plan.
+_view_ns_counter = itertools.count()
 
 # refcounted session-wide AQE disable (see IndexDriver.run docstring)
 _aqe_lock = __import__("threading").Lock()
@@ -129,6 +141,7 @@ class ReducerContext:
         epoch_range: tuple[int, int],
         table_tips: dict[str, int] | None = None,
         manifest: dict | None = None,
+        view_ns: str = "g",
     ) -> None:
         self.spark = spark
         self.store = store
@@ -137,6 +150,7 @@ class ReducerContext:
         self.epoch_range = epoch_range
         self._table_tips = table_tips or {}
         self._manifest = manifest
+        self.view_ns = view_ns
 
     def table(self, name: str, min_slot: int | None = None) -> DataFrame | None:
         """Committed snapshot ∪ pending epoch outputs. With pipelined
@@ -170,7 +184,21 @@ class ReducerContext:
         df = self.table(name, min_slot)
         if df is None:
             return None
-        view = f"argus_t_{name}"
+        return self.register_view(f"t_{name}", df)
+
+    def blocks_view(self) -> str:
+        """The epoch's blocks registered as a driver-namespaced temp
+        view — what SQL-building reducers must use instead of a fixed
+        literal name (two concurrent roots registering ``argus_blocks``
+        would race, one building its plan over the other's epoch)."""
+        return self.register_view("blocks", self.blocks)
+
+    def register_view(self, name: str, df: DataFrame) -> str:
+        """Register ``df`` as a temp view namespaced to this driver
+        (``argus_{view_ns}_{name}``) and return the view name. Session-
+        global temp views are shared across MultiRootDriver threads;
+        the namespace makes concurrent per-root registration safe."""
+        view = f"argus_{self.view_ns}_{name}"
         df.createOrReplaceTempView(view)
         return view
 
@@ -250,6 +278,8 @@ class IndexDriver:
             pipeline_depth = 1
         self.pipeline_depth = max(1, pipeline_depth)
         self.cache_min_blocks = cache_min_blocks
+        # process-unique temp-view namespace (see _view_ns_counter)
+        self.view_ns = f"d{next(_view_ns_counter)}"
         registry.validate()
         self._order = registry.topo_order()
         # in-memory checkpoint windows, loaded from the committed manifest
@@ -482,6 +512,7 @@ class IndexDriver:
                 ctx = ReducerContext(
                     self.spark, self.store, my_blocks, pending_ctx, (lo, hi),
                     table_tips=tips_snapshot, manifest=snapshot,
+                    view_ns=self.view_ns,
                 )
                 t = time.monotonic()
                 outputs = r.apply(ctx) or {}

@@ -305,17 +305,51 @@ FROM events GROUP BY event_type
 """
 
 
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+APPROX_DISTINCT_RSD = 0.01  # HLL++ target relative standard deviation
+APPROX_DISTINCT_BOUND = 0.05  # hard contract: |approx-exact|/exact <= 5 %
+
+
+def approx_distinct_users_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct users per event_type (rsd 1%) next to
     the exact count — the 100 TB cardinality estimator (no per-key set
-    materialization, mergeable sketches). No SQL oracle: HLL sketches
-    are implementation-specific; the driver records a rows-only check,
-    and the unit test asserts the approximation error bound vs exact."""
+    materialization, mergeable sketches). Raw form for the error-bound
+    unit test; the registered/oracled query is ``approx_distinct_users``
+    below (sketch values are engine-specific, so the raw estimate can
+    never hash-match a DuckDB oracle)."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("user_id", APPROX_DISTINCT_RSD).alias(
+            "approx_users"
+        ),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable contract for the HLL++ estimator: emit the exact
+    distinct count plus a boolean asserting the approximation landed
+    within ±5 % of it. The DuckDB oracle computes the exact count and a
+    literal TRUE — if Spark's sketch ever drifts past the bound the
+    boolean flips and the value-hash goes red. HLL register merge is
+    max-based (commutative/associative), so the estimate is
+    deterministic for a fixed dataset regardless of partitioning."""
+    raw = approx_distinct_users_raw(spark, sf_dir)
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return raw.select(
+        "event_type",
+        "exact_users",
+        (rel_err <= F.lit(APPROX_DISTINCT_BOUND)).alias("approx_within_bound"),
+    )
+
+
+APPROX_DISTINCT_USERS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_bound
+FROM events GROUP BY event_type
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -339,5 +373,7 @@ ORACLES: dict[str, str] = {
     "cube_counts": CUBE_COUNTS_SQL,
     "grouping_sets_value": GROUPING_SETS_VALUE_SQL,
     "median_value_by_type": MEDIAN_VALUE_BY_TYPE_SQL,
-    # approx_distinct_users: rows-only (sketches are engine-specific)
+    # the approx estimate itself is engine-specific; the contract query
+    # oracles the exact count + the 5 % error bound as a boolean
+    "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
 }

@@ -36,28 +36,34 @@ from argus_spark.lifecycle.dag import Reducer, ReducerRegistry
 # oracle in test_lifecycle_e2e).
 
 
+# View names come from ctx.blocks_view()/ctx.register_view(), never
+# fixed literals: temp views are session-global and MultiRootDriver
+# runs roots on concurrent threads — a shared literal name would let
+# one root's plan bind the other root's epoch (round-2 ADVICE item).
+
+
 def _blocks_reducer(ctx) -> dict[str, DataFrame]:
-    ctx.blocks.createOrReplaceTempView("argus_blocks")
+    bv = ctx.blocks_view()
     return {
         "block_tests": ctx.spark.sql(
             "SELECT hash, height, slot, current_timestamp() AS created_at"
-            " FROM argus_blocks"
+            f" FROM {bv}"
         )
     }
 
 
 def _transactions_reducer(ctx) -> dict[str, DataFrame]:
-    ctx.blocks.createOrReplaceTempView("argus_blocks")
+    bv = ctx.blocks_view()
     return {
         "transaction_tests": ctx.spark.sql(
-            """
+            f"""
             SELECT tx.tx_hash       AS tx_hash,
                    CAST(tx_index AS BIGINT) AS tx_index,
                    slot,
                    hash             AS block_hash,
                    height           AS block_height,
                    tx.raw           AS raw_tx
-            FROM argus_blocks
+            FROM {bv}
             LATERAL VIEW posexplode(txs) t AS tx_index, tx
             """
         )
@@ -69,24 +75,24 @@ def make_utxo_reducer(watched: DataFrame):
     set — broadcast so the filter never shuffles the block side (B12)."""
 
     def _apply(ctx) -> dict[str, DataFrame]:
-        ctx.blocks.createOrReplaceTempView("argus_blocks")
-        watched.select("address", "name").createOrReplaceTempView("argus_watched")
+        bv = ctx.blocks_view()
+        wv = ctx.register_view("watched", watched.select("address", "name"))
         created = ctx.spark.sql(
-            """
+            f"""
             SELECT /*+ BROADCAST(w) */
                    o.tx_hash, o.tx_index, o.slot, o.address,
                    w.name AS address_name, o.amount
             FROM (
               SELECT tx.tx_hash AS tx_hash, tx_index, slot,
                      out.address AS address, out.lovelace AS amount
-              FROM argus_blocks
+              FROM {bv}
               LATERAL VIEW explode(txs) bt AS tx
               LATERAL VIEW posexplode(tx.outputs) ot AS tx_index, out
             ) o
-            JOIN argus_watched w ON o.address = w.address
+            JOIN {wv} w ON o.address = w.address
             """
         )
-        created.createOrReplaceTempView("argus_epoch_created")
+        created_view = ctx.register_view("epoch_created", created)
 
         # spend matching (B14): known UTxOs = committed wallet_utxos ∪
         # this epoch's created rows (read-your-writes B17 — intra-epoch
@@ -100,9 +106,9 @@ def make_utxo_reducer(watched: DataFrame):
         committed_view = ctx.table_view("wallet_utxos")
         known = (
             f"(SELECT * FROM {committed_view}"
-            " UNION ALL SELECT * FROM argus_epoch_created)"
+            f" UNION ALL SELECT * FROM {created_view})"
             if committed_view
-            else "argus_epoch_created"
+            else created_view
         )
         # address/amount denormalized onto the spend row so the balance
         # fold is incremental (delta = created − spent per epoch)
@@ -116,7 +122,7 @@ def make_utxo_reducer(watched: DataFrame):
             JOIN (
               SELECT inp.tx_id AS tx_id, inp.index AS index,
                      slot AS spend_slot
-              FROM argus_blocks
+              FROM {bv}
               LATERAL VIEW explode(txs) bt AS tx
               LATERAL VIEW explode(tx.inputs) it AS inp
             ) i ON u.tx_hash = i.tx_id AND u.tx_index = i.index
@@ -156,7 +162,7 @@ def make_balance_reducer(watched: DataFrame):
         if created_view is None:
             return {}
         spent_view = ctx.table_view("utxo_spends", min_slot=prev_slot + 1)
-        watched.createOrReplaceTempView("argus_watched_full")
+        watched_view = ctx.register_view("watched_full", watched)
         # every aggregate/prev side broadcasts (≤ one row per watched
         # address — the only broadcastable side of the left outers)
         prev_cte = (
@@ -199,7 +205,7 @@ def make_balance_reducer(watched: DataFrame):
                    w.address,
                    CAST({hi} AS BIGINT) AS slot,
                    coalesce(p.prev_balance, 0) + coalesce(d.d, 0) AS balance
-            FROM argus_watched_full w
+            FROM {watched_view} w
             LEFT JOIN prev p  ON w.name = p.address_name
             LEFT JOIN delta d ON w.name = d.address_name
             """

@@ -104,6 +104,61 @@ def test_independent_rollback_is_table_scoped(spark, blocks, tmp_path):
     assert states["b"].resume_slot == fork
 
 
+def _two_root_sql_view_registry():
+    """Two roots whose reducers build their epoch plans via spark.sql
+    over ctx-registered temp views (blocks_view + register_view) — the
+    pattern that raced under MultiRootDriver when view names were fixed
+    literals (round-2 ADVICE): one root's createOrReplaceTempView could
+    land between another root's registration and analysis, binding its
+    plan to the wrong root's epoch blocks."""
+    reg = ReducerRegistry()
+
+    def _mk(label):
+        def _apply(ctx):
+            bv = ctx.blocks_view()
+            lv = ctx.register_view(
+                "label",
+                ctx.spark.range(1).select(F.lit(label).alias("src")),
+            )
+            return {
+                f"sqlroot_{label}": ctx.spark.sql(
+                    f"SELECT b.slot, l.src FROM {bv} b CROSS JOIN {lv} l"
+                )
+            }
+
+        return _apply
+
+    reg.register(Reducer("sa", _mk("a"), tables=["sqlroot_a"]))
+    reg.register(Reducer("sb", _mk("b"), tables=["sqlroot_b"]))
+    return reg
+
+
+def test_concurrent_sql_view_reducers_no_cross_binding(spark, blocks, tmp_path):
+    """Per-root feeds cover DISJOINT slot ranges; many small epochs
+    maximize view-registration interleaving. If either root's SQL plan
+    ever bound the other root's blocks view, its table would contain
+    slots from the other root's range (or mislabeled src rows)."""
+    slots = [r.slot for r in blocks.select("slot").orderBy("slot").collect()]
+    half = len(slots) // 2
+    slots_a, slots_b = slots[:half], slots[half:]
+    store = ParquetStateStore(str(tmp_path / "store"))
+    m = MultiRootDriver(
+        spark, _two_root_sql_view_registry(), store, blocks,
+        batch_size=max(1, len(slots) // 20), max_delay_s=1e9,
+    )
+    m.run(events_by_root={"sa": fwd(slots_a), "sb": fwd(slots_b)})
+    got_a = {
+        (r.slot, r.src)
+        for r in store.read_table(spark, "sqlroot_a").collect()
+    }
+    got_b = {
+        (r.slot, r.src)
+        for r in store.read_table(spark, "sqlroot_b").collect()
+    }
+    assert got_a == {(s, "a") for s in slots_a}
+    assert got_b == {(s, "b") for s in slots_b}
+
+
 def test_undeclared_tables_rejected(spark, blocks):
     reg = ReducerRegistry()
     reg.register(Reducer("x", lambda ctx: {}))  # no declared tables

@@ -45,6 +45,25 @@ def test_query_vs_oracle_sf001(spark, duck, name):
     compare_frames(df, rel, name)
 
 
+def test_approx_distinct_error_bound(spark):
+    """HLL++ estimate must sit within the contract bound of the exact
+    distinct count at both test SFs (VERDICT r2 item 2: the approximate
+    aggregate needs a hard, checkable contract)."""
+    from argus_spark.operators.temporal import (
+        APPROX_DISTINCT_BOUND,
+        approx_distinct_users_raw,
+    )
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        rows = approx_distinct_users_raw(spark, sf).collect()
+        assert rows, sf
+        for r in rows:
+            rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+            assert rel_err <= APPROX_DISTINCT_BOUND, (
+                sf, r.event_type, r.approx_users, r.exact_users, rel_err,
+            )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
