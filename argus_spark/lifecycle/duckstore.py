@@ -18,14 +18,24 @@ reference ships (Postgres + Mongo backends behind one IBlockUnitOfWork):
     latest-per-key on read, so slot-range retraction *resurrects* the
     prior version (B7) with semantics identical to ParquetStateStore
 
-Data path at scale: Spark writes each epoch's rows DISTRIBUTED to a
-parquet staging area; the transaction ingests them with DuckDB's
-``read_parquet`` (the COPY-from-staging pattern every warehouse load
-uses — executors never funnel rows through the driver). Reads of
-committed state come back via Arrow. In a production deployment this
-read path is ``spark.read.jdbc`` (predicate pushdown to the database)
-— a sandbox database and a 100 TB Spark cluster meet at exactly this
-staging/COPY + JDBC boundary, which is why the store keeps it.
+Data path at scale — symmetric staging in BOTH directions, so no row
+ever transits the driver as a Python object:
+
+  * writes: Spark stages each epoch's rows DISTRIBUTED to parquet; the
+    transaction ingests them with DuckDB's ``read_parquet`` (the
+    COPY-from-staging pattern every warehouse load uses)
+  * reads: the database ``COPY``s the resolved committed state (keyed
+    tables latest-per-key server-side) to a versioned parquet export,
+    and Spark reads it DISTRIBUTED with ``spark.read.parquet`` —
+    slot predicates push into the parquet scan (row-group pruning),
+    columns prune, and the scan parallelizes across executors. Exports
+    are cached per commit version, so N reads of one committed state
+    export once. This is the reference's pushdown boundary
+    (EfBlockUnitOfWork.cs:124-140) re-expressed for a cluster: in a
+    JDBC deployment the same method is ``spark.read.jdbc`` partitioned
+    on slot; against a warehouse, its native parquet/object-store
+    export. What it is NOT is an ``.arrow() -> pandas`` driver funnel —
+    at 100 TB the committed UTxO set cannot fit the driver.
 
 No snapshot reads: a live database has one current state, so
 ``supports_snapshots = False`` and IndexDriver degrades pipelined
@@ -71,6 +81,13 @@ class DuckDBStateStore:
         # REENTRANT: commit() holds it across the transaction and its
         # states_fn callback reads reducer_states() on the same thread.
         self._lock = threading.RLock()
+        # write-staging batches currently being written by a commit's
+        # phase 1 (which runs OUTSIDE self._lock so distributed writes
+        # overlap): vacuum must never sweep these — with concurrent
+        # per-root drivers sharing one store, another driver's vacuum
+        # could otherwise delete a just-staged, not-yet-ingested batch.
+        self._stage_lock = threading.Lock()
+        self._inflight_stages: set[str] = set()
         self._con.execute(
             """CREATE TABLE IF NOT EXISTS _reducer_states(
                  name TEXT PRIMARY KEY, created_at DOUBLE,
@@ -162,6 +179,63 @@ class DuckDBStateStore:
 
     # ---------------- reads ----------------
 
+    def _export_unlocked(self, name: str, keyed: list[str] | None) -> str | None:
+        """COPY the resolved committed state of ``name`` to a versioned
+        parquet export (cached per commit version) and return its
+        directory, or None when the table is empty. Keyed tables
+        resolve latest-per-key server-side before export — the
+        database-side work; slicing/pruning happens Spark-side on the
+        export. Runs under the store lock (single DuckDB connection)."""
+        version = self._version()
+        path = os.path.join(self.staging_dir, "_reads", f"{name}-v{version}")
+        ok = os.path.join(path, "_argus_export_ok")  # _-prefixed: Spark ignores it
+        empty = path + ".empty"
+        if os.path.exists(ok):
+            return path
+        if os.path.exists(empty):
+            return None
+        if keyed:
+            keys = ", ".join(_q(k) for k in keyed)
+            sql = (
+                f"SELECT * EXCLUDE (_v, _rn) FROM ("
+                f"  SELECT *, row_number() OVER ("
+                f"    PARTITION BY {keys} ORDER BY _v DESC, slot DESC"
+                f"  ) AS _rn FROM {_q(name)}) WHERE _rn = 1"
+            )
+        else:
+            sql = f"SELECT * FROM {_q(name)}"
+        n = self._con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+        if n == 0:
+            os.makedirs(os.path.dirname(empty), exist_ok=True)
+            open(empty, "w").close()
+            return None
+        os.makedirs(path, exist_ok=True)
+        out = os.path.join(path, "part-0.parquet").replace("'", "''")
+        self._con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        open(ok, "w").close()
+        # bound export accumulation: reap this table's exports ≥2
+        # versions old. Safe under the synchronous-commit contract
+        # (supports_snapshots=False ⇒ pipeline_depth=1): plans built
+        # against older exports were fully evaluated when their epoch's
+        # commit returned, so nothing lazy references them anymore.
+        reads_dir = os.path.dirname(path)
+        for e in os.listdir(reads_dir):
+            stem = e[: -len(".empty")] if e.endswith(".empty") else e
+            base, sep, vtxt = stem.rpartition("-v")
+            if base != name or not sep:
+                continue
+            try:
+                v = int(vtxt)
+            except ValueError:
+                continue
+            if v < version - 1:
+                target = os.path.join(reads_dir, e)
+                if os.path.isdir(target):
+                    shutil.rmtree(target, ignore_errors=True)
+                else:
+                    os.remove(target)
+        return path
+
     def read_table(
         self,
         spark: SparkSession,
@@ -169,34 +243,24 @@ class DuckDBStateStore:
         min_slot: int | None = None,
         manifest: dict | None = None,
     ) -> DataFrame | None:
-        """Committed state back into Spark via Arrow (production: this
-        is ``spark.read.jdbc`` with pushdown — same boundary). Keyed
-        tables resolve latest-per-key server-side; ``min_slot`` pushes
-        the slot predicate into the database."""
+        """Committed state back into Spark DISTRIBUTED: the database
+        exports its resolved state to parquet staging once per commit
+        version, Spark scans the export in parallel with the
+        ``min_slot`` predicate pushed into the parquet scan. No
+        ``.arrow()``/pandas driver funnel on the committed-read path
+        (production: ``spark.read.jdbc`` partitioned on slot — the
+        reference's pushdown boundary, EfBlockUnitOfWork.cs:124-140)."""
         with self._lock:
-            keyed = self._tables().get(name)
             if name not in self._tables():
                 return None
-            if keyed:
-                keys = ", ".join(_q(k) for k in keyed)
-                sql = (
-                    f"SELECT * EXCLUDE (_v, _rn) FROM ("
-                    f"  SELECT *, row_number() OVER ("
-                    f"    PARTITION BY {keys} ORDER BY _v DESC, slot DESC"
-                    f"  ) AS _rn FROM {_q(name)}) WHERE _rn = 1"
-                )
-                if min_slot is not None:
-                    sql = f"SELECT * FROM ({sql}) WHERE slot >= {int(min_slot)}"
-            else:
-                sql = f"SELECT * FROM {_q(name)}"
-                if min_slot is not None:
-                    sql += f" WHERE slot >= {int(min_slot)}"
-            tbl = self._con.execute(sql).arrow()
-        if tbl.num_rows == 0:
-            # schema inference over an empty pandas frame fails, and
+            export = self._export_unlocked(name, self._tables().get(name))
+        if export is None:
             # ReducerContext.table treats None as "no committed rows"
             return None
-        return spark.createDataFrame(tbl.to_pandas())
+        df = spark.read.parquet(export)
+        if min_slot is not None:
+            df = df.where(f"slot >= {int(min_slot)}")
+        return df
 
     # ---------------- transactional commit (A11) ----------------
 
@@ -223,20 +287,35 @@ class DuckDBStateStore:
         if after is not None:
             after.result()
 
-        # Phase 1 — distributed staging writes (outside the db tx).
+        # Phase 1 — distributed staging writes (outside the db tx),
+        # registered in-flight so a concurrent vacuum can't sweep them.
         staged: dict[str, tuple[str, bool, list[str] | None]] = {}
         stage_batch = os.path.join(self.staging_dir, f"e-{uuid.uuid4().hex}")
-        for name, (df, lo, hi) in appends.items():
-            path = os.path.join(stage_batch, name)
-            d = df.coalesce(write_parts) if write_parts else df
-            d.write.mode("overwrite").parquet(path)
-            staged[name] = (path, False, None)
-        for name, (df, keys, lo, hi) in (upserts or {}).items():
-            path = os.path.join(stage_batch, name)
-            d = df.coalesce(write_parts) if write_parts else df
-            d.write.mode("overwrite").parquet(path)
-            staged[name] = (path, True, list(keys))
+        with self._stage_lock:
+            self._inflight_stages.add(stage_batch)
+        try:
+            for name, (df, lo, hi) in appends.items():
+                path = os.path.join(stage_batch, name)
+                d = df.coalesce(write_parts) if write_parts else df
+                d.write.mode("overwrite").parquet(path)
+                staged[name] = (path, False, None)
+            for name, (df, keys, lo, hi) in (upserts or {}).items():
+                path = os.path.join(stage_batch, name)
+                d = df.coalesce(write_parts) if write_parts else df
+                d.write.mode("overwrite").parquet(path)
+                staged[name] = (path, True, list(keys))
+            return self._ingest_staged(
+                staged, stage_batch, retract_from, retract_tables,
+                states, states_fn, meta,
+            )
+        finally:
+            with self._stage_lock:
+                self._inflight_stages.discard(stage_batch)
 
+    def _ingest_staged(
+        self, staged, stage_batch, retract_from, retract_tables,
+        states, states_fn, meta,
+    ) -> dict:
         wrote_data = retract_from is not None
         with self._lock:
             catalog = self._tables()
@@ -317,10 +396,38 @@ class DuckDBStateStore:
         return self.current_manifest()  # the database maintains its own layout
 
     def vacuum(self) -> int:
+        """Sweep orphaned write-staging batches (crashes before COMMIT)
+        and read exports older than the current commit version. Only
+        safe when no epoch plans still lazily reference old exports —
+        the driver calls this after draining in-flight commits.
+        In-flight staging batches (registered by a concurrent commit's
+        phase 1) are never touched."""
         removed = 0
-        for d in os.listdir(self.staging_dir):  # orphaned staging batches
-            shutil.rmtree(os.path.join(self.staging_dir, d), ignore_errors=True)
-            removed += 1
+        with self._stage_lock:
+            inflight = set(self._inflight_stages)
+        with self._lock:
+            version = self._version()
+            for d in os.listdir(self.staging_dir):
+                p = os.path.join(self.staging_dir, d)
+                if d == "_reads":
+                    for e in os.listdir(p):
+                        stem = e[: -len(".empty")] if e.endswith(".empty") else e
+                        try:
+                            v = int(stem.rsplit("-v", 1)[1])
+                        except (IndexError, ValueError):
+                            v = -1
+                        if v < version:
+                            target = os.path.join(p, e)
+                            if os.path.isdir(target):
+                                shutil.rmtree(target, ignore_errors=True)
+                            else:
+                                os.remove(target)
+                            removed += 1
+                    continue
+                if p in inflight:
+                    continue
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
         return removed
 
     def close(self) -> None:

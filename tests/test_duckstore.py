@@ -129,6 +129,42 @@ def test_keyed_upsert_and_retraction_resurrect(spark, tmp_path):
     store.close()
 
 
+def test_read_path_is_distributed_parquet_scan(spark, tmp_path):
+    """VERDICT r2 item 4: committed reads must come back as a
+    distributed parquet scan of the database's export staging — never
+    an .arrow()→pandas driver funnel (a LocalTableScan/LogicalRDD at
+    the leaf). The slot predicate must reach the parquet scan."""
+    store = DuckDBStateStore(str(tmp_path / "argus.duckdb"))
+    rows = spark.createDataFrame(
+        [(s, s * 10) for s in range(100)], "slot long, x long"
+    )
+    store.commit(appends={"t": (rows, 0, 99)})
+    from argus_spark.plans.checks import formatted_plan
+
+    df = store.read_table(spark, "t", min_slot=50)
+    plan = formatted_plan(df)
+    assert "Scan parquet" in plan, plan
+    assert "LocalTableScan" not in plan and "ExistingRDD" not in plan, plan
+    # slot >= 50 pushed into the scan (row-group pruning at scale)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(slot,50)" in plan, plan
+    assert df.count() == 50
+
+    # export caching: same committed version reads the same export
+    e1 = store._export_unlocked("t", None)
+    e2 = store._export_unlocked("t", None)
+    assert e1 == e2 and e1 is not None
+
+    # new commits bump the version; exports ≥2 versions old are reaped
+    rows2 = spark.createDataFrame([(100, 1000)], "slot long, x long")
+    store.commit(appends={"t": (rows2, 100, 100)})
+    assert store.read_table(spark, "t").count() == 101  # exports t-v2
+    store.commit(appends={"t": (rows2.withColumn("slot", F.lit(101).cast("long")), 101, 101)})
+    assert store.read_table(spark, "t").count() == 102  # exports t-v3, reaps t-v1
+    vers = set(os.listdir(os.path.join(store.staging_dir, "_reads")))
+    assert "t-v1" not in vers and {"t-v2", "t-v3"} <= vers, vers
+    store.close()
+
+
 def test_crash_before_commit_is_invisible(spark, tmp_path):
     """A18 on the SQL backend: a failure inside the transaction rolls
     back data AND checkpoints together."""
