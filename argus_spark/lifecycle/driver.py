@@ -720,23 +720,62 @@ class IndexDriver:
         if self.telemetry is not None:
             self.telemetry.record_event("rollback", ev.rollback_type or "", delete_from)
 
-    def rewind_to(self, delete_from: int, meta: dict[str, Any] | None = None) -> None:
+    def rewind_to(
+        self,
+        delete_from: int,
+        meta: dict[str, Any] | None = None,
+        overrides: dict[str, int] | None = None,
+        exclude: list[str] | None = None,
+    ) -> None:
         """A17 operator rewind / A12 reorg retraction: one atomic commit
         deleting ``slot >= delete_from`` everywhere + rewound windows.
         Custom per-reducer retract hooks run first (for tables outside
-        the slot convention)."""
+        the slot convention).
+
+        ``overrides`` / ``exclude`` are the reference's rollback-mode
+        per-reducer controls (CardanoIndexWorker.cs:181-202, 256-261):
+        ``overrides[reducer] = slot`` rewinds that reducer (its windows,
+        resume cursor, and owned tables) to its own point instead of
+        ``delete_from``; reducers in ``exclude`` are untouched. The
+        whole multi-point retraction still publishes as ONE atomic
+        commit. After a per-reducer rewind the graph resumes from the
+        minimum floor (A15) and deeper-rewound reducers replay while
+        their siblings skip already-applied blocks (per-reducer floor
+        filter in _flush) — the same mechanics as dependent start-point
+        adjustment. Requires declared table ownership when overrides or
+        exclusions are used (tables of excluded reducers must be
+        distinguishable from the rest)."""
         # Pre-fork in-flight commits must publish before the retraction
         # (A12 ordering: the open batch is valid chain history); also
         # settles windows/resume, which the retraction rewrites.
         self._drain_inflight()
+        overrides = dict(overrides or {})
+        excluded = set(exclude or ())
+        known = {r.name for r in self._order}
+        unknown = (set(overrides) | excluded) - known
+        if unknown:
+            raise ValueError(f"unknown reducers in rewind spec: {sorted(unknown)}")
+        if dup := set(overrides) & excluded:
+            raise ValueError(f"reducers both overridden and excluded: {sorted(dup)}")
+        # effective per-reducer cut
+        eff = {
+            r.name: overrides.get(r.name, delete_from)
+            for r in self._order
+            if r.name not in excluded
+        }
         for r in self._order:
+            if r.name in excluded:
+                continue
             if r.retract is not None:
-                r.retract(self.store, delete_from)
+                r.retract(self.store, eff[r.name])
         for r in self._order:
+            if r.name in excluded:
+                continue
+            cut = eff[r.name]
             self._windows[r.name] = window_roll_back(
-                self._windows[r.name], delete_from, self.window_k
+                self._windows[r.name], cut, self.window_k
             )
-            self._resume[r.name] = min(self._resume[r.name], delete_from - 1)
+            self._resume[r.name] = min(self._resume[r.name], cut - 1)
         # Scope the retraction to THIS graph's tables when every
         # reducer declares ownership — per-root processors share a
         # store but roll back independently (the reference runs one
@@ -748,11 +787,27 @@ class IndexDriver:
                 owned = None
                 break
             owned.extend(r.tables)
+        if overrides or excluded:
+            if owned is None:
+                raise ValueError(
+                    "per-reducer rewind overrides/exclusions require every "
+                    "reducer to declare table ownership"
+                )
+            retract_arg: int | dict[str, int] = {
+                t: eff[r.name]
+                for r in self._order
+                if r.name not in excluded
+                for t in r.tables
+            }
+            scope = None  # the map's keys ARE the scope
+        else:
+            retract_arg = delete_from
+            scope = owned
         self.store.commit(
             appends={},
             states=self._state_rows(),
-            retract_from=delete_from,
-            retract_tables=owned,
+            retract_from=retract_arg,
+            retract_tables=scope,
             spark=self.spark,
             meta=meta or {"rollback_to": delete_from},
         )

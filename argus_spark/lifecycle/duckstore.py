@@ -323,14 +323,28 @@ class DuckDBStateStore:
             self._con.execute("BEGIN")
             try:
                 if retract_from is not None:
+                    # int = uniform cut scoped by retract_tables;
+                    # dict[table -> slot] = per-table cuts (A17
+                    # per-reducer rewind overrides)
+                    per = (
+                        retract_from
+                        if isinstance(retract_from, dict)
+                        else None
+                    )
                     scope = (
                         set(retract_tables) if retract_tables is not None else None
                     )
                     for name, keyed in catalog.items():
-                        if scope is not None and name not in scope:
-                            continue
+                        if per is not None:
+                            if name not in per:
+                                continue
+                            cut = per[name]
+                        else:
+                            if scope is not None and name not in scope:
+                                continue
+                            cut = retract_from
                         self._con.execute(
-                            f"DELETE FROM {_q(name)} WHERE slot >= {int(retract_from)}"
+                            f"DELETE FROM {_q(name)} WHERE slot >= {int(cut)}"
                         )
                 import glob as globmod
 

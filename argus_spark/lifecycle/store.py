@@ -251,7 +251,9 @@ class ParquetStateStore:
         self,
         appends: dict[str, tuple[DataFrame, int, int]],
         states: dict[str, ReducerStateRow] | None = None,
-        retract_from: int | None = None,
+        # int = uniform slot-range retraction (scoped by retract_tables);
+        # dict[table -> slot] = per-table cuts (A17 rewind overrides)
+        retract_from: int | dict[str, int] | None = None,
         spark: SparkSession | None = None,
         meta: dict[str, Any] | None = None,
         upserts: dict[str, tuple[DataFrame, list[str], int, int]] | None = None,
@@ -454,7 +456,7 @@ class ParquetStateStore:
         self,
         spark: SparkSession,
         tables: dict[str, list[dict]],
-        delete_from: int,
+        delete_from: int | dict[str, int],
         only: set[str] | None = None,
     ) -> dict[str, list[dict]]:
         """B6 as file-group surgery: drop groups fully ≥ delete_from,
@@ -462,25 +464,37 @@ class ParquetStateStore:
         keep groups fully below untouched. ``only`` scopes the
         retraction to one graph's tables (per-root processors share a
         store but roll back independently — the reference's
-        one-chain-connection-per-root shape)."""
+        one-chain-connection-per-root shape).
+
+        ``delete_from`` may be a per-table map (A17 per-reducer rewind
+        overrides, CardanoIndexWorker.cs:181-202): each listed table
+        retracts from its own slot; unlisted tables are untouched."""
+        per_table = delete_from if isinstance(delete_from, dict) else None
         out: dict[str, list[dict]] = {}
         for name, groups in tables.items():
-            if only is not None and name not in only:
-                out[name] = list(groups)
-                continue
+            if per_table is not None:
+                if name not in per_table:
+                    out[name] = list(groups)
+                    continue
+                cut = per_table[name]
+            else:
+                if only is not None and name not in only:
+                    out[name] = list(groups)
+                    continue
+                cut = delete_from
             kept: list[dict] = []
             for gd in groups:
                 g = FileGroup.from_dict(gd)
-                if g.min_slot >= delete_from:
+                if g.min_slot >= cut:
                     continue  # fully rolled back — drop
-                if g.max_slot < delete_from:
+                if g.max_slot < cut:
                     kept.append(gd)  # fully retained — untouched
                     continue
                 # straddles the fork — copy-on-write rewrite
                 df = spark.read.parquet(os.path.join(self.root, g.path)).filter(
-                    f"slot < {delete_from}"
+                    f"slot < {cut}"
                 )
-                ng = self._write_group(name, df, g.min_slot, delete_from - 1)
+                ng = self._write_group(name, df, g.min_slot, cut - 1)
                 if ng is not None:
                     kept.append(ng.as_dict())
             out[name] = kept

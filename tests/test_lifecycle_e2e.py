@@ -194,6 +194,82 @@ def test_deep_rollback_then_fresh_driver_no_duplicates(spark, chain, tmp_path, d
     )
 
 
+def test_per_reducer_rewind_overrides(spark, chain, tmp_path):
+    """A17 parity (CardanoIndexWorker.cs:181-202, 256-261): rollback
+    mode takes per-reducer point overrides and an exclusion list — one
+    reducer rewinds deeper than its siblings, an excluded reducer is
+    untouched, and the whole thing is ONE atomic commit. Replay then
+    refills exactly (deeper-rewound reducers re-apply, siblings skip)."""
+    from argus_spark.lifecycle.dag import Reducer, ReducerRegistry
+
+    blocks, _, slots = chain
+    store = ParquetStateStore(str(tmp_path / "store"))
+
+    def _mk(table):
+        def _apply(ctx):
+            return {table: ctx.blocks.select("slot", "hash")}
+
+        return _apply
+
+    def _registry():
+        reg = ReducerRegistry()
+        reg.register(Reducer("ra", _mk("rw_a"), tables=["rw_a"]))
+        reg.register(Reducer("rb", _mk("rw_b"), tables=["rw_b"]))
+        reg.register(Reducer("rc", _mk("rw_c"), tables=["rw_c"]))
+        return reg
+
+    d = IndexDriver(
+        spark, _registry(), store, blocks, batch_size=200, max_delay_s=1e9
+    )
+    d.run(fwd(slots))
+    tip = max(slots)
+    cut_a = slots[len(slots) // 2]
+    cut_b = slots[len(slots) // 4]  # rb rewinds deeper than ra
+
+    with pytest.raises(ValueError, match="unknown reducers"):
+        d.rewind_to(cut_a, overrides={"nope": 0})
+    d.rewind_to(cut_a, overrides={"rb": cut_b}, exclude=["rc"])
+
+    def _count(t):
+        df = store.read_table(spark, t)
+        return df.count() if df is not None else 0
+
+    assert _count("rw_a") == sum(1 for s in slots if s < cut_a)
+    assert _count("rw_b") == sum(1 for s in slots if s < cut_b)
+    assert _count("rw_c") == len(slots)  # excluded — untouched
+    states = store.reducer_states()
+    assert states["ra"].resume_slot == cut_a - 1
+    assert states["rb"].resume_slot == cut_b - 1
+    assert states["rc"].resume_slot == tip  # excluded — cursor intact
+    # checkpoint windows rewound per-reducer
+    assert all(p.slot < cut_a for p in states["ra"].window())
+    assert all(p.slot < cut_b for p in states["rb"].window())
+    assert any(p.slot == tip for p in states["rc"].window())
+
+    # replay from the min floor: rb re-applies deepest, ra from cut_a,
+    # rc skips everything — all tables converge to full chain, no dupes
+    d2 = IndexDriver(
+        spark, _registry(), store, blocks, batch_size=200, max_delay_s=1e9
+    )
+    stats = d2.run(fwd(slots))
+    assert stats.skipped > 0
+    for t in ("rw_a", "rw_b", "rw_c"):
+        assert _count(t) == len(slots), t
+        dupes = (
+            store.read_table(spark, t)
+            .groupBy("slot").count().filter("count > 1").count()
+        )
+        assert dupes == 0, t
+
+    # undeclared ownership + overrides must be rejected
+    reg2 = ReducerRegistry()
+    reg2.register(Reducer("loose", _mk("rw_loose")))  # no tables=
+    store2 = ParquetStateStore(str(tmp_path / "store2"))
+    d3 = IndexDriver(spark, reg2, store2, blocks, batch_size=1e9)
+    with pytest.raises(ValueError, match="table ownership"):
+        d3.rewind_to(10, overrides={"loose": 5})
+
+
 def test_deep_rollback_guarded(spark, chain, tmp_path):
     from argus_spark.lifecycle.state import CheckpointWindowError
 
