@@ -85,18 +85,31 @@ def main() -> None:
         except Exception:
             pass
 
-    # Best-of-2 at the bench SF: the first sf0.1 execution of a plan pays
-    # JVM JIT/codegen compilation (observed 2-5x inflation on the nested/
-    # HOF-heavy plans); the second run is steady-state throughput, which
-    # is what BASELINE.md's blocks/s numbers measure too.
+    # Median-of-3 at the bench SF after one untimed warm run (the first
+    # sf0.1 execution of a plan pays JVM JIT/codegen — observed 2-5x
+    # inflation on the nested/HOF-heavy plans). Reporting {median, min,
+    # n} per query makes run-to-run drift attributable: a plan change
+    # moves the median; cache/GC noise only widens min↔median (the r2
+    # ±5% watched_balances/explode_ordinal wobble was unattributable
+    # from n=1 numbers).
+    N_RUNS = 3
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for n in names:
-        best = float("inf")
-        for _ in range(2):
+        _run(qs[n](spark, SF_DIR))  # steady-state warm run (untimed)
+        runs = []
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             _run(qs[n](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[n] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        median = runs[len(runs) // 2]
+        timings[n] = round(median, 4)
+        stats[n] = {
+            "median": round(median, 4),
+            "min": round(runs[0], 4),
+            "n": N_RUNS,
+        }
 
     # blocks/s through the canonical UTxO lifecycle graph (batch mode):
     # how many distinct slots (= blocks, FIXTURES §5) the §2.C pipeline
@@ -192,7 +205,8 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,  # per-query MEDIAN of n steady-state runs
+        "queries_stats": stats,
         "sf": sf,
         "blocks_per_sec_utxo_graph": blocks_per_sec,
         "blocks_per_sec_lifecycle": lifecycle_bps,
