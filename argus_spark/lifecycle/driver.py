@@ -152,7 +152,12 @@ class ReducerContext:
         self._manifest = manifest
         self.view_ns = view_ns
 
-    def table(self, name: str, min_slot: int | None = None) -> DataFrame | None:
+    def table(
+        self,
+        name: str,
+        min_slot: int | None = None,
+        probe: tuple[DataFrame, list[str]] | None = None,
+    ) -> DataFrame | None:
         """Committed snapshot ∪ pending epoch outputs. With pipelined
         commits the pending list spans every in-flight epoch plus this
         epoch's earlier reducers, so read-your-writes holds even while
@@ -160,9 +165,22 @@ class ReducerContext:
         pin to the epoch's frozen manifest snapshot: the pending seed
         was derived from the same snapshot, so a predecessor publishing
         mid-epoch can never double-count (rows visible via pending AND
-        a fresher manifest) or vanish."""
+        a fresher manifest) or vanish.
+
+        ``probe=(df, keys)``: when the store has a bucket layout for
+        ``name`` on ``keys``, prune the committed scan to the buckets
+        the probe keys hash into (store.bucket_ids — one small distinct
+        job). ONLY sound when the result feeds an equi-/semi-join on
+        exactly those keys against the probe set (the spend-probe
+        shape); a no-op for unbucketed tables. Pending epochs are never
+        pruned (small, in-memory)."""
+        buckets = None
+        if probe is not None and hasattr(self.store, "bucket_ids"):
+            pdf, pkeys = probe
+            buckets = self.store.bucket_ids(self.spark, name, pdf)
         committed = self.store.read_table(
-            self.spark, name, min_slot, manifest=self._manifest
+            self.spark, name, min_slot, manifest=self._manifest,
+            **({"buckets": buckets} if buckets is not None else {}),
         )
         parts = list(self._pending.get(name, []))
         if committed is not None:
@@ -174,14 +192,19 @@ class ReducerContext:
             out = out.unionByName(p)
         return out
 
-    def table_view(self, name: str, min_slot: int | None = None) -> str | None:
+    def table_view(
+        self,
+        name: str,
+        min_slot: int | None = None,
+        probe: tuple[DataFrame, list[str]] | None = None,
+    ) -> str | None:
         """:meth:`table` registered as a temp view, for reducers that
         build their epoch plan with one ``spark.sql`` call (see
         reducers/examples.py — a SQL string analyzes JVM-side in one
         Py4J hop, where the equivalent DataFrame chain pays a round-
         trip per operator). Returns the view name, or None when the
         table has no committed or pending data."""
-        df = self.table(name, min_slot)
+        df = self.table(name, min_slot, probe=probe)
         if df is None:
             return None
         return self.register_view(f"t_{name}", df)

@@ -54,18 +54,27 @@ class FileGroup:
     min_slot: int
     max_slot: int
     rows: int
+    # written under a bucket spec: part-file NNNNN == bucket id, so
+    # probe reads can prune to the buckets a key set hashes into
+    bucketed: bool = False
 
     def as_dict(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "min_slot": self.min_slot,
             "max_slot": self.max_slot,
             "rows": self.rows,
         }
+        if self.bucketed:
+            d["bucketed"] = True
+        return d
 
     @staticmethod
     def from_dict(d: dict) -> "FileGroup":
-        return FileGroup(d["path"], d["min_slot"], d["max_slot"], d["rows"])
+        return FileGroup(
+            d["path"], d["min_slot"], d["max_slot"], d["rows"],
+            d.get("bucketed", False),
+        )
 
 
 @dataclass
@@ -99,6 +108,50 @@ class ParquetStateStore:
         self._publish_lock = threading.Lock()
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        # declared bucket layouts (persisted in the manifest so a
+        # restarted driver keeps writing the same layout)
+        self._bucketing: dict[str, dict] = dict(
+            self.current_manifest().get("bucketed_tables", {})
+        )
+
+    # ---------------- bucketed layout (hot-probe scale path) ----------------
+
+    def set_bucketing(self, name: str, keys: list[str], n_buckets: int) -> None:
+        """Declare that ``name``'s file-groups are written hash-bucketed
+        by ``keys`` into ``n_buckets`` part-files per group (the
+        operators/bucketed.py layout contract applied to the lifecycle
+        sink). Spark's ``repartition(n, cols)`` is Murmur3
+        ``pmod(hash(cols), n)`` and part-file numbering follows the
+        partition id, so bucket membership is computable engine-side
+        (``bucket_ids``) and probe reads prune to the buckets a key set
+        hashes into — the spend probe stops scanning the whole UTxO set
+        and reads only candidate buckets. Pruned reads are sound ONLY
+        for consumers that equi-join/semi-join on exactly ``keys``.
+        Declare before first write; groups written earlier stay
+        unbucketed and are never pruned (correct, just unprunable)."""
+        prev = self._bucketing.get(name)
+        spec = {"keys": list(keys), "n": int(n_buckets)}
+        if prev is not None and prev != spec:
+            raise ValueError(f"bucket spec for {name!r} changed: {prev} -> {spec}")
+        self._bucketing[name] = spec
+
+    def bucket_ids(self, spark, name: str, probe_df: DataFrame) -> list[int] | None:
+        """Distinct bucket ids the probe keys hash into (None when the
+        table has no bucket spec). Control-plane: ≤ n_buckets ints.
+        ``probe_df`` columns must be named exactly like the spec keys."""
+        spec = self._bucketing.get(name)
+        if spec is None:
+            return None
+        from pyspark.sql import functions as F
+
+        rows = (
+            probe_df.select(
+                F.pmod(F.hash(*spec["keys"]), F.lit(spec["n"])).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted(r.b for r in rows)
 
     # ---------------- manifest plumbing ----------------
 
@@ -151,6 +204,7 @@ class ParquetStateStore:
         name: str,
         min_slot: int | None = None,
         manifest: dict | None = None,
+        buckets: list[int] | None = None,
     ) -> DataFrame | None:
         """Snapshot read. ``min_slot`` prunes file-groups by their slot
         range before Spark ever lists them (manifest-level partition
@@ -161,6 +215,13 @@ class ParquetStateStore:
         — the pipelined driver reads every epoch against one frozen
         manifest so concurrent publishes can't shift committed state
         mid-epoch). Default: the latest published manifest.
+
+        ``buckets`` (from :meth:`bucket_ids`) prunes BUCKETED groups to
+        those part-files — the probe path: only the buckets the probe
+        keys hash into are scanned. Unbucketed groups are always read
+        whole (a superset — sound for the equi-join consumers pruning
+        is restricted to). Not supported for keyed tables (latest-per-
+        key must see every version).
 
         For a KEYED table, group pruning happens after latest-per-key
         resolution (as a row filter), never before: a pruned group
@@ -173,13 +234,30 @@ class ParquetStateStore:
         groups = self.table_groups(name, None if keys else min_slot, manifest)
         if not groups:
             return None
+        if keys and buckets is not None:
+            raise ValueError("bucket-pruned reads unsupported for keyed tables")
+        paths: list[str] = []
+        for g in groups:
+            full = os.path.join(self.root, g.path)
+            if buckets is not None and g.bucketed:
+                for b in buckets:
+                    paths.extend(
+                        __import__("glob").glob(
+                            os.path.join(full, f"part-{b:05d}-*")
+                        )
+                    )
+            else:
+                paths.append(full)
+        if not paths:
+            # every candidate bucket is empty in every group
+            return None
         reader = spark.read
         known = self._schemas.get(name)
         if known is not None:
             # learned from our own writes (keyed groups carry _v there,
             # so it matches the on-disk files either way)
             reader = reader.schema(known)
-        df = reader.parquet(*[os.path.join(self.root, g.path) for g in groups])
+        df = reader.parquet(*paths)
         if keys:
             from pyspark.sql import Window
             from pyspark.sql import functions as F
@@ -219,6 +297,12 @@ class ParquetStateStore:
     ) -> FileGroup | None:
         rel = os.path.join(DATA_DIR, name, f"g-{uuid.uuid4().hex}")
         full = os.path.join(self.root, rel)
+        spec = self._bucketing.get(name)
+        if spec is not None:
+            # bucketed layout overrides epoch width sizing: partition id
+            # == bucket id == part-file number (HashPartitioning pmod)
+            df = df.repartition(spec["n"], *spec["keys"])
+            parts = None
         if parts is not None and parts > 0:
             # Write-width control (driver-sized per epoch, see _flush):
             # ``coalesce`` for small epochs — free, but it PROPAGATES UP
@@ -245,7 +329,10 @@ class ParquetStateStore:
         if rows == 0:
             shutil.rmtree(full, ignore_errors=True)
             return None
-        return FileGroup(path=rel, min_slot=lo, max_slot=hi, rows=rows)
+        return FileGroup(
+            path=rel, min_slot=lo, max_slot=hi, rows=rows,
+            bucketed=spec is not None,
+        )
 
     def commit(
         self,
@@ -448,6 +535,7 @@ class ParquetStateStore:
             "ts": time.time(),
             "tables": tables,
             "keyed_tables": keyed,
+            "bucketed_tables": dict(self._bucketing),
             "reducer_states": new_states,
             "meta": meta or {},
         }
@@ -555,6 +643,7 @@ class ParquetStateStore:
             "ts": time.time(),
             "tables": tables,
             "keyed_tables": dict(manifest.get("keyed_tables", {})),
+            "bucketed_tables": dict(self._bucketing),
             "reducer_states": dict(manifest["reducer_states"]),
             "meta": {"compacted": name, "upto_slot": upto_slot},
         }

@@ -97,13 +97,29 @@ def make_utxo_reducer(watched: DataFrame):
         # spend matching (B14): known UTxOs = committed wallet_utxos ∪
         # this epoch's created rows (read-your-writes B17 — intra-epoch
         # spends resolve correctly). The epoch's inputs are small →
-        # broadcast them and probe the big UTxO side, never the reverse.
-        # 100 TB note: this probe scans the committed table (an old UTxO
-        # is always spendable, so slot pruning can't help); the scale
-        # mitigation is layout, not logic — write wallet_utxos bucketed
-        # by tx_hash (operators/bucketed.py) so the probe prunes to the
-        # buckets the epoch's inputs hash into.
-        committed_view = ctx.table_view("wallet_utxos")
+        # broadcast them and probe the big UTxO side, never the reverse
+        # (no Exchange on the committed side). An old UTxO is always
+        # spendable, so slot pruning can't help the probe; the scale
+        # lever is LAYOUT: when the store declares wallet_utxos
+        # bucketed by tx_hash (store.set_bucketing), the probe below
+        # prunes the committed scan to the buckets this epoch's inputs
+        # hash into — sound because the consumer is exactly the
+        # equi-join on tx_hash. Unbucketed stores read the whole table
+        # (probe is a no-op).
+        inputs_df = ctx.spark.sql(
+            f"""
+            SELECT inp.tx_id AS tx_id, inp.index AS index,
+                   slot AS spend_slot
+            FROM {bv}
+            LATERAL VIEW explode(txs) bt AS tx
+            LATERAL VIEW explode(tx.inputs) it AS inp
+            """
+        )
+        iv = ctx.register_view("epoch_inputs", inputs_df)
+        committed_view = ctx.table_view(
+            "wallet_utxos",
+            probe=(inputs_df.selectExpr("tx_id AS tx_hash"), ["tx_hash"]),
+        )
         known = (
             f"(SELECT * FROM {committed_view}"
             f" UNION ALL SELECT * FROM {created_view})"
@@ -119,13 +135,7 @@ def make_utxo_reducer(watched: DataFrame):
                    u.tx_hash, u.tx_index, u.address_name, u.amount,
                    i.spend_slot AS slot
             FROM {known} u
-            JOIN (
-              SELECT inp.tx_id AS tx_id, inp.index AS index,
-                     slot AS spend_slot
-              FROM {bv}
-              LATERAL VIEW explode(txs) bt AS tx
-              LATERAL VIEW explode(tx.inputs) it AS inp
-            ) i ON u.tx_hash = i.tx_id AND u.tx_index = i.index
+            JOIN {iv} i ON u.tx_hash = i.tx_id AND u.tx_index = i.index
             """
         )
         return {"wallet_utxos": created, "utxo_spends": spends}
