@@ -403,6 +403,29 @@ class IndexDriver:
             _aqe_release(self.spark)
 
     def _run(self, events) -> DriverStats:
+        try:
+            return self._run_inner(events)
+        except BaseException:
+            # Fail-fast (A18) hygiene: a reducer/commit failure must not
+            # leave commit write jobs running past run()'s AQE-refcount
+            # release (the documented empty-write race) or leak cached
+            # epoch DataFrames. Settle every in-flight commit before
+            # propagating; their own errors are secondary here.
+            for fl in self._inflight:
+                try:
+                    fl["future"].result()
+                except Exception:
+                    pass
+            while self._inflight:
+                fl = self._inflight.pop(0)
+                for df in fl["cached"]:
+                    df.unpersist()
+                if fl["blocks"] is not None:
+                    fl["blocks"].unpersist()
+            self._release_retired()
+            raise
+
+    def _run_inner(self, events) -> DriverStats:
         t0 = time.monotonic()
         pending: list[int] = []
         batch_opened = time.monotonic()
@@ -664,6 +687,28 @@ class IndexDriver:
             # published (cheap local JSON); defer-if-empty is tracked
             # for parity
             self._deferred_states = not manifest.get("_wrote_data", True)
+            # Tip truth-up: _flush advances _table_tips to the epoch's
+            # hi OPTIMISTICALLY (the next epoch's read-your-writes needs
+            # it before the commit lands), but an output that evaluated
+            # EMPTY writes no group — leaving the tip pointing at a
+            # slot holding no data, which an incremental reducer reading
+            # "slot = prev_slot" would see as lost state. Once the
+            # commit publishes, re-derive each touched table's tip from
+            # the authoritative manifest, keeping still-in-flight
+            # successors' optimistic his.
+            for tbl in fl["pending"]:
+                committed = max(
+                    (
+                        g["max_slot"]
+                        for g in manifest.get("tables", {}).get(tbl, [])
+                    ),
+                    default=-1,
+                )
+                pending_hi = max(
+                    (f2["hi"] for f2 in self._inflight if tbl in f2["pending"]),
+                    default=-1,
+                )
+                self._table_tips[tbl] = max(committed, pending_hi)
         finally:
             self._release_retired()
             self._retired = fl

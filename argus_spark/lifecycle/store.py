@@ -113,6 +113,13 @@ class ParquetStateStore:
         self._bucketing: dict[str, dict] = dict(
             self.current_manifest().get("bucketed_tables", {})
         )
+        # group paths being written by commits that have not published
+        # yet: vacuum must never sweep these. Commits write data files
+        # BEFORE the manifest rename, so "absent from the current
+        # manifest" alone cannot distinguish garbage from another
+        # driver's in-flight epoch (MultiRootDriver shares one store).
+        self._inflight_lock = threading.Lock()
+        self._inflight_groups: set[str] = set()
 
     # ---------------- bucketed layout (hot-probe scale path) ----------------
 
@@ -180,6 +187,16 @@ class ParquetStateStore:
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, path)  # the commit point — atomic on POSIX
+        # groups referenced by a published manifest are no longer
+        # in-flight (vacuum protects them via the manifest instead).
+        # Groups of a FAILED commit stay registered for the process
+        # lifetime — a bounded leak, swept by the next process's vacuum.
+        with self._inflight_lock:
+            self._inflight_groups -= {
+                g["path"]
+                for groups in manifest["tables"].values()
+                for g in groups
+            }
 
     # ---------------- reads ----------------
 
@@ -297,6 +314,8 @@ class ParquetStateStore:
     ) -> FileGroup | None:
         rel = os.path.join(DATA_DIR, name, f"g-{uuid.uuid4().hex}")
         full = os.path.join(self.root, rel)
+        with self._inflight_lock:
+            self._inflight_groups.add(rel)
         spec = self._bucketing.get(name)
         if spec is not None:
             # bucketed layout overrides epoch width sizing: partition id
@@ -328,6 +347,8 @@ class ParquetStateStore:
             rows = pads.dataset(full, format="parquet").count_rows()
         if rows == 0:
             shutil.rmtree(full, ignore_errors=True)
+            with self._inflight_lock:
+                self._inflight_groups.discard(rel)
             return None
         return FileGroup(
             path=rel, min_slot=lo, max_slot=hi, rows=rows,
@@ -651,14 +672,20 @@ class ParquetStateStore:
         return new_manifest
 
     def vacuum(self) -> int:
-        """Remove data file-groups no longer referenced by the current
-        manifest (crash leftovers, rolled-back groups). Returns count
-        removed. Safe any time — unreferenced groups are invisible."""
+        """Remove data file-groups that are neither referenced by the
+        current manifest nor being written by an in-flight commit
+        (commits write file-groups BEFORE publishing, so manifest
+        absence alone doesn't mean garbage — with concurrent per-root
+        drivers sharing one store, sweeping those would delete another
+        driver's just-staged epoch and its subsequent publish would
+        reference missing paths). Returns count removed."""
         live = {
             g["path"]
             for groups in self.current_manifest()["tables"].values()
             for g in groups
         }
+        with self._inflight_lock:
+            live |= self._inflight_groups
         removed = 0
         data_root = os.path.join(self.root, DATA_DIR)
         for table in os.listdir(data_root):

@@ -123,3 +123,64 @@ class TestGraph:
         with pytest.raises(GraphError):
             reg.with_allowlist(["child"])  # parent not active
         assert len(reg.with_allowlist(["root"])) == 1
+
+
+class TestStoreHygiene:
+    """Round-2 ADVICE fixes: vacuum vs in-flight commits, and table
+    tips vs empty epoch outputs."""
+
+    def test_vacuum_spares_unpublished_inflight_groups(self, spark, tmp_path):
+        """Commits write file-groups BEFORE publishing; a concurrent
+        driver's vacuum must not sweep them (manifest absence alone is
+        not garbage). Once published, the manifest protects them; a
+        fresh store instance agrees."""
+        from argus_spark.lifecycle.store import ParquetStateStore
+
+        store = ParquetStateStore(str(tmp_path / "s"))
+        df = spark.range(5).selectExpr("id AS slot")
+        g = store._write_group("t", df, 0, 4)
+        assert g is not None
+        assert store.vacuum() == 0  # in-flight, not yet in any manifest
+        assert os.path.exists(os.path.join(store.root, g.path))
+        m = store.current_manifest()
+        store._publish(store._assemble(m, {"t": [g.as_dict()]}, {}, None, {}))
+        assert store.vacuum() == 0  # now manifest-protected
+        assert ParquetStateStore(store.root).vacuum() == 0
+        assert os.path.exists(os.path.join(store.root, g.path))
+
+    def test_table_tip_truth_up_on_empty_output(self, spark, tmp_path):
+        """An epoch whose output evaluates EMPTY writes no group; after
+        its commit publishes, the table tip must re-derive from the
+        manifest instead of overstating to the epoch's hi (an
+        incremental reducer reading 'slot = prev_slot' would otherwise
+        silently lose prior state)."""
+        from pyspark.sql import functions as F
+
+        from argus_spark.chain.synth import synth_blocks
+        from argus_spark.lifecycle.driver import ChainEvent, IndexDriver
+        from argus_spark.lifecycle.store import ParquetStateStore
+        from tests.conftest import SF_SMOKE
+
+        blocks = synth_blocks(spark, SF_SMOKE)
+        slots = [r.slot for r in blocks.select("slot").orderBy("slot").collect()]
+        cut = slots[199]  # epoch 1 = slots[0:200] -> rows; later epochs empty
+
+        reg = ReducerRegistry()
+        reg.register(
+            Reducer(
+                "sparse",
+                lambda ctx: {
+                    "sparse_t": ctx.blocks.filter(F.col("slot") <= cut).select(
+                        "slot"
+                    )
+                },
+                tables=["sparse_t"],
+            )
+        )
+        store = ParquetStateStore(str(tmp_path / "s"))
+        d = IndexDriver(
+            spark, reg, store, blocks, batch_size=200, max_delay_s=1e9
+        )
+        d.run([ChainEvent("roll_forward", block_slot=s) for s in slots])
+        assert d._table_tips["sparse_t"] == cut
+        assert max(slots) > cut  # the overstated value the fix prevents
