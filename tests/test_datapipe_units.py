@@ -74,3 +74,106 @@ def test_sampling_deterministic_under_repartitioning(spark):
             )
         )
         assert base == parts, fn.__name__
+
+
+class TestEmbeddingLshRecall:
+    """The dedup_embedding_cosine contract is precision-1 /
+    approximate-recall (see its docstring): every emitted pair truly
+    has cos >= tau, and recall vs the quadratic all-pairs ideal is the
+    banding probability. This test MEASURES both against the exact
+    baseline so the recall loss the round-2 advisory flagged is a
+    tested number, not an invisible assumption."""
+
+    def test_precision_and_recall_vs_exact_allpairs(self, spark):
+        from pyspark.sql import functions as F
+
+        from argus_spark.datapipe.dedup import (
+            COS_TAU,
+            _as_double,
+            _dot,
+            cosine_prenorm,
+            dedup_embedding_cosine,
+            norm,
+        )
+        from argus_spark.session import load
+        from tests.conftest import SF_SMOKE
+
+        e = (
+            load(spark, SF_SMOKE, "embeddings", widen=True)
+            .select("vec_id", _as_double("embedding").alias("v"))
+            .withColumn("nrm", norm(F.col("v")))
+        )
+        a = e.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        b = e.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        # exact all-pairs baseline — test-only (quadratic by nature;
+        # this is exactly why the operator itself is LSH-banded)
+        exact = (
+            a.crossJoin(b)
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn(
+                "cos_sim",
+                cosine_prenorm(
+                    _dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+                ),
+            )
+            .filter(F.col("cos_sim") >= COS_TAU)
+        )
+        exact_pairs = {
+            (r.vec_a, r.vec_b): r.cos_sim for r in exact.collect()
+        }
+        lsh_pairs = {
+            (r.vec_a, r.vec_b)
+            for r in dedup_embedding_cosine(spark, SF_SMOKE).collect()
+        }
+        assert exact_pairs, "fixture should contain near-dup pairs"
+        # precision is exactly 1.0: LSH pairs are a verified subset
+        assert lsh_pairs <= set(exact_pairs), (
+            lsh_pairs - set(exact_pairs)
+        )
+        # overall recall down to tau=0.4 is documented as ~0.5 and
+        # below; floor it loosely to catch catastrophic regressions
+        # (measured 0.45 at sf0.001: 30 of 66 exact pairs)
+        overall = len(lsh_pairs) / len(exact_pairs)
+        assert overall >= 0.15, (len(lsh_pairs), len(exact_pairs))
+
+    def test_band_collision_recall_high_similarity(self, spark):
+        """The regime near-dup dedup actually targets (cos ≈ 0.9) has
+        no natural pairs in the small fixture, so measure the banding
+        recall on synthetic perturbed pairs: P(≥1 band collides) must
+        match the documented ≈0.95 at cos 0.9 (gate at ≥0.85)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from argus_spark.datapipe.dedup import DIM, EC_BANDS, _ec_band_val
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(200):
+            v = rng.standard_normal(DIM)
+            v /= np.linalg.norm(v)
+            # perturb to a target cosine of ~0.9
+            noise = rng.standard_normal(DIM)
+            noise -= noise.dot(v) * v  # orthogonalize
+            noise /= np.linalg.norm(noise)
+            t = 0.9
+            w = t * v + np.sqrt(1 - t * t) * noise
+            rows.append(([float(x) for x in v], [float(x) for x in w]))
+        df = spark.createDataFrame(
+            rows, "va array<double>, wa array<double>"
+        )
+        collide = F.lit(False)
+        for bnd in range(EC_BANDS):
+            collide = collide | (
+                _ec_band_val(F.col("va"), bnd) == _ec_band_val(F.col("wa"), bnd)
+            )
+        hits = df.select(collide.alias("c")).filter("c").count()
+        recall = hits / 200
+        assert recall >= 0.85, recall
