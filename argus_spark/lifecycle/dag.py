@@ -109,6 +109,30 @@ class ReducerRegistry:
             raise GraphError("graph contains unreachable reducers (cycle?)")
         return order
 
+    def topo_levels(self) -> list[list[Reducer]]:
+        """Topo order grouped into dependency levels: a reducer in
+        level i has its parent (if any) in a level < i, so reducers
+        within one level are mutually independent. The driver builds a
+        level's epoch plans CONCURRENTLY (plan building is Py4J/
+        analysis-bound, not compute) and merges outputs in this list's
+        deterministic order. Note the contract sharpening vs a purely
+        sequential walk: a reducer only sees the uncommitted epoch
+        output of reducers in EARLIER levels — i.e. of its declared
+        ancestors — which is exactly the reference's read-your-writes
+        guarantee (DependentDataConsumptionTest.cs:24-40 reads a
+        declared parent's ``.Local``; undeclared cross-reads were never
+        part of the contract)."""
+        order = self.topo_order()
+        level: dict[str, int] = {}
+        out: list[list[Reducer]] = []
+        for r in order:
+            lvl = 0 if r.depends_on is None else level[r.depends_on] + 1
+            level[r.name] = lvl
+            while len(out) <= lvl:
+                out.append([])
+            out[lvl].append(r)
+        return out
+
     def subgraph_of(self, root: str) -> list[str]:
         """All members of a root's chain (for safe intersection, A15)."""
         members = []

@@ -85,18 +85,24 @@ def main() -> None:
         except Exception:
             pass
 
-    # Median-of-3 at the bench SF after one untimed warm run (the first
-    # sf0.1 execution of a plan pays JVM JIT/codegen — observed 2-5x
-    # inflation on the nested/HOF-heavy plans). Reporting {median, min,
-    # n} per query makes run-to-run drift attributable: a plan change
-    # moves the median; cache/GC noise only widens min↔median (the r2
-    # ±5% watched_balances/explode_ordinal wobble was unattributable
-    # from n=1 numbers).
+    # Median-of-3 at the bench SF after TWO untimed warm runs. The
+    # first sf0.1 executions of a plan pay JVM JIT/codegen, and the
+    # HOF-heavy plans (IVF cell assignment: a 3k-centroid × 64-dim fold
+    # per row) measured needing two full runs before C2 settles (11.8s,
+    # 11.3s, then 2.0s steady) — one warmup left JIT-inflated runs
+    # inside the timed window, skewing the median 3-8x. With two
+    # warmups plus median-of-3, even one further straggler in the timed
+    # window leaves the median on a steady-state run. Reporting
+    # {median, min, n} per query makes run-to-run drift attributable: a
+    # plan change moves the median; cache/GC noise only widens
+    # min↔median.
     N_RUNS = 3
+    N_WARM = 2
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
     for n in names:
-        _run(qs[n](spark, SF_DIR))  # steady-state warm run (untimed)
+        for _ in range(N_WARM):
+            _run(qs[n](spark, SF_DIR))
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
@@ -151,7 +157,10 @@ def main() -> None:
             ]
             events = [ChainEvent("roll_forward", block_slot=s) for s in slots]
             wall = float("inf")
-            for i in range(3):
+            # run 0 warms; best of the remaining 3 — host-scheduling
+            # noise measured up to 2x swings between identical runs on
+            # shared-host VMs, so 2 post-warm samples were not enough
+            for i in range(4):
                 store = ParquetStateStore(os.path.join(td, f"store_{tag}_{i}"))
                 reg = (
                     registry_fn()
