@@ -7,13 +7,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from argus_spark.datapipe import dedup, multimodal, sampling, similarity, text
+from argus_spark.datapipe import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+    textprep,
+)
 
 # Ordered so the queries the round-1 correctness run never reached
 # (text/sampling/similarity/multimodal, then dedup's clusters/cosine)
 # register ahead of the already-green dedup quartet: the driver walks
 # registry order under a wall-clock budget, so untested entries go first.
-_MODULES = [text, sampling, similarity, multimodal, dedup]
+_MODULES = [textprep, text, sampling, similarity, multimodal, dedup]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,269 @@
+"""Training-data text preparation: chunking, PII redaction, corpus
+n-gram counts, lexical-diversity scoring.
+
+These extend the reference's surface the way a pre-training data
+pipeline needs (no equivalent exists in Argus — its text handling stops
+at hex/JSON scalars, SURVEY §2 B31-B33); they complement text.py's
+quality/lang-id/fingerprint family.
+
+Scale shapes (the 100 TB contract):
+  * chunk_documents — map-only: tokens → windowed slices → posexplode.
+    One scan, zero shuffle; output partitioning inherits the scan.
+  * pii_redact — map-only regex chain (JVM codegen, ASCII classes so
+    Java regex ≡ DuckDB RE2 semantics), zero shuffle.
+  * ngram_counts — explode is map-side; the count is partial-agged
+    before its single exchange; global top-k is a TakeOrdered over the
+    (small) grouped result, not a full sort.
+  * text_diversity — map-only integer folds (counts, Σc²) with exactly
+    two IEEE divisions at the end; deterministic bit-for-bit across
+    engines because every float op is a single correctly-rounded
+    operation on exactly-representable integers (< 2^53).
+
+Float rule: no float accumulation anywhere — integer folds + final
+division only (the module-wide fixed-point discipline, see text.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argus_spark.datapipe.hashing import words_col, words_sql
+from argus_spark.session import load
+
+# ---------------- chunking ----------------
+
+CHUNK = 32    # tokens per chunk
+STRIDE = 24   # tokens between chunk starts (overlap = CHUNK - STRIDE)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking — the standard pre-tokenization
+    split for long documents (context-window packing's upstream twin,
+    see sampling.pack_sequences). Chunk k covers tokens
+    [k*STRIDE, k*STRIDE+CHUNK); K = 1 for docs that fit one window,
+    else 1 + ceil((n-CHUNK)/STRIDE), so the final window always reaches
+    the document tail. Map-only: one scan, chunk expansion via
+    transform+posexplode, no shuffle."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    ws = words_col()
+    n = F.size(ws)
+    k_chunks = F.when(n <= CHUNK, F.lit(1)).otherwise(
+        F.lit(1) + F.floor((n - CHUNK + STRIDE - 1) / STRIDE).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), k_chunks - 1),
+        lambda k: F.struct(
+            F.array_join(F.slice(ws, k * STRIDE + 1, CHUNK), " ").alias("chunk_text"),
+            F.size(F.slice(ws, k * STRIDE + 1, CHUNK)).cast("long").alias("n_tokens"),
+        ),
+    )
+    return (
+        d.filter(n > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {words_sql()} AS ws FROM documents
+), k AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CASE WHEN len(ws) <= {CHUNK} THEN 1
+              ELSE 1 + (len(ws) - {CHUNK} + {STRIDE} - 1) // {STRIDE}
+         END AS n_chunks
+  FROM t WHERE len(ws) > 0
+)
+SELECT doc_id,
+       u.k::BIGINT AS chunk_id,
+       len(ws[u.k * {STRIDE} + 1 : u.k * {STRIDE} + {CHUNK}])::BIGINT AS n_tokens,
+       array_to_string(ws[u.k * {STRIDE} + 1 : u.k * {STRIDE} + {CHUNK}], ' ')
+         AS chunk_text
+FROM k, unnest(range(0, n_chunks)) AS u(k)
+"""
+
+
+# ---------------- PII redaction ----------------
+
+# ASCII-only classes: identical semantics in Java regex and DuckDB RE2.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{7,}"
+
+# The synthetic corpus contains no digits or addresses, so the fixture
+# is deterministically ENRICHED — identical expression on both engines
+# — with one email and one 7-digit number derived from doc_id; the
+# redaction regexes then do real work and the oracle checks real
+# matches. On a live corpus the enrichment drops and the operator is
+# unchanged.
+def _enriched() -> Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1 "),
+        (F.lit(1000000) + (F.col("doc_id") * 37) % 9000000).cast("string"),
+    )
+
+
+_ENRICHED_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@mail.example or +1 '"
+    " || (1000000 + (doc_id * 37) % 9000000)::VARCHAR"
+)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub — emails then long digit runs (phone/account
+    ids), with per-doc match counts for audit. Long-number counting
+    runs on the email-redacted text so an address's local-part digits
+    are never double-counted. Map-only regex chain, zero shuffle."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    enriched = _enriched()
+    no_email = F.regexp_replace(enriched, EMAIL_RE, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(enriched, F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(LONGNUM_RE), 0))
+        .cast("long")
+        .alias("n_longnums"),
+        F.regexp_replace(no_email, LONGNUM_RE, "<NUM>").alias("clean_text"),
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH e AS (
+  SELECT doc_id, {_ENRICHED_SQL} AS enriched FROM documents
+), ne AS (
+  SELECT doc_id, enriched,
+         regexp_replace(enriched, '{EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM e
+)
+SELECT doc_id,
+       len(regexp_extract_all(enriched, '{EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(no_email, '{LONGNUM_RE}'))::BIGINT AS n_longnums,
+       regexp_replace(no_email, '{LONGNUM_RE}', '<NUM>', 'g') AS clean_text
+FROM ne
+"""
+
+
+# ---------------- corpus n-gram counts ----------------
+
+NGRAM_TOP = 100
+
+
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency, top-100 (count desc, bigram asc —
+    a total order, so the cut is deterministic). The explode is
+    map-side; counting partial-aggregates before its one exchange; the
+    top-k is a TakeOrdered over the grouped (vocabulary-sized) result —
+    at 100 TB the shuffle carries one row per distinct bigram, not per
+    occurrence."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    ws = words_col()
+    n = F.size(ws)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(NGRAM_TOP)
+    )
+
+
+NGRAM_COUNTS_SQL = f"""
+WITH t AS (
+  SELECT {words_sql()} AS ws FROM documents
+), b AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+  FROM t
+)
+SELECT ngram, count(*)::BIGINT AS cnt
+FROM b GROUP BY ngram
+ORDER BY cnt DESC, ngram
+LIMIT {NGRAM_TOP}
+"""
+
+
+# ---------------- lexical diversity ----------------
+
+
+def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical diversity: type-token ratio and Simpson index
+    (1 − Σc²/n²) — the log-free repetition signals (a doc repeating one
+    phrase scores simpson→0). All accumulation is integer (counts, Σc²
+    — exact in int64); the only float ops are two final correctly-
+    rounded divisions on integers < 2^53, so Spark and DuckDB agree
+    bit-for-bit with no fixed-point scaffolding. Map-only, zero
+    shuffle; per-row cost O(n·distinct) stays inside codegen."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    ws = words_col()
+    n = F.size(ws).cast("long")
+    counts = F.transform(
+        F.array_sort(F.array_distinct(ws)),
+        lambda w: F.size(F.filter(ws, lambda x: x == w)).cast("long"),
+    )
+    sumsq = F.aggregate(
+        counts, F.lit(0).cast("long"), lambda acc, c: acc + c * c
+    )
+    return d.filter(n > 0).select(
+        "doc_id",
+        n.alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+        (F.size(F.array_distinct(ws)).cast("double") / n.cast("double")).alias("ttr"),
+        (F.lit(1.0) - sumsq.cast("double") / (n * n).cast("double")).alias("simpson"),
+    )
+
+
+TEXT_DIVERSITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {words_sql()} AS ws FROM documents
+), m AS (
+  SELECT doc_id, ws, len(ws)::BIGINT AS n,
+         len(list_distinct(ws))::BIGINT AS n_distinct,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(list_sort(list_distinct(ws)),
+               w -> (len(list_filter(ws, x -> x = w))::BIGINT
+                     * len(list_filter(ws, x -> x = w))::BIGINT))),
+           (acc, c) -> acc + c) AS sumsq
+  FROM t WHERE len(ws) > 0
+)
+SELECT doc_id, n AS n_words, n_distinct,
+       n_distinct::DOUBLE / n::DOUBLE AS ttr,
+       1.0 - sumsq::DOUBLE / (n * n)::DOUBLE AS simpson
+FROM m
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "chunk_documents": chunk_documents,
+    "pii_redact": pii_redact,
+    "ngram_counts": ngram_counts,
+    "text_diversity": text_diversity,
+}
+
+ORACLES: dict[str, str] = {
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "pii_redact": PII_REDACT_SQL,
+    "ngram_counts": NGRAM_COUNTS_SQL,
+    "text_diversity": TEXT_DIVERSITY_SQL,
+}

@@ -177,3 +177,79 @@ class TestEmbeddingLshRecall:
         hits = df.select(collide.alias("c")).filter("c").count()
         recall = hits / 200
         assert recall >= 0.85, recall
+
+
+class TestTextPrep:
+    """Semantic properties of the chunking/PII/diversity operators
+    (their cross-engine value equality is the oracle's job; these pin
+    the CONTRACTS: lossless coverage, no residual PII, metric bounds)."""
+
+    def test_chunks_cover_every_token_in_order(self, spark):
+        import re
+
+        from argus_spark.datapipe.textprep import CHUNK, STRIDE, chunk_documents
+        from argus_spark.session import load
+
+        sf = "/root/testdata/sf0.001"
+        chunks = chunk_documents(spark, sf).orderBy("doc_id", "chunk_id").collect()
+        docs = {
+            r["doc_id"]: [w for w in re.split(r" ", r["text"]) if w]
+            for r in load(spark, sf, "documents").collect()
+        }
+        by_doc: dict[int, list] = {}
+        for r in chunks:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == {d for d, ws in docs.items() if ws}
+        for doc_id, rows in by_doc.items():
+            toks = docs[doc_id]
+            assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+            for r in rows:
+                start = r["chunk_id"] * STRIDE
+                expect = toks[start : start + CHUNK]
+                assert r["chunk_text"].split(" ") == expect
+                assert r["n_tokens"] == len(expect)
+            # final window reaches the tail — nothing truncated
+            last = rows[-1]
+            assert last["chunk_id"] * STRIDE + last["n_tokens"] == len(toks)
+
+    def test_pii_redact_leaves_no_matches(self, spark):
+        import re
+
+        from argus_spark.datapipe.textprep import (
+            EMAIL_RE,
+            LONGNUM_RE,
+            pii_redact,
+        )
+
+        rows = pii_redact(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            # enrichment plants exactly one of each per doc
+            assert r["n_emails"] == 1 and r["n_longnums"] == 1, r
+            assert not re.search(EMAIL_RE, r["clean_text"]), r["clean_text"]
+            assert not re.search(LONGNUM_RE, r["clean_text"]), r["clean_text"]
+            assert "<EMAIL>" in r["clean_text"] and "<NUM>" in r["clean_text"]
+
+    def test_diversity_matches_reference_computation(self, spark):
+        import re
+        from collections import Counter
+
+        from argus_spark.datapipe.textprep import text_diversity
+        from argus_spark.session import load
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["doc_id"]: r for r in text_diversity(spark, sf).collect()}
+        for r in load(spark, sf, "documents").limit(50).collect():
+            ws = [w for w in re.split(r" ", r["text"]) if w]
+            if not ws:
+                assert r["doc_id"] not in got
+                continue
+            c = Counter(ws)
+            row = got[r["doc_id"]]
+            assert row["n_words"] == len(ws)
+            assert row["n_distinct"] == len(c)
+            assert row["ttr"] == len(c) / len(ws)
+            assert row["simpson"] == 1.0 - sum(v * v for v in c.values()) / (
+                len(ws) * len(ws)
+            )
+            assert 0.0 <= row["simpson"] < 1.0 and 0.0 < row["ttr"] <= 1.0

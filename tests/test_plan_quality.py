@@ -149,3 +149,26 @@ def test_ngram_jaccard_prefix_filter_bounds_candidates(spark):
     ).first()
     # prefix index ≈ (1-τ)+1/n of the full index — at τ=0.9 under 20%
     assert tot["prefix"] < 0.25 * tot["tokens"], tot
+
+
+def test_textprep_map_only_ops_have_zero_shuffles(spark):
+    from argus_spark.datapipe.textprep import (
+        chunk_documents,
+        pii_redact,
+        text_diversity,
+    )
+
+    for q in (chunk_documents, pii_redact, text_diversity):
+        plan = formatted_plan(q(spark, SF_SMOKE))
+        assert n_shuffle_exchanges(plan) == 0, (q.__name__, plan)
+
+
+def test_ngram_counts_partial_aggs_before_single_exchange(spark):
+    from argus_spark.datapipe.textprep import ngram_counts
+
+    plan = formatted_plan(ngram_counts(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    # one exchange for the count; the global top-100 must be a
+    # TakeOrdered over the grouped result, not a full Sort+Exchange
+    assert n_shuffle_exchanges(plan) == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
