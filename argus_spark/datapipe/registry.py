@@ -8,6 +8,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from argus_spark.datapipe import (
+    clustering,
     dedup,
     multimodal,
     sampling,
@@ -20,7 +21,7 @@ from argus_spark.datapipe import (
 # (text/sampling/similarity/multimodal, then dedup's clusters/cosine)
 # register ahead of the already-green dedup quartet: the driver walks
 # registry order under a wall-clock budget, so untested entries go first.
-_MODULES = [textprep, text, sampling, similarity, multimodal, dedup]
+_MODULES = [textprep, clustering, text, sampling, similarity, multimodal, dedup]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -352,6 +352,71 @@ FROM events GROUP BY event_type
 """
 
 
+APPROX_Q_ACC = 10000     # GK sketch accuracy (rank error <= n/ACC)
+APPROX_Q_BOUND = 0.05    # |approx_p50 - exact_p50| <= 5% of the p05-p95 spread
+
+
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile contract, same shape as
+    ``approx_distinct_users``: the 100 TB estimator is
+    ``percentile_approx`` (a mergeable GK sketch — no per-group sort,
+    rank error ≤ n/accuracy), and the hard oracle signal comes from
+    EXACT rank-based discrete quantiles computed alongside it plus a
+    boolean asserting the sketch landed within 5 % of the p05–p95
+    spread. Exact quantiles use an explicit 1-based rank formula
+    (``ceil(p·n)`` over a (value, event_id)-ordered ranking) instead of
+    engine ``percentile`` builtins, so both engines select the SAME
+    data element — every emitted number is a stored value, never
+    interpolated arithmetic, hence bit-identical across engines. The
+    oracle emits a literal TRUE for the bound flag: a sketch regression
+    flips the boolean and the value hash goes red."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    nw = Window.partitionBy("event_type")
+    ranked = (
+        e.select("event_type", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(nw))
+    )
+
+    def _at(a: int, b: int) -> F.Column:
+        # value at 1-based rank ceil(a*n/b) = floor((a*n + b - 1)/b)
+        idx = F.floor((F.col("n") * a + (b - 1)) / b)
+        return F.max(F.when(F.col("rn") == idx, F.col("value")))
+
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        _at(1, 20).alias("p05"),
+        _at(1, 2).alias("exact_p50"),
+        _at(19, 20).alias("exact_p95"),
+        F.percentile_approx("value", 0.5, APPROX_Q_ACC).alias("approx_p50"),
+    )
+    within = F.abs(F.col("approx_p50") - F.col("exact_p50")) <= F.lit(
+        APPROX_Q_BOUND
+    ) * (F.col("exact_p95") - F.col("p05"))
+    return agg.select(
+        "event_type", "n_events", "exact_p50", "exact_p95",
+        within.alias("approx_within_bound"),
+    )
+
+
+APPROX_QUANTILES_VALUE_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(n)::BIGINT AS n_events,
+       max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS exact_p50,
+       max(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS exact_p95,
+       TRUE AS approx_within_bound
+FROM r GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_window_agg": tumbling_window_agg,
     "sliding_window_agg": sliding_window_agg,
@@ -362,6 +427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_value": grouping_sets_value,
     "median_value_by_type": median_value_by_type,
     "approx_distinct_users": approx_distinct_users,
+    "approx_quantiles_value": approx_quantiles_value,
 }
 
 ORACLES: dict[str, str] = {
@@ -376,4 +442,5 @@ ORACLES: dict[str, str] = {
     # the approx estimate itself is engine-specific; the contract query
     # oracles the exact count + the 5 % error bound as a boolean
     "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
+    "approx_quantiles_value": APPROX_QUANTILES_VALUE_SQL,
 }

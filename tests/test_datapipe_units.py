@@ -253,3 +253,35 @@ class TestTextPrep:
                 len(ws) * len(ws)
             )
             assert 0.0 <= row["simpson"] < 1.0 and 0.0 < row["ttr"] <= 1.0
+
+
+class TestKMeans:
+    def test_inertia_monotone_and_partition_complete(self, spark):
+        from argus_spark.datapipe.clustering import kmeans_fit
+        from argus_spark.session import load
+
+        sf = "/root/testdata/sf0.001"
+        summary, path = kmeans_fit(spark, sf, k=4, iters=3)
+        rows = summary.collect()
+        n = load(spark, sf, "embeddings").count()
+        assert sum(r["n_members"] for r in rows) == n  # total partition
+        assert all(r["n_members"] > 0 for r in rows)
+        # Lloyd guarantee: assignment then recenter never increases
+        # inertia (tiny float tolerance for cross-run sum ordering)
+        for a, b in zip(path, path[1:]):
+            assert b <= a * (1 + 1e-9), path
+
+    def test_assignment_is_map_side_no_corpus_shuffle(self, spark):
+        from argus_spark.datapipe.clustering import _assign, kmeans_fit
+        from argus_spark.datapipe.dedup import _as_double
+        from argus_spark.plans.checks import formatted_plan, n_shuffle_exchanges
+        from argus_spark.session import load
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        e = load(spark, sf, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("v")
+        )
+        cents = [(i, [0.0] * 64) for i in range(4)]
+        plan = formatted_plan(_assign(e, cents))
+        assert n_shuffle_exchanges(plan) == 0, plan
