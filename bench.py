@@ -57,6 +57,8 @@ HEADLINE = [
     "doc_fingerprint",
     "sample_stratified",
     "pack_sequences",
+    "chunk_documents",
+    "ngram_counts",
 ]
 
 
