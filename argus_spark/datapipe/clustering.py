@@ -53,14 +53,20 @@ def _assign(e: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame
     literal array of structs, argmin via array_min over (dist, cid) —
     ascending struct order breaks distance ties toward the smaller
     cluster id."""
-    cb = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+    # ONE parsed SQL literal instead of k×DIM F.lit() calls: each lit
+    # is a Py4J round-trip, and 512 of them per iteration measured as
+    # the dominant fit cost at bench SFs; a single expr() string parses
+    # JVM-side in one hop. repr() round-trips doubles exactly.
+    cb = F.expr(
+        "array("
+        + ", ".join(
+            "named_struct('cid', {cid}, 'cv', array({vs}))".format(
+                cid=int(cid),
+                vs=", ".join(f"{float(x)!r}D" for x in vec),
             )
             for cid, vec in centroids
-        ]
+        )
+        + ")"
     )
     scored = F.transform(
         cb,
@@ -83,9 +89,15 @@ def kmeans_fit(
     """Run ``iters`` Lloyd iterations; returns (final per-cluster
     summary DataFrame, per-iteration total inertia). Init is
     deterministic: the k smallest vec_ids seed the codebook."""
+    # Cached: every Lloyd iteration (assignment + update) and the final
+    # summary re-scan the same corpus projection — at bench SFs the
+    # repeated widen+decode dominated wall time, and at cluster scale
+    # you'd persist the feature matrix for exactly the same reason.
+    # Session-lifetime cache (the returned summary's lineage still
+    # references it, so it cannot be unpersisted here).
     e = load(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", _as_double("embedding").alias("v")
-    )
+    ).cache()
     seed_rows = (
         e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     )  # control-plane: k rows
