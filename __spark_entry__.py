@@ -64,7 +64,7 @@ _PRIORITY = [
     "approx_distinct_users", "dedup_embedding_cosine", "dedup_clusters",
     # -- tier 3: new this round -------------------------------------------
     "chunk_documents", "pii_redact", "ngram_counts", "text_diversity",
-    "approx_quantiles_value", "kmeans_embeddings",
+    "approx_quantiles_value", "kmeans_embeddings", "dedup_exact_substring",
     # -- tier 4: green in round 2 -----------------------------------------
     "watched_balances", "balances_after_rollback", "tx_flatten",
     "utxo_state", "utxo_spent", "utxo_unspent", "checkpoint_window",

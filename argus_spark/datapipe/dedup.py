@@ -693,8 +693,80 @@ WHERE {_dot_sql('na.v', 'nb.v')} / (na.nrm * nb.nrm) >= {COS_TAU}
 DEDUP_EMBEDDING_COSINE_SQL = _ec_sql()
 
 
+# --------------------------------------------------------------------------
+# Exact-substring dedup (rolling window family)
+# --------------------------------------------------------------------------
+
+ES_W = 16      # window width in words: pairs share a verbatim 16-word run
+ES_MAXDF = 16  # boilerplate cut: drop windows appearing in > 16 docs
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication: doc pairs sharing at least one
+    VERBATIM ``ES_W``-word window, with the shared-window count — the
+    hashed-window approximation of suffix-array exact-substring dedup
+    (the copy class MinHash/SimHash miss: a long quoted passage inside
+    two otherwise-different docs).
+
+    Plan at 100 TB: windows hash map-side (one md5 per window via
+    ``_gram_hashes``); per-doc distinct and the window-df cut are
+    partial-agged; the pair join is equi on the window hash with BOTH
+    sides already hash-partitioned by it (co-partitioned, no extra
+    exchange), and the ``ES_MAXDF`` document-frequency cut bounds any
+    window's pair fan-out at MAXDF² — boilerplate (headers, licenses)
+    is exactly what it drops, the standard practice for this operator.
+    Exactness: within the df-cut the result is exact (md5 collisions
+    aside) — windows in ≤ ES_MAXDF docs lose nothing."""
+    from argus_spark.datapipe.text import _gram_hashes
+
+    d = load(spark, sf_dir, "documents", widen=True)
+    grams = (
+        d.select("doc_id", F.explode(_gram_hashes(words_col(), ES_W, "es")).alias("g"))
+        .dropDuplicates(["doc_id", "g"])
+    )
+    kept = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= ES_MAXDF))
+        .select("g")
+    )
+    gk = grams.join(kept, "g")
+    a, b = gk.alias("a"), gk.alias("b")
+    return (
+        a.join(b, "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def _exact_substring_sql() -> str:
+    from argus_spark.datapipe.text import _grams_sql
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, {words_sql()} AS ws FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest({_grams_sql(ES_W, 'es')}) AS g FROM w
+), kept AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND {ES_MAXDF}
+), gk AS (
+  SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM kept)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+DEDUP_EXACT_SUBSTRING_SQL = _exact_substring_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
+    "dedup_exact_substring": dedup_exact_substring,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -704,6 +776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_exact_substring": DEDUP_EXACT_SUBSTRING_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,

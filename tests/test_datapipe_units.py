@@ -285,3 +285,64 @@ class TestKMeans:
         cents = [(i, [0.0] * 64) for i in range(4)]
         plan = formatted_plan(_assign(e, cents))
         assert n_shuffle_exchanges(plan) == 0, plan
+
+
+class TestApproxQuantiles:
+    def test_sketch_rank_error_within_contract(self, spark):
+        """The GK sketch's value must sit within rank n/ACC (+1 slack)
+        of the exact median rank — far tighter than the registered 5%-
+        of-spread boolean, pinned here per event_type."""
+        import bisect
+
+        from argus_spark.operators.temporal import (
+            APPROX_Q_ACC,
+            approx_quantiles_value,
+        )
+        from argus_spark.session import load
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.01"
+        e = load(spark, sf, "events")
+        approx = {
+            r["event_type"]: r["ap"]
+            for r in e.groupBy("event_type")
+            .agg(F.percentile_approx("value", 0.5, APPROX_Q_ACC).alias("ap"))
+            .collect()
+        }
+        vals: dict[str, list] = {}
+        for r in e.select("event_type", "value").collect():
+            vals.setdefault(r["event_type"], []).append(r["value"])
+        out = {r["event_type"]: r for r in approx_quantiles_value(spark, sf).collect()}
+        for et, vs in vals.items():
+            vs.sort()
+            n = len(vs)
+            target = (n + 1) // 2  # 1-based ceil(n/2), the exact_p50 rank
+            rank = bisect.bisect_left(vs, approx[et]) + 1
+            assert abs(rank - target) <= n / APPROX_Q_ACC + 1, (et, rank, target)
+            assert out[et]["approx_within_bound"] is True
+
+
+class TestChunkPropertyRandom:
+    def test_chunk_count_formula_on_random_token_lengths(self):
+        """Pure-kernel property: the K-chunks formula covers [0, n) with
+        stride-aligned windows, last window reaching the tail, for any
+        n >= 1 (hypothesis over n)."""
+        from hypothesis import given
+        from hypothesis import strategies as st
+
+        from argus_spark.datapipe.textprep import CHUNK, STRIDE
+
+        @given(st.integers(min_value=1, max_value=5000))
+        def check(n):
+            k = 1 if n <= CHUNK else 1 + (n - CHUNK + STRIDE - 1) // STRIDE
+            starts = [i * STRIDE for i in range(k)]
+            # windows are in-range, and the final window reaches the tail
+            assert all(s < n for s in starts)
+            assert starts[-1] + CHUNK >= n
+            # no earlier truncation: every window before the last is full
+            assert all(s + CHUNK <= starts[-1] + CHUNK for s in starts)
+            # minimality: one fewer window would leave a tail uncovered
+            if k > 1:
+                assert starts[-2] + CHUNK < n
+
+        check()

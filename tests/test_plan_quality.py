@@ -172,3 +172,12 @@ def test_ngram_counts_partial_aggs_before_single_exchange(spark):
     # TakeOrdered over the grouped result, not a full Sort+Exchange
     assert n_shuffle_exchanges(plan) == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_exact_substring_equi_joins_and_partial_aggs(spark):
+    from argus_spark.datapipe.dedup import dedup_exact_substring
+
+    plan = formatted_plan(dedup_exact_substring(spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert has_partial_aggregation(plan), plan
