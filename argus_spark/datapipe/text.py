@@ -39,10 +39,15 @@ LANG_MARKERS: dict[str, list[str]] = {
 LANGS = sorted(LANG_MARKERS)
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_quality(
+    spark: SparkSession, sf_dir: str, keep: tuple = ()
+) -> DataFrame:
     """Per-doc quality signals: word count, mean word length, stopword
     ratio, punctuation ratio, and a fixed-weight composite score —
-    the standard pre-training quality-filter features."""
+    the standard pre-training quality-filter features. ``keep`` threads
+    extra document columns (e.g. ``source``) through for downstream
+    composition (curation ranking) without a self-join back to the
+    table."""
     d = load(spark, sf_dir, "documents", widen=True)
     ws = words_col()
     n_words = F.size(ws).cast("long")
@@ -54,6 +59,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_punct = F.size(F.regexp_extract_all("text", F.lit(PUNCT_RE), 0)).cast("long")
     out = d.select(
         "doc_id",
+        *keep,
         n_words.alias("n_words"),
         (char_sum.cast("double") / n_words.cast("double")).alias("avg_word_len"),
         (n_stop.cast("double") / n_words.cast("double")).alias("stop_ratio"),

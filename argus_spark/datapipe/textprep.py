@@ -254,8 +254,69 @@ FROM m
 """
 
 
+# ---------------- quality-ranked curation ----------------
+
+CURATE_TOP_K = 20
+
+
+def curate_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation cut: the top-20 docs by composite quality
+    score within each source — the selection step downstream of quality
+    scoring in a curation pipeline (keep the best N per domain). One
+    scan (quality features computed inline with ``source`` threaded
+    through — no self-join back to the table) and one ranking-window
+    shuffle on ``source``; ties break by doc_id so the cut is total.
+    Scores are oracle-green bit-identical doubles (text_quality), so
+    the cross-engine ordering is too."""
+    from pyspark.sql import Window
+
+    from argus_spark.datapipe.text import text_quality
+
+    tq = text_quality(spark, sf_dir, keep=("source",))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        tq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CURATE_TOP_K)
+        .select("source", "doc_id", F.col("rnk").cast("long").alias("rnk"),
+                "quality_score")
+    )
+
+
+def _curate_sql() -> str:
+    from argus_spark.datapipe.text import _STOP_SQL, PUNCT_RE
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars, {words_sql()} AS ws,
+         len(regexp_extract_all(text, '{PUNCT_RE}'))::BIGINT AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, source, n_chars, n_punct, len(ws)::BIGINT AS n_words,
+         len(list_filter(ws, x -> list_contains({_STOP_SQL}, x)))::BIGINT AS n_stop
+  FROM w
+), q AS (
+  SELECT doc_id, source,
+         (n_stop::DOUBLE / n_words::DOUBLE) * 0.4
+         + (1.0 - n_punct::DOUBLE / n_chars::DOUBLE) * 0.3
+         + least(n_words::DOUBLE / 100.0, 1.0) * 0.3 AS quality_score
+  FROM m
+)
+SELECT source, doc_id, rnk, quality_score FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY quality_score DESC, doc_id) AS rnk
+  FROM q
+) WHERE rnk <= {CURATE_TOP_K}
+"""
+
+
+CURATE_QUALITY_TOPK_SQL = _curate_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": chunk_documents,
+    "curate_quality_topk": curate_quality_topk,
     "pii_redact": pii_redact,
     "ngram_counts": ngram_counts,
     "text_diversity": text_diversity,
@@ -263,6 +324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "curate_quality_topk": CURATE_QUALITY_TOPK_SQL,
     "pii_redact": PII_REDACT_SQL,
     "ngram_counts": NGRAM_COUNTS_SQL,
     "text_diversity": TEXT_DIVERSITY_SQL,
