@@ -263,3 +263,19 @@ class TestTelemetryDriverIntegration:
         assert all(r["epochs"] >= 1 for r in summary.values())
         ev = [r for r in t.events_df(spark).collect() if r["kind"] == "rollback"]
         assert len(ev) == 1 and ev[0]["slot"] == slots[9] + 1
+
+
+def test_example_indexer_end_to_end(spark):
+    """The runnable example app (scripts/example_indexer.py) must stay
+    green: reorg replay converges, smoke gate exits 0. Runs in-process
+    (get_spark reuses the fixture session)."""
+    import runpy
+    import sys
+
+    mod = runpy.run_path("scripts/example_indexer.py", run_name="example")
+    argv = sys.argv
+    sys.argv = ["example_indexer.py", "/root/testdata/sf0.001", "150"]
+    try:
+        assert mod["main"]() == 0
+    finally:
+        sys.argv = argv
