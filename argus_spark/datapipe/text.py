@@ -76,26 +76,42 @@ def text_quality(
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
-TEXT_QUALITY_SQL = f"""
-WITH w AS (
-  SELECT doc_id, n_chars, {words_sql()} AS ws,
+# Composite score over the m-CTE's feature columns — ONE definition
+# shared by every oracle that ranks or filters on quality (text_quality,
+# curate_quality_topk): a weight change can never drift between them.
+QUALITY_SCORE_SQL = (
+    "(n_stop::DOUBLE / n_words::DOUBLE) * 0.4"
+    " + (1.0 - n_punct::DOUBLE / n_chars::DOUBLE) * 0.3"
+    " + least(n_words::DOUBLE / 100.0, 1.0) * 0.3"
+)
+
+
+def quality_cte_sql(extra_cols: str = "") -> str:
+    """The shared ``w``/``m`` feature CTEs (tokens, punct, stopword,
+    char-sum counts). ``extra_cols`` threads additional document
+    columns (e.g. ``", source"``) through both CTEs — the SQL twin of
+    ``text_quality(keep=...)``."""
+    return f"""w AS (
+  SELECT doc_id{extra_cols}, n_chars, {words_sql()} AS ws,
          len(regexp_extract_all(text, '{PUNCT_RE}'))::BIGINT AS n_punct
   FROM documents
 ), m AS (
-  SELECT doc_id, n_chars, n_punct,
+  SELECT doc_id{extra_cols}, n_chars, n_punct,
          len(ws)::BIGINT AS n_words,
          list_reduce(list_prepend(0::BIGINT, list_transform(ws, x -> length(x)::BIGINT)),
                      (acc, v) -> acc + v) AS char_sum,
          len(list_filter(ws, x -> list_contains({_STOP_SQL}, x)))::BIGINT AS n_stop
   FROM w
-)
+)"""
+
+
+TEXT_QUALITY_SQL = f"""
+WITH {quality_cte_sql()}
 SELECT doc_id, n_words,
        char_sum::DOUBLE / n_words::DOUBLE AS avg_word_len,
        n_stop::DOUBLE / n_words::DOUBLE AS stop_ratio,
        n_punct::DOUBLE / n_chars::DOUBLE AS punct_ratio,
-       (n_stop::DOUBLE / n_words::DOUBLE) * 0.4
-       + (1.0 - n_punct::DOUBLE / n_chars::DOUBLE) * 0.3
-       + least(n_words::DOUBLE / 100.0, 1.0) * 0.3 AS quality_score
+       {QUALITY_SCORE_SQL} AS quality_score
 FROM m
 """
 

@@ -285,23 +285,15 @@ def curate_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curate_sql() -> str:
-    from argus_spark.datapipe.text import _STOP_SQL, PUNCT_RE
+    # Shares text.py's feature CTEs + score expression — one SQL
+    # definition for "quality", so a weight change can never drift
+    # between text_quality's oracle and this one.
+    from argus_spark.datapipe.text import QUALITY_SCORE_SQL, quality_cte_sql
 
     return f"""
-WITH w AS (
-  SELECT doc_id, source, n_chars, {words_sql()} AS ws,
-         len(regexp_extract_all(text, '{PUNCT_RE}'))::BIGINT AS n_punct
-  FROM documents
-), m AS (
-  SELECT doc_id, source, n_chars, n_punct, len(ws)::BIGINT AS n_words,
-         len(list_filter(ws, x -> list_contains({_STOP_SQL}, x)))::BIGINT AS n_stop
-  FROM w
-), q AS (
-  SELECT doc_id, source,
-         (n_stop::DOUBLE / n_words::DOUBLE) * 0.4
-         + (1.0 - n_punct::DOUBLE / n_chars::DOUBLE) * 0.3
-         + least(n_words::DOUBLE / 100.0, 1.0) * 0.3 AS quality_score
-  FROM m
+WITH {quality_cte_sql(extra_cols=", source")},
+q AS (
+  SELECT doc_id, source, {QUALITY_SCORE_SQL} AS quality_score FROM m
 )
 SELECT source, doc_id, rnk, quality_score FROM (
   SELECT *, row_number() OVER (PARTITION BY source

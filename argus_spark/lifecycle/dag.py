@@ -32,7 +32,15 @@ class GraphError(Exception):
 class Reducer:
     name: str
     apply: Callable  # (ReducerContext) -> dict[str, DataFrame]
-    depends_on: str | None = None  # single parent, like [DependsOn(typeof(T))]
+    # Single parent, like [DependsOn(typeof(T))]. CONTRACT: a reducer
+    # that reads another reducer's SAME-EPOCH uncommitted output
+    # (ctx.table on its table) MUST declare it here — the driver runs
+    # independent reducers level-parallel and only exposes declared
+    # ancestors' pending rows within the epoch (exactly the reference's
+    # read-your-writes guarantee, DependentDataConsumptionTest.cs:24-40;
+    # an undeclared cross-read sees that table as of the previous
+    # commit).
+    depends_on: str | None = None
     tables: list[str] = field(default_factory=list)  # owned output tables
     # optional custom retraction: (store, delete_from_slot) -> None
     retract: Callable | None = None

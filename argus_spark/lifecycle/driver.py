@@ -315,6 +315,21 @@ class IndexDriver:
         registry.validate()
         self._order = registry.topo_order()
         self._levels = registry.topo_levels()
+        # Same-level reducers register temp views concurrently under a
+        # per-reducer sub-namespace derived by SANITIZING the reducer
+        # name (non-alphanumerics → "_"); two names that collide after
+        # sanitization ("tx-tests" / "tx.tests") would share a
+        # namespace and re-open the exact view race the namespace
+        # prevents — reject at construction, not mid-epoch.
+        sanitized: dict[str, str] = {}
+        for r in self._order:
+            s = "".join(c if c.isalnum() else "_" for c in r.name)
+            if s in sanitized:
+                raise ValueError(
+                    f"reducer names {sanitized[s]!r} and {r.name!r} collide "
+                    "after view-namespace sanitization; rename one"
+                )
+            sanitized[s] = r.name
         # in-memory checkpoint windows, loaded from the committed manifest
         self._windows: dict[str, list[Point]] = {}
         self._deferred_states = False  # A10: windows advanced but not persisted
@@ -599,11 +614,23 @@ class IndexDriver:
             # child still sees its parent's uncommitted epoch output
             # (read-your-writes B17) and never a same-level peer's.
             for lvl in self._levels:
+                lvl_t0 = time.monotonic()
                 if len(lvl) == 1:
                     results = [_apply_one(lvl[0])]
                 else:
                     results = list(self._plan_pool.map(_apply_one, lvl))
+                # Concurrent threads' per-reducer deltas include time
+                # spent WAITING on each other (shared Py4J gateway +
+                # GIL), so summed raw deltas over-report a level by up
+                # to len(lvl)x. Rescale so the level's attributed times
+                # sum to its wall clock, preserving relative
+                # proportions — keeps reducer_seconds additive (Σ ≈
+                # epoch plan-build wall) for telemetry/dashboards.
+                lvl_wall = time.monotonic() - lvl_t0
+                raw_sum = sum(dt for _, _, dt in results)
+                scale = lvl_wall / raw_sum if raw_sum > 0 and len(lvl) > 1 else 1.0
                 for name, outputs, dt in results:
+                    dt *= scale
                     epoch_times[name] = dt
                     self.stats.reducer_seconds[name] = (
                         self.stats.reducer_seconds.get(name, 0.0) + dt

@@ -340,7 +340,7 @@ class TestChunkPropertyRandom:
             assert all(s < n for s in starts)
             assert starts[-1] + CHUNK >= n
             # no earlier truncation: every window before the last is full
-            assert all(s + CHUNK <= starts[-1] + CHUNK for s in starts)
+            assert all(s + CHUNK <= n for s in starts[:-1])
             # minimality: one fewer window would leave a tail uncovered
             if k > 1:
                 assert starts[-2] + CHUNK < n

@@ -184,3 +184,18 @@ class TestStoreHygiene:
         d.run([ChainEvent("roll_forward", block_slot=s) for s in slots])
         assert d._table_tips["sparse_t"] == cut
         assert max(slots) > cut  # the overstated value the fix prevents
+
+
+def test_driver_rejects_view_namespace_collisions(spark, tmp_path):
+    """Reducer names differing only in non-alphanumerics sanitize to the
+    same per-reducer view namespace — the driver must reject them at
+    construction, not race temp views mid-epoch."""
+    from argus_spark.lifecycle.driver import IndexDriver
+    from argus_spark.lifecycle.store import ParquetStateStore
+
+    reg = ReducerRegistry()
+    reg.register(Reducer("tx-tests", lambda ctx: {}, tables=["t1"]))
+    reg.register(Reducer("tx.tests", lambda ctx: {}, tables=["t2"]))
+    store = ParquetStateStore(str(tmp_path / "s"))
+    with pytest.raises(ValueError, match="collide"):
+        IndexDriver(spark, reg, store, None)

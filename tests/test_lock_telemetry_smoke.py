@@ -269,10 +269,15 @@ def test_example_indexer_end_to_end(spark):
     """The runnable example app (scripts/example_indexer.py) must stay
     green: reorg replay converges, smoke gate exits 0. Runs in-process
     (get_spark reuses the fixture session)."""
+    import os
     import runpy
     import sys
 
-    mod = runpy.run_path("scripts/example_indexer.py", run_name="example")
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "example_indexer.py",
+    )
+    mod = runpy.run_path(script, run_name="example")
     argv = sys.argv
     sys.argv = ["example_indexer.py", "/root/testdata/sf0.001", "150"]
     try:
