@@ -346,3 +346,29 @@ class TestChunkPropertyRandom:
                 assert starts[-2] + CHUNK < n
 
         check()
+
+
+class TestMultiprobeRecall:
+    def test_multiprobe_dominates_single_probe(self, spark):
+        """Hamming-1 probing only ADDS candidates: per query, the
+        multiprobe result has at least as many neighbors and an
+        at-least-as-good best cosine as single-probe."""
+        from argus_spark.datapipe.similarity import (
+            ann_lsh_bucketed,
+            ann_lsh_multiprobe,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        single: dict[int, list] = {}
+        for r in ann_lsh_bucketed(spark, sf).collect():
+            single.setdefault(r["q_id"], []).append(r)
+        multi: dict[int, list] = {}
+        for r in ann_lsh_multiprobe(spark, sf).collect():
+            multi.setdefault(r["q_id"], []).append(r)
+        assert set(single) <= set(multi)
+        for q, srows in single.items():
+            mrows = multi[q]
+            assert len(mrows) >= len(srows)
+            assert max(m["cos_sim"] for m in mrows) >= max(
+                s["cos_sim"] for s in srows
+            ) - 1e-12

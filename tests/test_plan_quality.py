@@ -181,3 +181,15 @@ def test_exact_substring_equi_joins_and_partial_aggs(spark):
     assert "BroadcastNestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert has_partial_aggregation(plan), plan
+
+
+def test_ann_multiprobe_keeps_bucketed_plan_shape(spark):
+    from argus_spark.datapipe.similarity import ann_lsh_multiprobe
+
+    plan = formatted_plan(ann_lsh_multiprobe(spark, SF_SMOKE))
+    # probe expansion lives on the (tiny) query side; corpus still
+    # computes one map-side bucket and meets queries in a broadcast
+    # equi-join — only the per-query top-k window may shuffle
+    assert has_broadcast_hash_join(plan), plan
+    assert not has_sort_merge_join(plan), plan
+    assert n_shuffle_exchanges(plan) <= 1, plan
