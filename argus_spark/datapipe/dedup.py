@@ -88,17 +88,12 @@ MH_A = [_mh_rng.randrange(1, MH_P) for _ in range(MH_K)]
 MH_B = [_mh_rng.randrange(0, MH_P) for _ in range(MH_K)]
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(12) over the word *set*, banded 3×4 → candidate pairs.
-
-    Per-row signature: one JVM-side md5 pass over the word set, then 12
-    integer permutations (``array_min(transform(hs, a*h'+b mod p))``) —
-    no shuffle, no Python. The base-hash projection stays separate from
-    the signature projection; CollapseProject does not inline it because
-    the HOF is non-cheap, so md5 runs once. Candidates come from one
-    explode + self-equi-join on (band, band_hash): the canonical
-    distributed LSH shape. P(candidate) = 1-(1-J^4)^3 ≈ .79 @ J=0.8."""
-    d = load(spark, sf_dir, "documents", widen=True)
+def _minhash_sig_df(d: DataFrame) -> DataFrame:
+    """doc_id + the 12 MinHash signature components (s0..s11): one
+    JVM-side md5 pass over the word set, then 12 integer permutations
+    (``array_min(transform(hs, a*h'+b mod p))``) — no shuffle, no
+    Python. Shared by the LSH candidate join and the signature-
+    agreement Jaccard estimator."""
     words = F.array_distinct(words_col())
     base = d.select(
         "doc_id", F.transform(words, lambda w: h64(w, "mh") % MH_P).alias("hs")
@@ -112,8 +107,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("hs"), lambda h: (a * h + b) % MH_P)
         )
 
-    sigs = [sig_col(i).alias(f"s{i}") for i in range(MH_K)]
-    sig = base.select("doc_id", *sigs)
+    return base.select("doc_id", *[sig_col(i).alias(f"s{i}") for i in range(MH_K)])
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) over the word *set*, banded 3×4 → candidate pairs.
+
+    Signature construction in ``_minhash_sig_df`` (map-only; the base-
+    hash projection stays separate from the signature projection —
+    CollapseProject does not inline it because the HOF is non-cheap, so
+    md5 runs once). Candidates come from one explode + self-equi-join
+    on (band, band_hash): the canonical distributed LSH shape.
+    P(candidate) = 1-(1-J^4)^3 ≈ .79 @ J=0.8."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    sig = _minhash_sig_df(d)
     bands = F.array(
         *[
             F.struct(
@@ -139,11 +146,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
-    sig_exprs = ",\n    ".join(
+def _minhash_sig_exprs_sql() -> str:
+    """The 12 signature-component SELECT expressions — one definition
+    shared by the LSH oracle and the estimator oracle."""
+    return ",\n    ".join(
         f"list_min(list_transform(hs, h -> ({MH_A[i]} * h + {MH_B[i]}) % {MH_P})) AS s{i}"
         for i in range(MH_K)
     )
+
+
+def _minhash_sql() -> str:
+    sig_exprs = _minhash_sig_exprs_sql()
     band_selects = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
             b=b,
@@ -174,6 +187,75 @@ WHERE a.doc_id < x.doc_id
 
 
 DEDUP_MINHASH_LSH_SQL = _minhash_sql()
+
+
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement Jaccard estimate for every LSH candidate
+    pair: est_jaccard = (#matching signature components)/12 — the
+    unbiased MinHash estimator (P[sig_i(A)=sig_i(B)] = J(A,B)), i.e.
+    the VERIFY stage of the MinHash pipeline without touching the
+    documents again. Arithmetic is pure integer (component equality
+    count) until one final division, so both engines agree bit-for-bit.
+
+    Plan at 100 TB: signatures are map-only; candidates come from the
+    banded equi-join (no all-pairs); attaching the two signatures is
+    two equi-joins on doc id — every exchange is hash-partitioned on a
+    key, and the 12-component match count is a map-side expression."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    sig = _minhash_sig_df(d)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(MH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(MH_K)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MH_K)
+    ).cast("long")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            n_match.alias("n_match"),
+            (n_match.cast("double") / F.lit(float(MH_K))).alias("est_jaccard"),
+        )
+    )
+
+
+def _minhash_estimate_sql() -> str:
+    base = _minhash_sql().strip().rstrip()
+    n_match = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(MH_K)
+    )
+    return f"""
+WITH pairs AS (
+{base}
+), w2 AS (
+  SELECT doc_id, list_distinct({words_sql()}) AS words FROM documents
+), base2 AS (
+  SELECT doc_id,
+         list_transform(words, x -> {h64_sql('x', 'mh')} % {MH_P}) AS hs
+  FROM w2
+), sig2 AS (
+  SELECT doc_id,
+    {_minhash_sig_exprs_sql()}
+  FROM base2
+)
+SELECT p.doc_a, p.doc_b,
+       ({n_match})::BIGINT AS n_match,
+       ({n_match})::DOUBLE / {MH_K}.0 AS est_jaccard
+FROM pairs p
+JOIN sig2 sa ON sa.doc_id = p.doc_a
+JOIN sig2 sb ON sb.doc_id = p.doc_b
+"""
+
+
+DEDUP_MINHASH_ESTIMATE_SQL = _minhash_estimate_sql()
 
 
 # --------------------------------------------------------------------------
@@ -768,6 +850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_exact_substring": dedup_exact_substring,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
@@ -778,6 +861,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_exact_substring": DEDUP_EXACT_SUBSTRING_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_minhash_estimate": DEDUP_MINHASH_ESTIMATE_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

@@ -372,3 +372,41 @@ class TestMultiprobeRecall:
             assert max(m["cos_sim"] for m in mrows) >= max(
                 s["cos_sim"] for s in srows
             ) - 1e-12
+
+
+class TestMinhashEstimate:
+    def test_exact_duplicates_estimate_one(self, spark):
+        """Identical word sets ⟹ identical signatures ⟹ est_jaccard
+        exactly 1.0, and such pairs always survive the band join (all
+        bands collide) — the estimator's fixed point."""
+        from collections import defaultdict
+
+        from argus_spark.datapipe.dedup import MH_K, dedup_minhash_estimate
+        from argus_spark.session import load
+
+        sf = "/root/testdata/sf0.001"
+        by_words = defaultdict(list)
+        for r in load(spark, sf, "documents").collect():
+            by_words[frozenset(w for w in r["text"].split(" ") if w)].append(
+                r["doc_id"]
+            )
+        dup_pairs = {
+            (a, b)
+            for ids in by_words.values()
+            for a in ids
+            for b in ids
+            if a < b
+        }
+        assert dup_pairs, "fixture should contain same-word-set docs"
+        est = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in dedup_minhash_estimate(spark, sf).collect()
+        }
+        for p in dup_pairs:
+            assert p in est, p
+            assert est[p]["n_match"] == MH_K
+            assert est[p]["est_jaccard"] == 1.0
+        # grid property: every estimate is k/12
+        for r in est.values():
+            assert 0 <= r["n_match"] <= MH_K
+            assert r["est_jaccard"] == r["n_match"] / MH_K
