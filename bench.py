@@ -59,6 +59,8 @@ HEADLINE = [
     "pack_sequences",
     "chunk_documents",
     "ngram_counts",
+    "dedup_exact_substring",
+    "ann_lsh_multiprobe",
 ]
 
 

@@ -193,3 +193,20 @@ def test_ann_multiprobe_keeps_bucketed_plan_shape(spark):
     assert has_broadcast_hash_join(plan), plan
     assert not has_sort_merge_join(plan), plan
     assert n_shuffle_exchanges(plan) <= 1, plan
+
+
+def test_curate_single_ranking_shuffle(spark):
+    from argus_spark.datapipe.textprep import curate_quality_topk
+
+    plan = formatted_plan(curate_quality_topk(spark, SF_SMOKE))
+    # quality features are map-side; the only exchange is the
+    # per-source ranking window
+    assert n_shuffle_exchanges(plan) == 1, plan
+
+
+def test_minhash_estimate_all_joins_equi(spark):
+    from argus_spark.datapipe.dedup import dedup_minhash_estimate
+
+    plan = formatted_plan(dedup_minhash_estimate(spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
