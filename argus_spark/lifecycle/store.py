@@ -671,6 +671,105 @@ class ParquetStateStore:
         self._publish(new_manifest)
         return new_manifest
 
+    def fsck(self, spark: SparkSession | None = None) -> dict:
+        """Offline integrity audit of committed state — the operational
+        complement to ``compact``/``vacuum`` (what a table-format
+        maintenance suite ships as its consistency checker):
+
+          * every manifest-referenced file-group directory exists and
+            contains data files (a missing group means reads will fail
+            — the invariant vacuum's in-flight guard protects);
+          * group metadata is coherent (min_slot ≤ max_slot, rows ≥ 0);
+          * checkpoint invariants per reducer: window slots strictly
+            descending and distinct (A13's normal form), resume cursor
+            at or past the newest window point;
+          * orphan group directories (on disk, referenced by neither
+            the manifest nor an in-flight commit) are REPORTED, not
+            errors — they are vacuum candidates (failed/superseded
+            commits), never read.
+
+        With ``spark``, additionally DEEP-verifies every referenced
+        group: recorded row count matches an actual count and every
+        ``slot`` lies inside the recorded [min_slot, max_slot] (one
+        small agg job per group — an offline audit pass, not a hot-path
+        cost). Returns ``{"ok", "errors", "orphans", "groups_checked"}``;
+        ``ok`` is False only on real errors."""
+        errors: list[str] = []
+        manifest = self.current_manifest()
+        checked = 0
+        for table, groups in manifest["tables"].items():
+            for gd in groups:
+                g = FileGroup.from_dict(gd)
+                checked += 1
+                full = os.path.join(self.root, g.path)
+                if not os.path.isdir(full):
+                    errors.append(f"{table}: missing group dir {g.path}")
+                    continue
+                if not any(
+                    f.endswith(".parquet") or f.startswith("part-")
+                    for f in os.listdir(full)
+                ):
+                    errors.append(f"{table}: group {g.path} has no data files")
+                    continue
+                if g.min_slot > g.max_slot or g.rows < 0:
+                    errors.append(
+                        f"{table}: incoherent metadata in {g.path} "
+                        f"(slots [{g.min_slot},{g.max_slot}], rows {g.rows})"
+                    )
+                    continue
+                if spark is not None:
+                    from pyspark.sql import functions as F
+
+                    stat = (
+                        spark.read.parquet(full)
+                        .agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.min("slot").alias("lo"),
+                            F.max("slot").alias("hi"),
+                        )
+                        .first()
+                    )
+                    if stat["n"] != g.rows:
+                        errors.append(
+                            f"{table}: {g.path} rows {stat['n']} != "
+                            f"recorded {g.rows}"
+                        )
+                    elif stat["n"] > 0 and (
+                        stat["lo"] < g.min_slot or stat["hi"] > g.max_slot
+                    ):
+                        errors.append(
+                            f"{table}: {g.path} slots [{stat['lo']},{stat['hi']}]"
+                            f" outside recorded [{g.min_slot},{g.max_slot}]"
+                        )
+        for name, st in self.reducer_states().items():
+            slots = [p.slot for p in st.window()]
+            if any(a <= b for a, b in zip(slots, slots[1:])):
+                errors.append(f"state {name}: window not strictly descending")
+            if slots and st.resume_slot < slots[0]:
+                errors.append(
+                    f"state {name}: resume {st.resume_slot} behind newest "
+                    f"window point {slots[0]}"
+                )
+        live = {
+            g["path"] for groups in manifest["tables"].values() for g in groups
+        }
+        with self._inflight_lock:
+            live |= self._inflight_groups
+        orphans: list[str] = []
+        data_root = os.path.join(self.root, DATA_DIR)
+        if os.path.isdir(data_root):
+            for table in os.listdir(data_root):
+                for group in os.listdir(os.path.join(data_root, table)):
+                    rel = os.path.join(DATA_DIR, table, group)
+                    if rel not in live:
+                        orphans.append(rel)
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "orphans": sorted(orphans),
+            "groups_checked": checked,
+        }
+
     def vacuum(self) -> int:
         """Remove data file-groups that are neither referenced by the
         current manifest nor being written by an in-flight commit

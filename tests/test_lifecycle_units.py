@@ -199,3 +199,62 @@ def test_driver_rejects_view_namespace_collisions(spark, tmp_path):
     store = ParquetStateStore(str(tmp_path / "s"))
     with pytest.raises(ValueError, match="collide"):
         IndexDriver(spark, reg, store, None)
+
+
+class TestFsck:
+    def _small_store(self, spark, tmp_path):
+        from argus_spark.chain.synth import synth_watched
+        from argus_spark.lifecycle.driver import ChainEvent, IndexDriver
+        from argus_spark.lifecycle.store import ParquetStateStore
+        from argus_spark.reducers.examples import build_example_registry
+        from argus_spark.sources.ingest import first_n_blocks
+
+        sf = "/root/testdata/sf0.001"
+        store = ParquetStateStore(str(tmp_path / "store"))
+        watched = synth_watched(spark, sf)
+        blocks = first_n_blocks(spark, sf, 60)
+        slots = [r.slot for r in blocks.select("slot").orderBy("slot").collect()]
+        drv = IndexDriver(
+            spark, build_example_registry(spark, watched), store, blocks,
+            batch_size=30, max_delay_s=1e9,
+        )
+        drv.run([ChainEvent("roll_forward", block_slot=s) for s in slots])
+        return store
+
+    def test_clean_store_passes_deep_fsck(self, spark, tmp_path):
+        store = self._small_store(spark, tmp_path)
+        rep = store.fsck(spark)  # deep: recount rows, bound slots
+        assert rep["ok"], rep
+        assert rep["groups_checked"] > 0
+        assert rep["orphans"] == []
+
+    def test_fsck_detects_missing_group_and_orphan(self, spark, tmp_path):
+        import os
+        import shutil
+
+        store = self._small_store(spark, tmp_path)
+        manifest = store.current_manifest()
+        # delete one referenced group -> error; plant one orphan dir
+        victim = next(iter(manifest["tables"].values()))[0]["path"]
+        shutil.rmtree(os.path.join(store.root, victim))
+        orphan = os.path.join(store.root, "data", "block_tests", "g_orphan")
+        os.makedirs(orphan)
+        rep = store.fsck()
+        assert not rep["ok"]
+        assert any(victim in e for e in rep["errors"]), rep
+        assert any("g_orphan" in o for o in rep["orphans"]), rep
+
+    def test_fsck_detects_row_count_drift(self, spark, tmp_path):
+        store = self._small_store(spark, tmp_path)
+        # corrupt the recorded row count in the newest manifest
+        import json
+        import os
+
+        mdir = os.path.join(store.root, "_manifests")
+        newest = sorted(os.listdir(mdir))[-1]
+        p = os.path.join(mdir, newest)
+        m = json.load(open(p))
+        next(iter(m["tables"].values()))[0]["rows"] += 1
+        json.dump(m, open(p, "w"))
+        rep = store.fsck(spark)
+        assert not rep["ok"] and any("rows" in e for e in rep["errors"]), rep
