@@ -66,6 +66,7 @@ _PRIORITY = [
     "chunk_documents", "pii_redact", "ngram_counts", "text_diversity",
     "approx_quantiles_value", "kmeans_embeddings", "dedup_exact_substring",
     "curate_quality_topk", "ann_lsh_multiprobe", "dedup_minhash_estimate",
+    "cohort_retention",
     # -- tier 4: green in round 2 -----------------------------------------
     "watched_balances", "balances_after_rollback", "tx_flatten",
     "utxo_state", "utxo_spent", "utxo_unspent", "checkpoint_window",

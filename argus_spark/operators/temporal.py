@@ -352,6 +352,54 @@ FROM events GROUP BY event_type
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cohort retention matrix: users grouped by their first
+    active day; for each (cohort_day, day_offset) the count of distinct
+    cohort users active that many days later — the standard engagement
+    rollup. Two partial-agged shuffles at scale: per-user first-day
+    (one groupBy user), then the (cohort, offset) distinct-user count;
+    no self-join — first_day rides a per-user aggregation joined back
+    broadcast-free by staying in the same aggregation pipeline. All
+    outputs are integers/dates — engine-exact."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    per_user_day = e.distinct()  # one row per (user, active day)
+    first_day = per_user_day.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    return (
+        per_user_day.join(first_day, "user_id")
+        .select(
+            # ISO string, not DateType: pandas canonicalizes Spark DATE
+            # to datetime.date but database DATE to a midnight
+            # Timestamp — stringifying on both sides keeps the harness
+            # hash dtype-independent
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       (day - cohort_day)::BIGINT AS day_offset,
+       count(DISTINCT d.user_id)::BIGINT AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 APPROX_Q_ACC = 10000     # GK sketch accuracy (rank error <= n/ACC)
 APPROX_Q_BOUND = 0.05    # |approx_p50 - exact_p50| <= 5% of the p05-p95 spread
 
@@ -428,6 +476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "median_value_by_type": median_value_by_type,
     "approx_distinct_users": approx_distinct_users,
     "approx_quantiles_value": approx_quantiles_value,
+    "cohort_retention": cohort_retention,
 }
 
 ORACLES: dict[str, str] = {
@@ -443,4 +492,5 @@ ORACLES: dict[str, str] = {
     # oracles the exact count + the 5 % error bound as a boolean
     "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
     "approx_quantiles_value": APPROX_QUANTILES_VALUE_SQL,
+    "cohort_retention": COHORT_RETENTION_SQL,
 }
