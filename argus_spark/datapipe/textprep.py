@@ -97,12 +97,13 @@ FROM k, unnest(range(0, n_chunks)) AS u(k)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 LONGNUM_RE = r"[0-9]{7,}"
 
-# The synthetic corpus contains no digits or addresses, so the fixture
-# is deterministically ENRICHED — identical expression on both engines
-# — with one email and one 7-digit number derived from doc_id; the
-# redaction regexes then do real work and the oracle checks real
-# matches. On a live corpus the enrichment drops and the operator is
-# unchanged.
+# The synthetic corpus contains no digits or addresses, so the ORACLE
+# FIXTURE is deterministically ENRICHED — identical expression on both
+# engines — with one email and one 7-digit number derived from doc_id;
+# the redaction regexes then do real work and the oracle checks real
+# matches. Gated by ``enrich`` (default OFF): live corpora run the
+# redactor on the raw text; only the registered bench/oracle entry
+# turns enrichment on.
 def _enriched() -> Column:
     return F.concat(
         F.col("text"),
@@ -119,13 +120,19 @@ _ENRICHED_SQL = (
 )
 
 
-def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pii_redact(
+    spark: SparkSession, sf_dir: str, enrich: bool = False
+) -> DataFrame:
     """Regex PII scrub — emails then long digit runs (phone/account
     ids), with per-doc match counts for audit. Long-number counting
     runs on the email-redacted text so an address's local-part digits
-    are never double-counted. Map-only regex chain, zero shuffle."""
+    are never double-counted. Map-only regex chain, zero shuffle.
+
+    ``enrich=False`` (the default) redacts the raw ``text`` column —
+    the live-corpus mode. ``enrich=True`` is the synthetic-fixture mode
+    used by the registered oracle query (see ``_enriched``)."""
     d = load(spark, sf_dir, "documents", widen=True)
-    enriched = _enriched()
+    enriched = _enriched() if enrich else F.col("text")
     no_email = F.regexp_replace(enriched, EMAIL_RE, "<EMAIL>")
     return d.select(
         "doc_id",
@@ -309,7 +316,9 @@ CURATE_QUALITY_TOPK_SQL = _curate_sql()
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": chunk_documents,
     "curate_quality_topk": curate_quality_topk,
-    "pii_redact": pii_redact,
+    # registered entry runs the synthetic-fixture mode so the oracle's
+    # regexes have real matches to check; live callers use the default
+    "pii_redact": lambda spark, sf_dir: pii_redact(spark, sf_dir, enrich=True),
     "ngram_counts": ngram_counts,
     "text_diversity": text_diversity,
 }

@@ -31,7 +31,15 @@ class GraphError(Exception):
 @dataclass
 class Reducer:
     name: str
-    apply: Callable  # (ReducerContext) -> dict[str, DataFrame]
+    # (ReducerContext) -> dict[str, DataFrame].
+    # THREADING CONTRACT: the driver invokes `apply` on worker threads,
+    # concurrently with same-level peers (level-parallel plan build).
+    # The DAG read contract (declared ancestors' pending rows visible,
+    # everything else as-of the previous commit) is preserved, but any
+    # Python state an apply closure shares across reducers — counters,
+    # caches, non-thread-safe clients — must be thread-safe or
+    # per-reducer.
+    apply: Callable
     # Single parent, like [DependsOn(typeof(T))]. CONTRACT: a reducer
     # that reads another reducer's SAME-EPOCH uncommitted output
     # (ctx.table on its table) MUST declare it here — the driver runs

@@ -759,7 +759,16 @@ class ParquetStateStore:
         data_root = os.path.join(self.root, DATA_DIR)
         if os.path.isdir(data_root):
             for table in os.listdir(data_root):
-                for group in os.listdir(os.path.join(data_root, table)):
+                tdir = os.path.join(data_root, table)
+                if not os.path.isdir(tdir):
+                    # A stray plain file under data/ is an integrity
+                    # FINDING, not a crash (fsck must degrade to a
+                    # report on any filesystem state it meets).
+                    errors.append(
+                        f"non-directory entry in data root: {os.path.join(DATA_DIR, table)}"
+                    )
+                    continue
+                for group in os.listdir(tdir):
                     rel = os.path.join(DATA_DIR, table, group)
                     if rel not in live:
                         orphans.append(rel)
@@ -789,6 +798,8 @@ class ParquetStateStore:
         data_root = os.path.join(self.root, DATA_DIR)
         for table in os.listdir(data_root):
             tdir = os.path.join(data_root, table)
+            if not os.path.isdir(tdir):
+                continue  # stray plain file: fsck reports it, vacuum skips it
             for group in os.listdir(tdir):
                 rel = os.path.join(DATA_DIR, table, group)
                 if rel not in live:

@@ -221,7 +221,7 @@ class TestTextPrep:
             pii_redact,
         )
 
-        rows = pii_redact(spark, "/root/testdata/sf0.001").collect()
+        rows = pii_redact(spark, "/root/testdata/sf0.001", enrich=True).collect()
         assert rows
         for r in rows:
             # enrichment plants exactly one of each per doc
@@ -229,6 +229,25 @@ class TestTextPrep:
             assert not re.search(EMAIL_RE, r["clean_text"]), r["clean_text"]
             assert not re.search(LONGNUM_RE, r["clean_text"]), r["clean_text"]
             assert "<EMAIL>" in r["clean_text"] and "<NUM>" in r["clean_text"]
+
+    def test_pii_redact_default_leaves_clean_corpus_untouched(self, spark):
+        """Live-corpus mode (enrich=False, the default): the synthetic
+        corpus has no PII, so the redactor must pass text through
+        unchanged with zero match counts."""
+        from argus_spark.datapipe.textprep import pii_redact
+        from argus_spark.session import load
+
+        rows = pii_redact(spark, "/root/testdata/sf0.001").collect()
+        raw = {
+            r["doc_id"]: r["text"]
+            for r in load(spark, "/root/testdata/sf0.001", "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        assert rows
+        for r in rows:
+            assert r["n_emails"] == 0 and r["n_longnums"] == 0, r
+            assert r["clean_text"] == raw[r["doc_id"]]
 
     def test_diversity_matches_reference_computation(self, spark):
         import re
