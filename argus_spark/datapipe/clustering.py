@@ -1,7 +1,7 @@
 """Iterative clustering over the ``embeddings`` table — Lloyd's
-k-means, the canonical iterative-refinement algorithm the driver's
-correctness harness marks oracle-exempt (multi-round convergence is not
-one SQL statement; the DuckDB side would need the same driver loop).
+k-means with a *bit-reproducible* fit, so the multi-iteration result
+carries a hard DuckDB oracle (chained assign→update CTEs) instead of
+the rows-only check iterative algorithms usually get.
 
 Spark shape per iteration (the 100 TB contract):
   * centroids live on the DRIVER as k×DIM literals (control-plane: k=8,
@@ -12,39 +12,77 @@ Spark shape per iteration (the 100 TB contract):
     per-centroid squared distances, exactly the IVF cell-assignment
     shape, similarity.ann_ivf_topk);
   * the centroid update is ONE partial-aggregated groupBy(cluster)
-    with DIM avg aggregates + count + inertia — one exchange carrying
-    k rows per partition, collected back to the driver (k×DIM values,
+    with DIM **fixed-point (BIGINT) component sums** + count + a
+    fixed-point inertia sum — one exchange carrying k rows per
+    partition, collected back to the driver (k×DIM values,
     control-plane again).
 
-So a 3-iteration fit is 3 shuffles of k-row partial aggregates and 3
-k×DIM collects — nothing data-sized ever moves to the driver
-(the `.collect()` is the codebook, not the corpus).
+Why fixed-point: floating-point sums are order-dependent, and partial
+aggregation order on a real cluster is nondeterministic run-to-run —
+a double-summed centroid update is irreproducible at ANY scale, and
+un-oracle-able across engines. Quantizing each term with
+``floor(x * 2^s)`` (power-of-two scale ⇒ the multiply is exact) and
+summing BIGINTs makes every accumulation exact and order-free; the
+single closing division (sum / (2^s · n)) is one correctly-rounded
+IEEE op with exactly-representable operands, so Spark, Python, and
+DuckDB produce the identical double. Centroid magnitudes here are
+O(1) and n ≤ 2^20 per cluster, so scaled sums stay far below 2^53
+(no precision loss) and far below 2^63 (no BIGINT overflow) even at
+10^9-row clusters; for larger clusters drop SCALE_V accordingly.
 
 Convergence property (tested): total inertia is monotonically
 non-increasing across Lloyd iterations.
+
+Empty-cluster guard (ADVICE r3): seeding takes the k smallest vec_ids
+present (``orderBy(vec_id).limit(k)`` — no contiguity assumption), and
+an iteration that returns fewer than k groups carries the unreturned
+centroids forward unchanged (logged) instead of silently shrinking
+the codebook. The oracle mirrors the carry-forward with an
+anti-joined UNION.
 """
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from argus_spark.datapipe.dedup import DIM, _as_double
+from argus_spark.datapipe.dedup import (
+    DIM,
+    _as_double,
+    _dot,
+    _dot_sql,
+    _norm_sql,
+    cosine_prenorm,
+    norm,
+)
 from argus_spark.session import load
+
+log = logging.getLogger(__name__)
 
 K_CLUSTERS = 8
 N_ITERS = 3
+# Power-of-two fixed-point scales: x * SCALE is an EXACT double op.
+SCALE_V = 1 << 24  # centroid component quantum (~6e-8)
+SCALE_I = 1 << 20  # inertia quantum (~1e-6)
 
 
 def _sqdist(v: Column, c: Column) -> Column:
     """Ordered-fold squared distance (same fold discipline as
-    dedup._dot)."""
+    dedup._dot — identical IEEE result in the mirrored list_reduce)."""
     return F.aggregate(
         F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, t: acc + t,
+    )
+
+
+def _sqdist_sql(v: str, c: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {DIM + 1}), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), (acc, t) -> acc + t)"
     )
 
 
@@ -80,70 +118,267 @@ def _assign(e: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame
     )
 
 
-def kmeans_fit(
+def kmeans_codebook(
     spark: SparkSession,
     sf_dir: str,
     k: int = K_CLUSTERS,
     iters: int = N_ITERS,
-) -> tuple[DataFrame, list[float]]:
-    """Run ``iters`` Lloyd iterations; returns (final per-cluster
-    summary DataFrame, per-iteration total inertia). Init is
-    deterministic: the k smallest vec_ids seed the codebook."""
+) -> tuple[DataFrame, list[tuple[int, list[float]]], list[float]]:
+    """Run ``iters`` Lloyd iterations; returns (cached corpus
+    projection, final centroids, per-iteration total inertia). Init is
+    deterministic: the k smallest vec_ids present seed the codebook
+    (cid = rank in vec_id order, NOT the id value)."""
     # Cached: every Lloyd iteration (assignment + update) and the final
     # summary re-scan the same corpus projection — at bench SFs the
     # repeated widen+decode dominated wall time, and at cluster scale
     # you'd persist the feature matrix for exactly the same reason.
-    # Session-lifetime cache (the returned summary's lineage still
-    # references it, so it cannot be unpersisted here).
+    # Session-lifetime cache (downstream lineage still references it,
+    # so it cannot be unpersisted here).
     e = load(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", _as_double("embedding").alias("v")
     ).cache()
-    seed_rows = (
-        e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    )  # control-plane: k rows
+    seed_rows = e.orderBy("vec_id").limit(k).collect()  # control-plane: k rows
     centroids = [(i, list(r["v"])) for i, r in enumerate(seed_rows)]
     inertia_path: list[float] = []
-    dim_avgs = [F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(DIM)]
+    # Fixed-point component sums: floor(v[i] * 2^24) is exact-scaled
+    # then exactly floor'd; BIGINT sums are order-free.
+    q_sums = [
+        F.sum(F.floor(F.col("v")[i] * F.lit(float(SCALE_V)))).alias(f"q{i}")
+        for i in range(DIM)
+    ]
     for _ in range(iters):
         assigned = _assign(e, centroids)
         upd = (
             assigned.groupBy("cluster_id")
             .agg(
                 F.count(F.lit(1)).alias("n_members"),
-                F.sum("sqdist").alias("inertia"),
-                *dim_avgs,
+                F.sum(F.floor(F.col("sqdist") * F.lit(float(SCALE_I)))).alias(
+                    "inertia_fp"
+                ),
+                *q_sums,
             )
             .collect()
         )  # control-plane: k rows of DIM+2 values
-        inertia_path.append(sum(r["inertia"] for r in upd))
-        centroids = [
-            (r["cluster_id"], [r[f"c{i}"] for i in range(DIM)]) for r in upd
-        ]
-        centroids.sort()
+        inertia_path.append(sum(int(r["inertia_fp"]) for r in upd) / SCALE_I)
+        # sum_long / (2^24 * n): both operands exactly representable,
+        # one correctly-rounded division — Python and DuckDB agree.
+        new_c = {
+            int(r["cluster_id"]): [
+                int(r[f"q{i}"]) / (SCALE_V * int(r["n_members"]))
+                for i in range(DIM)
+            ]
+            for r in upd
+        }
+        empty = [cid for cid, _ in centroids if cid not in new_c]
+        if empty:
+            log.warning(
+                "kmeans: clusters %s received no members this iteration; "
+                "carrying their centroids forward unchanged", empty,
+            )
+        centroids = sorted(
+            (cid, new_c.get(cid, cv)) for cid, cv in centroids
+        )
+    return e, centroids, inertia_path
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CLUSTERS,
+    iters: int = N_ITERS,
+) -> tuple[DataFrame, list[float]]:
+    """Final-assignment summary after ``iters`` Lloyd iterations:
+    per-cluster member count and fixed-point inertia (BIGINT — exact,
+    order-free, hash-stable across engines)."""
+    e, centroids, inertia_path = kmeans_codebook(spark, sf_dir, k, iters)
     final = _assign(e, centroids)
     summary = (
         final.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sum("sqdist").alias("inertia"),
+            F.sum(F.floor(F.col("sqdist") * F.lit(float(SCALE_I))))
+            .cast("long")
+            .alias("inertia_fp"),
         )
         .orderBy("cluster_id")
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "n_members",
+            "inertia_fp",
+        )
     )
     return summary, inertia_path
 
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered (rows-only) query: per-cluster membership count and
-    inertia after N_ITERS Lloyd iterations. No SQL oracle — iterative
-    refinement is the documented oracle-exempt class; the convergence
-    property (inertia monotone non-increasing) is pinned by pytest
-    instead."""
+    """Registered query: per-cluster membership count and fixed-point
+    inertia after N_ITERS Lloyd iterations. Fully oracled: the fit is
+    bit-reproducible (see module docstring), so the DuckDB mirror —
+    three chained assign→update CTE pairs plus the final assignment —
+    reproduces it exactly."""
     summary, _ = kmeans_fit(spark, sf_dir)
     return summary
 
 
+def _seed_cte(k: int) -> str:
+    return (
+        "SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv "
+        f"FROM e0 ORDER BY vec_id LIMIT {k}"
+    )
+
+
+def _assign_cte(cent: str) -> str:
+    """Nearest-centroid assignment against centroid CTE ``cent`` —
+    mirrors _assign's (d, cid)-ascending tie-break via ORDER BY d, cid."""
+    return f"""
+  SELECT vec_id, v, cluster_id, sqdist FROM (
+    SELECT vec_id, v, cid AS cluster_id, d AS sqdist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM (
+      SELECT e.vec_id, e.v, c.cid, {_sqdist_sql('e.v', 'c.cv')} AS d
+      FROM e0 e CROSS JOIN {cent} c
+    )
+  ) WHERE rn = 1"""
+
+
+def _update_cte(assigned: str, prev_cent: str) -> str:
+    """Fixed-point centroid update from assignment CTE ``assigned``;
+    clusters with no members carry forward from ``prev_cent``."""
+    comps = ", ".join(
+        f"CAST(sum(CAST(floor(v[{i + 1}] * {float(SCALE_V)!r}) AS BIGINT))"
+        f" AS DOUBLE) / ({float(SCALE_V)!r} * count(*))"
+        for i in range(DIM)
+    )
+    return f"""
+  SELECT cluster_id AS cid, [{comps}] AS cv
+  FROM {assigned} GROUP BY cluster_id
+  UNION ALL
+  SELECT cid, cv FROM {prev_cent}
+  WHERE cid NOT IN (SELECT DISTINCT cluster_id FROM {assigned})"""
+
+
+def _kmeans_sql(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
+    ctes = [
+        "e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS ({_seed_cte(k)})",
+    ]
+    for t in range(iters):
+        ctes.append(f"a{t} AS ({_assign_cte(f'c{t}')}\n)")
+        ctes.append(f"c{t + 1} AS ({_update_cte(f'a{t}', f'c{t}')}\n)")
+    ctes.append(f"afin AS ({_assign_cte(f'c{iters}')}\n)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cluster_id::BIGINT AS cluster_id,
+       count(*)::BIGINT AS n_members,
+       CAST(sum(CAST(floor(sqdist * {float(SCALE_I)!r}) AS BIGINT)) AS BIGINT) AS inertia_fp
+FROM afin GROUP BY cluster_id ORDER BY cluster_id"""
+    )
+
+
+KMEANS_EMBEDDINGS_SQL = _kmeans_sql()
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — cluster-scoped semantic deduplication
+# --------------------------------------------------------------------------
+
+SEM_TAU = 0.4  # near-dup cosine threshold within a cluster
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cells bound the pair
+    blow-up the way LSH bands do — exact cosine is computed only
+    WITHIN a cell, never across the corpus. Within each cell, a
+    document is DROPPED iff a higher-priority near-duplicate
+    (cos ≥ SEM_TAU) exists in the same cell; priority follows the
+    paper's keep-low-centroid-similarity rule: the member FARTHEST
+    from its centroid wins (preserves diversity), ties toward the
+    smaller vec_id so the keep set is total-ordered and deterministic.
+
+    100 TB shape: the codebook is the driver-side k×DIM literal from
+    ``kmeans_codebook`` (bit-reproducible fit, see module docstring),
+    so cell assignment is MAP-SIDE — the corpus shuffles exactly once,
+    on ``cluster_id``, for the in-cell pair join (k scales as ~√n in
+    deployment: cells stay bounded, AQE splits stragglers). The
+    dominance rule replaces connected-components resolution with a
+    single anti-join — one pass, no iteration. Oracle: the same
+    chained-CTE Lloyd fit + in-cell dominance anti-join, bit-exact.
+    """
+    e, centroids, _ = kmeans_codebook(spark, sf_dir)
+    a = _assign(e, centroids).withColumn("nrm", norm(F.col("v")))
+    lhs = a.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("cluster_id").alias("cell"), F.col("sqdist").alias("da"),
+        F.col("nrm").alias("na"),
+    )
+    rhs = a.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("cluster_id").alias("cell"), F.col("sqdist").alias("db"),
+        F.col("nrm").alias("nb"),
+    )
+    dominated = (
+        lhs.join(rhs, "cell")
+        .filter(
+            (F.col("db") > F.col("da"))
+            | ((F.col("db") == F.col("da")) & (F.col("vec_b") < F.col("vec_a")))
+        )
+        .filter(
+            cosine_prenorm(
+                _dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+            )
+            >= SEM_TAU
+        )
+        .select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a.join(dominated, "vec_id", "left_anti")
+        .select("vec_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+    )
+
+
+def _dedup_semantic_sql(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
+    ctes = [
+        "e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS ({_seed_cte(k)})",
+    ]
+    for t in range(iters):
+        ctes.append(f"a{t} AS ({_assign_cte(f'c{t}')}\n)")
+        ctes.append(f"c{t + 1} AS ({_update_cte(f'a{t}', f'c{t}')}\n)")
+    ctes.append(f"afin AS ({_assign_cte(f'c{iters}')}\n)")
+    ctes.append(
+        "n AS (SELECT vec_id, v, cluster_id, sqdist, "
+        f"{_norm_sql('v')} AS nrm FROM afin)"
+    )
+    ctes.append(
+        f"""dominated AS (
+  SELECT DISTINCT a.vec_id
+  FROM n a JOIN n b ON a.cluster_id = b.cluster_id
+   AND (b.sqdist > a.sqdist
+        OR (b.sqdist = a.sqdist AND b.vec_id < a.vec_id))
+  WHERE {_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm) >= {SEM_TAU}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT vec_id, cluster_id::BIGINT AS cluster_id FROM n
+WHERE vec_id NOT IN (SELECT vec_id FROM dominated)"""
+    )
+
+
+DEDUP_SEMANTIC_SQL = _dedup_semantic_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_embeddings": kmeans_embeddings,
+    "dedup_semantic": dedup_semantic,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
+}

@@ -290,6 +290,52 @@ class TestKMeans:
         for a, b in zip(path, path[1:]):
             assert b <= a * (1 + 1e-9), path
 
+    def test_semantic_dedup_matches_brute_force_dominance(self, spark):
+        """Independent numpy re-implementation of the SemDeDup keep
+        rule (drop i iff a same-cell near-dup with higher priority
+        exists; priority = farther-from-centroid, then smaller id)
+        must reproduce the operator's kept set exactly."""
+        import numpy as np
+
+        from argus_spark.datapipe.clustering import (
+            SEM_TAU,
+            _assign,
+            dedup_semantic,
+            kmeans_codebook,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        kept = {r["vec_id"] for r in dedup_semantic(spark, sf).collect()}
+        e, centroids, _ = kmeans_codebook(spark, sf)
+        rows = _assign(e, centroids).collect()
+        by_cell: dict[int, list] = {}
+        for r in rows:
+            by_cell.setdefault(r["cluster_id"], []).append(r)
+        expect = set()
+        for members in by_cell.values():
+            vs = {m["vec_id"]: np.array(m["v"]) for m in members}
+            for a in members:
+                dropped = False
+                for b in members:
+                    if b["vec_id"] == a["vec_id"]:
+                        continue
+                    higher = b["sqdist"] > a["sqdist"] or (
+                        b["sqdist"] == a["sqdist"] and b["vec_id"] < a["vec_id"]
+                    )
+                    if not higher:
+                        continue
+                    va, vb = vs[a["vec_id"]], vs[b["vec_id"]]
+                    cos = float(
+                        va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                    )
+                    if cos >= SEM_TAU:
+                        dropped = True
+                        break
+                if not dropped:
+                    expect.add(a["vec_id"])
+        assert kept == expect
+        assert len(kept) < len(rows)  # the threshold does real work
+
     def test_assignment_is_map_side_no_corpus_shuffle(self, spark):
         from argus_spark.datapipe.clustering import _assign, kmeans_fit
         from argus_spark.datapipe.dedup import _as_double

@@ -210,3 +210,14 @@ def test_minhash_estimate_all_joins_equi(spark):
     plan = formatted_plan(dedup_minhash_estimate(spark, SF_SMOKE))
     assert "BroadcastNestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_semantic_one_corpus_shuffle_no_nested_loop(spark):
+    """SemDeDup contract: cell assignment is map-side (codebook enters
+    as a driver literal), so the only corpus shuffles are the in-cell
+    equi pair join + the keep anti-join — never a cartesian."""
+    from argus_spark.datapipe.clustering import dedup_semantic
+
+    plan = formatted_plan(dedup_semantic(spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
