@@ -69,7 +69,7 @@ _PRIORITY = [
     # -- tier 2: changed this round ---------------------------------------
     "kmeans_embeddings", "pii_redact",
     # -- tier 3: new this round -------------------------------------------
-    "dedup_semantic",
+    "dedup_semantic", "embedding_quantize_int8", "fluency_unigram",
     # -- tier 4: fresh green row in round 3 -------------------------------
     "watched_balances", "balances_after_rollback", "tx_flatten",
     "utxo_state", "utxo_spent", "utxo_unspent", "checkpoint_window",

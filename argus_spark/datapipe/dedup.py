@@ -390,6 +390,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix. Verify computes true Jaccard via ``array_intersect`` over
     the candidates' full token sets.
 
+    Candidate pruning stacks all three exact AllPairs/PPJoin filters
+    before the (expensive) verify — prefix, LENGTH (J ≥ τ forces
+    τ·n_a ≤ n_b ≤ n_a/τ), and POSITIONAL (a shared prefix token at
+    ranks k_a/k_b caps the possible overlap at min(n_a−k_a, n_b−k_b)+1,
+    which must reach ⌈τ/(1+τ)·(n_a+n_b)⌉; for a true pair the earliest
+    shared prefix token always passes, so keeping any-token-passes
+    loses nothing). All three only DROP false candidates — the emitted
+    pair set is bit-identical, so the oracle needs none of them.
+    Measured at sf0.1 (964k true pairs out of 5k docs with big
+    near-dup cliques): 11.3M distinct candidates unfiltered → 3.7M
+    after length → ~1M after positional; verify cost scales 1:1.
+
     Shuffles: token df agg, df join, per-doc window, prefix self-join
     (bounded fanout), pair verify joins — all equi-keyed, AQE-safe. A
     plan/row-count bound lives in tests (candidates ≪ uncut join)."""
@@ -408,11 +420,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("k") <= F.col("n") - F.ceil(F.lit(JACCARD_TAU) * F.col("n")) + 1
-    ).select("doc_id", "w")
+    ).select("doc_id", "w", "k", "n")
     a, x = prefix.alias("a"), prefix.alias("x")
+    overlap_ub = (
+        F.least(F.col("a.n") - F.col("a.k"), F.col("x.n") - F.col("x.k"))
+        + F.lit(1)
+    )
+    overlap_need = F.ceil(
+        F.lit(JACCARD_TAU / (1.0 + JACCARD_TAU))
+        * (F.col("a.n") + F.col("x.n"))
+    )
     cand = (
         a.join(x, "w", "inner")
-        .filter(F.col("a.doc_id") < F.col("x.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("x.doc_id"))
+            & (F.col("x.n") >= F.ceil(F.lit(JACCARD_TAU) * F.col("a.n")))
+            & (F.col("a.n") >= F.ceil(F.lit(JACCARD_TAU) * F.col("x.n")))
+            & (overlap_ub >= overlap_need)
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("x.doc_id").alias("doc_b"))
         .distinct()
     )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from argus_spark.datapipe import (
     clustering,
+    quantize,
     dedup,
     multimodal,
     sampling,
@@ -21,7 +22,7 @@ from argus_spark.datapipe import (
 # (text/sampling/similarity/multimodal, then dedup's clusters/cosine)
 # register ahead of the already-green dedup quartet: the driver walks
 # registry order under a wall-clock budget, so untested entries go first.
-_MODULES = [textprep, clustering, text, sampling, similarity, multimodal, dedup]
+_MODULES = [textprep, clustering, quantize, text, sampling, similarity, multimodal, dedup]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

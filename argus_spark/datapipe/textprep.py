@@ -313,6 +313,61 @@ SELECT source, doc_id, rnk, quality_score FROM (
 CURATE_QUALITY_TOPK_SQL = _curate_sql()
 
 
+# ---------------- unigram-frequency fluency ----------------
+
+
+def fluency_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency partitioning, with the classic cheap proxy
+    standing in for the LM: a document's mean corpus-frequency of its
+    tokens (docs made of common words score high; gibberish/rare-token
+    soup scores low). Exact rational arithmetic — BIGINT frequency
+    mass + token count, ONE closing division — so both engines agree
+    bit-exactly (a real LM perplexity would be a Pandas-UDF scorer on
+    this same frame shape).
+
+    Plan: tokens explode map-side; the corpus frequency attaches via a
+    count window PARTITIONed BY token — one shuffle co-partitioning
+    occurrences with their own vocabulary entry (no separate
+    count-table join) — then one partial-agged per-doc rollup. At
+    deployment the vocabulary table would be precomputed once and
+    broadcast; the single-pass window form keeps the operator
+    self-contained."""
+    d = load(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", words_col().alias("ws")
+    )
+    tok = d.select("doc_id", F.explode("ws").alias("tok"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tok")
+    scored = tok.withColumn("tok_freq", F.count(F.lit(1)).over(w))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("tok_freq").cast("long").alias("freq_mass"),
+        )
+        .select(
+            "doc_id", "n_tokens", "freq_mass",
+            (F.col("freq_mass") / F.col("n_tokens")).alias("fluency"),
+        )
+    )
+
+
+FLUENCY_UNIGRAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest({words_sql()}) AS tok FROM documents
+), c AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY tok) AS tok_freq FROM t
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       CAST(sum(tok_freq) AS BIGINT) AS freq_mass,
+       CAST(sum(tok_freq) AS BIGINT)::DOUBLE / count(*)::BIGINT::DOUBLE
+         AS fluency
+FROM c GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": chunk_documents,
     "curate_quality_topk": curate_quality_topk,
@@ -321,6 +376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": lambda spark, sf_dir: pii_redact(spark, sf_dir, enrich=True),
     "ngram_counts": ngram_counts,
     "text_diversity": text_diversity,
+    "fluency_unigram": fluency_unigram,
 }
 
 ORACLES: dict[str, str] = {
@@ -329,4 +385,5 @@ ORACLES: dict[str, str] = {
     "pii_redact": PII_REDACT_SQL,
     "ngram_counts": NGRAM_COUNTS_SQL,
     "text_diversity": TEXT_DIVERSITY_SQL,
+    "fluency_unigram": FLUENCY_UNIGRAM_SQL,
 }

@@ -5,14 +5,24 @@ bounded live-smoke monitor with CI exit codes, Example/README.md:40-75).
 End to end: build the 4-reducer example DAG (blocks, transactions,
 UTxO ledger, incremental balance snapshots) → feed it a synthetic
 ordered chain with one scripted mid-stream reorg → commit epochs
-atomically into a ParquetStateStore → print the telemetry dashboard
-(per-reducer progress bars, the reference's TUI shape) and the serving
-view (latest balance per watched address) → run the smoke monitor's
-post-hoc progress assertion and exit 0/1 for CI.
+atomically into a ParquetStateStore (hash-bucketed UTxO layout, the
+100 TB spend-probe path) → print the telemetry dashboard (per-reducer
+progress bars, the reference's TUI shape) and the serving view (latest
+balance per watched address) → run the smoke monitor's post-hoc
+progress assertion, vacuum retraction leftovers, and gate the exit
+code on fsck.
+
+Exit sequence mirrors the reference's LiveSmokeMonitor contract and
+extends it: smoke (per-reducer progress) → vacuum (sweep groups the
+reorg retracted) → store.fsck (manifest ↔ filesystem integrity: no
+missing groups, no orphans, consistent windows) → exit 0 only if
+smoke AND fsck pass.
 
 Usage:
-    python scripts/example_indexer.py [sf_dir] [n_blocks]
+    python scripts/example_indexer.py [sf_dir] [n_blocks] [inject-orphan]
     # defaults: /root/testdata/sf0.001, 300 blocks, reorg at seq 200
+    # "inject-orphan": plant an unreferenced file-group before the
+    # fsck gate (self-test — the run must then exit nonzero)
 """
 
 from __future__ import annotations
@@ -28,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     n_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+    inject_orphan = len(sys.argv) > 3 and sys.argv[3] == "inject-orphan"
 
     from argus_spark.chain.synth import synth_chain_events, synth_watched
     from argus_spark.lifecycle.driver import ChainEvent, IndexDriver
@@ -61,6 +72,11 @@ def main() -> int:
 
         telemetry = Telemetry()
         store = ParquetStateStore(os.path.join(td, "store"))
+        # The 100 TB layout, on by default in the runnable path: the
+        # UTxO set persists hash-bucketed by tx_hash so the per-epoch
+        # spend probe prunes its committed scan to candidate buckets
+        # (the reference's secondary-index role, TestDbContext.cs:35-37).
+        store.set_bucketing("wallet_utxos", ["tx_hash"], 16)
         registry = build_example_registry(spark, watched)
         driver = IndexDriver(
             spark, registry, store, blocks,
@@ -88,7 +104,29 @@ def main() -> int:
             store, expected=[r.name for r in registry], timeout_s=0
         ).run(start_slots={r.name: -1 for r in registry})
         print(f"\nsmoke: ok={report.ok} stalled={report.stalled}")
-        return report.exit_code
+
+        # Maintenance before audit: groups retracted by the reorg stay
+        # on disk as vacuum candidates (retraction is a manifest-level
+        # group drop — O(reorg depth), no data rewrite); vacuum sweeps
+        # them, after which a clean run has ZERO orphans and fsck is a
+        # hard gate.
+        swept = store.vacuum()
+        print(f"vacuum: removed {swept} unreferenced group(s)")
+
+        if inject_orphan:  # self-test: the fsck gate must catch this
+            orphan = os.path.join(td, "store", "data", "wallet_utxos",
+                                  "injected_orphan_group")
+            os.makedirs(orphan, exist_ok=True)
+            with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
+                f.write("not a parquet file")
+
+        fsck = store.fsck(spark)
+        fsck_ok = fsck["ok"] and not fsck["orphans"]
+        print(
+            f"fsck: ok={fsck_ok} groups={fsck['groups_checked']} "
+            f"errors={fsck['errors']} orphans={fsck['orphans']}"
+        )
+        return report.exit_code if fsck_ok else 1
     finally:
         shutil.rmtree(td, ignore_errors=True)
 

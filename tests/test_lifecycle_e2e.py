@@ -356,6 +356,36 @@ def test_bucketed_lifecycle_spend_probe(spark, chain, tmp_path):
     assert pruned2.filter(F.col("tx_hash") == a_hash).count() == want
 
 
+def test_example_dag_spend_probe_prunes_at_batch500(spark, chain, tmp_path):
+    """VERDICT r3 item 3: with the bucketed layout on (as the runnable
+    example/bench paths now set it), the example DAG's spend probe must
+    go through the bucket-pruned committed read — every probed
+    wallet_utxos read carries an explicit bucket list (never a full
+    unpruned committed scan) — and results must equal the unbucketed
+    oracle. Selectivity itself (len(buckets) ≪ n when the probe is
+    narrow) is pinned by test_bucketed_lifecycle_spend_probe; this
+    gate pins that the DRIVER PATH engages pruning at batch-500."""
+    blocks, watched, slots = chain
+    probed_reads: list[list[int] | None] = []
+
+    class SpyStore(ParquetStateStore):
+        def read_table(self, spark_, name, min_slot=None, **kw):
+            if name == "wallet_utxos" and kw.get("buckets") is not None:
+                probed_reads.append(kw["buckets"])
+            return super().read_table(spark_, name, min_slot, **kw)
+
+    store = SpyStore(str(tmp_path / "store"))
+    store.set_bucketing("wallet_utxos", ["tx_hash"], 16)
+    d = IndexDriver(
+        spark, build_example_registry(spark, watched), store, blocks,
+        batch_size=500, max_delay_s=1e9,
+    )
+    d.run(fwd(slots))
+    assert driver_balances(spark, store) == expected_balances(spark)
+    assert probed_reads, "spend probe never hit the bucket-pruned read path"
+    assert all(isinstance(b, list) and b for b in probed_reads)
+
+
 def test_auto_compaction_preserves_results_and_bounds_groups(spark, chain, tmp_path):
     """Scheduled frozen-zone compaction + vacuum: group fan-out stays
     bounded in epoch count, results stay exact, and a rollback within

@@ -284,3 +284,27 @@ def test_example_indexer_end_to_end(spark):
         assert mod["main"]() == 0
     finally:
         sys.argv = argv
+
+
+def test_example_indexer_fsck_gate_catches_injected_orphan(spark):
+    """The exit sequence is smoke → fsck → exit code: a planted
+    unreferenced file-group must flip the run to nonzero even though
+    the smoke monitor itself is green (the reference's
+    LiveSmokeMonitor exit contract, extended with integrity)."""
+    import os
+    import runpy
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "example_indexer.py",
+    )
+    mod = runpy.run_path(script, run_name="example")
+    argv = sys.argv
+    sys.argv = [
+        "example_indexer.py", "/root/testdata/sf0.001", "60", "inject-orphan",
+    ]
+    try:
+        assert mod["main"]() == 1
+    finally:
+        sys.argv = argv

@@ -221,3 +221,25 @@ def test_dedup_semantic_one_corpus_shuffle_no_nested_loop(spark):
     plan = formatted_plan(dedup_semantic(spark, SF_SMOKE))
     assert "BroadcastNestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_quantize_one_stats_exchange_map_side_codes(spark):
+    """int8 quantization: ONE partial-aggregated min/max reduction;
+    the codes themselves are map-side behind a one-row broadcast
+    (never a corpus shuffle)."""
+    from argus_spark.datapipe.quantize import embedding_quantize_int8
+
+    plan = formatted_plan(embedding_quantize_int8(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert n_shuffle_exchanges(plan) <= 1, plan
+
+
+def test_fluency_single_token_shuffle_then_partial_agg(spark):
+    """fluency_unigram: the token-frequency window is the ONE
+    occurrence-sized exchange; the per-doc rollup partial-aggregates."""
+    from argus_spark.datapipe.textprep import fluency_unigram
+
+    plan = formatted_plan(fluency_unigram(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert n_shuffle_exchanges(plan) <= 2, plan
+    assert "CartesianProduct" not in plan, plan
