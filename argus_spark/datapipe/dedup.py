@@ -397,7 +397,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     which must reach ⌈τ/(1+τ)·(n_a+n_b)⌉; for a true pair the earliest
     shared prefix token always passes, so keeping any-token-passes
     loses nothing). All three only DROP false candidates — the emitted
-    pair set is bit-identical, so the oracle needs none of them.
+    pair set is bit-identical, so the oracle needs none of them; the
+    oracle deliberately KEEPS its unfiltered candidate set, making
+    every harness run an independent proof that the pruning loses no
+    pairs (a shared filter bug could hide if both sides pruned).
     Measured at sf0.1 (964k true pairs out of 5k docs with big
     near-dup cliques): 11.3M distinct candidates unfiltered → 3.7M
     after length → ~1M after positional; verify cost scales 1:1.
@@ -560,7 +563,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → one canonical doc per cluster (the smallest doc_id —
     deterministic keep-first, B24's tie-break). Singleton docs (no dup)
     are not emitted — at 100 TB the cluster table is a small side
-    output joined back as an anti-filter."""
+    output joined back as an anti-filter (``dedup_keep_list``).
+
+    Measured (r4): harness SF (0.01) Spark 7.0s / oracle 16.8s in a
+    stock foreign session — wide headroom. At sf0.1 (964k true pairs,
+    big near-dup cliques) the Spark side runs 90s end-to-end after
+    the PPJoin length+positional filters (was >570s before them); the
+    min-label-pruned recursive-CTE oracle is sf0.01-only by design
+    (the harness SF)."""
     edges = dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -569,6 +579,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         (F.col("doc") == F.col("label")).alias("is_canonical"),
+    )
+
+
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT — the kept corpus: every doc
+    that is either untouched by near-dup resolution (singleton) or its
+    cluster's canonical representative (smallest doc_id). This is what
+    a user actually materializes after LSH → verify → components;
+    ``had_dups`` marks kept docs that shed duplicates (provenance for
+    downstream mixture accounting).
+
+    100 TB shape: the cluster table is tiny relative to the corpus
+    (only docs incident to a verified pair), so the keep-list is one
+    LEFT join of the corpus against it — broadcast when it fits,
+    equi-shuffle otherwise; no new pair work."""
+    clusters = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    d = load(spark, sf_dir, "documents", widen=True).select("doc_id")
+    return (
+        d.join(clusters, "doc_id", "left")
+        .filter(
+            F.col("is_canonical").isNull() | F.col("is_canonical")
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("is_canonical"), F.lit(False)).alias("had_dups"),
+        )
     )
 
 
@@ -596,6 +634,15 @@ WITH RECURSIVE pairs AS (
 SELECT doc AS doc_id, min(r) AS cluster_id,
        doc = min(r) AS is_canonical
 FROM reach GROUP BY doc
+"""
+
+
+DEDUP_KEEP_LIST_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL})
+SELECT d.doc_id,
+       coalesce(c.is_canonical, FALSE) AS had_dups
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+WHERE c.is_canonical IS NULL OR c.is_canonical
 """
 
 
@@ -879,6 +926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_list": dedup_keep_list,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -890,5 +938,6 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
 }

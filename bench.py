@@ -201,12 +201,19 @@ def main() -> None:
         # knee is bigger micro-batches (per-epoch job overhead amortizes
         # where Postgres amortized fsyncs): report the same batch-500
         # point for comparability plus the knee throughput.
-        # batch-500 on the BUCKETED layout (the runnable default) plus
-        # an unbucketed control, so the layout's cost/benefit at this
-        # scale is visible rather than assumed.
-        lifecycle_bps_500 = lc_run(2000, 500, "b500", bucketed=True)
-        lifecycle_bps_500_flat = lc_run(2000, 500, "b500flat")
-        lifecycle_bps = lc_run(20000, 20000, "knee", bucketed=True)
+        # batch-500 flat (the reference-comparable headline) PLUS the
+        # bucketed layout as a labeled secondary. Measured honestly:
+        # at this scale bucketing COSTS ~15-20% (each wallet_utxos
+        # write pays a repartition(16), and a 500-key spend probe
+        # covers all 16 buckets, so pruning never fires). The layout
+        # pays off when n_buckets ≫ probe cardinality and committed
+        # data ≫ one epoch — i.e. the 100 TB regime, where the probe
+        # reads ≤|probe|/n_buckets of the UTxO set instead of all of
+        # it. The pruned read path itself is plan-gated for
+        # correctness in tests/test_lifecycle_e2e.py.
+        lifecycle_bps_500 = lc_run(2000, 500, "b500")
+        lifecycle_bps_500_bucketed = lc_run(2000, 500, "b500bkt", bucketed=True)
+        lifecycle_bps = lc_run(20000, 20000, "knee")
 
         # Depth (in)dependence — the reference's sequential cascade
         # collapses ~30x on a 3-deep chain (274 vs 8,200 slots/s, Bench
@@ -222,11 +229,13 @@ def main() -> None:
         # SURVEY §3.1): same 2,000-block / batch-500 workload as the
         # batch row, fed through readStream(feed dir) → foreachBatch →
         # IndexDriver, with one mid-stream rollback — so the published
-        # number covers the full streaming path (source checkpointing,
+        # numbers cover the full streaming path (source checkpointing,
         # micro-batch triggers, reorg handling), not just the batch
-        # driver. 4 feed files × 500 events ≈ the A2 catch-up depth;
-        # maxFilesPerTrigger=1 pins commit cadence to one epoch per
-        # micro-batch.
+        # driver. Two A2 operating points: CATCH-UP (unbounded trigger
+        # — one micro-batch drains the whole feed; the throughput
+        # number comparable to the batch row) and TIP-FOLLOWING
+        # (maxFilesPerTrigger=1 — five 500-event triggers; measures
+        # the fixed per-trigger cost a live indexer pays at the tip).
         from argus_spark.chain.synth import synth_chain_events
         from argus_spark.sources.chain_feed import write_feed_file
         from argus_spark.streaming.indexer import StreamingIndexer
@@ -244,24 +253,27 @@ def main() -> None:
                 limit=n_stream,
             ).orderBy("seq").collect()
         ]
-        stream_wall, stream_batches = float("inf"), 0
-        for i in range(3):  # run 0 warms (JIT + streaming-source setup)
-            feed = os.path.join(td, f"feed_{i}")
-            for fi in range(0, len(ev_rows), 500):
-                write_feed_file(feed, fi // 500, ev_rows[fi : fi + 500])
-            store = ParquetStateStore(os.path.join(td, f"store_stream_{i}"))
-            store.set_bucketing("wallet_utxos", ["tx_hash"], 16)
-            si = StreamingIndexer(
-                spark, build_example_registry(spark, watched), store,
-                s_blocks, feed, os.path.join(td, f"ckpt_{i}"),
-                batch_size=500, max_files_per_trigger=1,
-            )
-            t0 = time.perf_counter()
-            stats = si.run_available_now()
-            wall = time.perf_counter() - t0
-            if i > 0 and wall < stream_wall:
-                stream_wall, stream_batches = wall, stats.micro_batches
-        streaming_bps = round(n_stream / stream_wall, 1)
+        def stream_run(tag: str, mfpt: int | None) -> tuple[float, int]:
+            best_wall, batches = float("inf"), 0
+            for i in range(3):  # run 0 warms (JIT + streaming-source setup)
+                feed = os.path.join(td, f"feed_{tag}_{i}")
+                for fi in range(0, len(ev_rows), 500):
+                    write_feed_file(feed, fi // 500, ev_rows[fi : fi + 500])
+                store = ParquetStateStore(os.path.join(td, f"st_{tag}_{i}"))
+                si = StreamingIndexer(
+                    spark, build_example_registry(spark, watched), store,
+                    s_blocks, feed, os.path.join(td, f"ck_{tag}_{i}"),
+                    batch_size=500, max_files_per_trigger=mfpt,
+                )
+                t0 = time.perf_counter()
+                s_stats = si.run_available_now()
+                wall = time.perf_counter() - t0
+                if i > 0 and wall < best_wall:
+                    best_wall, batches = wall, s_stats.micro_batches
+            return round(n_stream / best_wall, 1), batches
+
+        streaming_bps, _ = stream_run("catchup", None)
+        streaming_tip_bps, stream_batches = stream_run("tip", 1)
 
         watched.unpersist()
     finally:
@@ -285,9 +297,10 @@ def main() -> None:
         "blocks_per_sec_utxo_graph": blocks_per_sec,
         "blocks_per_sec_lifecycle": lifecycle_bps,
         "blocks_per_sec_lifecycle_batch500": lifecycle_bps_500,
-        "blocks_per_sec_lifecycle_batch500_flat": lifecycle_bps_500_flat,
+        "blocks_per_sec_lifecycle_batch500_bucketed": lifecycle_bps_500_bucketed,
         "blocks_per_sec_streaming": streaming_bps,
-        "streaming_micro_batches": stream_batches,
+        "blocks_per_sec_streaming_tip": streaming_tip_bps,
+        "streaming_tip_micro_batches": stream_batches,
         "blocks_per_sec_depth1_chain": depth1_bps,
         "blocks_per_sec_depth3_chain": depth3_bps,
         "depth3_retention": round(depth3_bps / depth1_bps, 3) if depth1_bps else 0.0,

@@ -179,6 +179,26 @@ class TestEmbeddingLshRecall:
         assert recall >= 0.85, recall
 
 
+class TestDedupKeepList:
+    def test_keep_list_is_corpus_minus_noncanonical(self, spark):
+        """Count identity: kept = n_docs − (clustered − canonicals);
+        every kept doc is unique; had_dups marks exactly the cluster
+        canonicals."""
+        from argus_spark.datapipe.dedup import dedup_clusters, dedup_keep_list
+        from argus_spark.session import load
+
+        sf = "/root/testdata/sf0.001"
+        kept = dedup_keep_list(spark, sf).collect()
+        cl = dedup_clusters(spark, sf).collect()
+        n_docs = load(spark, sf, "documents").count()
+        n_canon = sum(1 for r in cl if r["is_canonical"])
+        assert len(kept) == n_docs - (len(cl) - n_canon)
+        assert len({r["doc_id"] for r in kept}) == len(kept)
+        assert sum(1 for r in kept if r["had_dups"]) == n_canon
+        dropped = {r["doc_id"] for r in cl if not r["is_canonical"]}
+        assert dropped.isdisjoint({r["doc_id"] for r in kept})
+
+
 class TestMultiProbeRecall:
     def test_multiprobe_beats_single_probe_recall_at_3(self, spark):
         """The 'recall lever' claim in ann_lsh_multiprobe's docstring,
