@@ -400,6 +400,81 @@ GROUP BY 1, 2
 """
 
 
+FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel — the classic product-analytics rollup:
+    how many users reach stage k having passed stages 1..k-1 IN TIME
+    ORDER (stage k's event must be strictly later than the user's
+    stage-k-1 completion time; completion = the EARLIEST qualifying
+    event, the standard greedy funnel semantics — earliest completion
+    maximizes the remaining window, so greedy is optimal and the count
+    is order-maximal).
+
+    Plan: one stage-filtered min-ts aggregation per stage plus an
+    equi-join per transition, all keyed on user_id — partial-agged,
+    broadcast-eligible (the qualified-user set shrinks every stage),
+    co-partitioned end-to-end if events are laid out by user_id.
+    Output is integers only (stage ordinal + distinct-user counts) —
+    engine-exact with no float hashing concerns."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    cur = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    stage_counts = [
+        cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(1).cast("long").alias("stage"),
+            F.lit(FUNNEL_STAGES[0]).alias("event_type"),
+            "n_users",
+        )
+    ]
+    for i, s in enumerate(FUNNEL_STAGES[1:], start=2):
+        prev = cur.select("user_id", F.col("t").alias("t_prev"))
+        cur = (
+            ev.filter(F.col("event_type") == s)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        stage_counts.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(s).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = stage_counts[0]
+    for sc in stage_counts[1:]:
+        out = out.unionByName(sc)
+    return out
+
+
+def _funnel_sql() -> str:
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id)"
+    ]
+    for i, s in enumerate(FUNNEL_STAGES[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{i - 1} p USING (user_id) "
+            f"WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.user_id)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1}::BIGINT AS stage, '{s}' AS event_type, "
+        f"count(*)::BIGINT AS n_users FROM s{i + 1}"
+        for i, s in enumerate(FUNNEL_STAGES)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+FUNNEL_CONVERSION_SQL = _funnel_sql()
+
+
 APPROX_Q_ACC = 10000     # GK sketch accuracy (rank error <= n/ACC)
 APPROX_Q_BOUND = 0.05    # |approx_p50 - exact_p50| <= 5% of the p05-p95 spread
 
@@ -477,6 +552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": approx_distinct_users,
     "approx_quantiles_value": approx_quantiles_value,
     "cohort_retention": cohort_retention,
+    "funnel_conversion": funnel_conversion,
 }
 
 ORACLES: dict[str, str] = {
@@ -493,4 +569,5 @@ ORACLES: dict[str, str] = {
     "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
     "approx_quantiles_value": APPROX_QUANTILES_VALUE_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
+    "funnel_conversion": FUNNEL_CONVERSION_SQL,
 }

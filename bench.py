@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_semantic",
     "embedding_quantize_int8",
     "fluency_unigram",
+    "funnel_conversion",
 ]
 
 

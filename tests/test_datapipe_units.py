@@ -179,6 +179,43 @@ class TestEmbeddingLshRecall:
         assert recall >= 0.85, recall
 
 
+class TestFunnel:
+    def test_funnel_matches_per_user_greedy_replay(self, spark):
+        """Independent Python re-implementation: replay each user's
+        time-sorted events through the greedy stage machine; stage
+        counts must match the operator exactly."""
+        from argus_spark.operators.temporal import (
+            FUNNEL_STAGES,
+            funnel_conversion,
+        )
+        from argus_spark.session import load
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["event_type"]: r["n_users"]
+            for r in funnel_conversion(spark, sf).collect()
+        }
+        rows = (
+            load(spark, sf, "events")
+            .select("user_id", "ts", "event_type")
+            .collect()
+        )
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+        counts = {s: 0 for s in FUNNEL_STAGES}
+        for evs in by_user.values():
+            evs.sort()
+            stage, t_prev = 0, None
+            for ts, et in evs:
+                if stage < len(FUNNEL_STAGES) and et == FUNNEL_STAGES[stage] and (
+                    t_prev is None or ts > t_prev
+                ):
+                    counts[FUNNEL_STAGES[stage]] += 1
+                    stage, t_prev = stage + 1, ts
+        assert got == counts
+
+
 class TestDedupKeepList:
     def test_keep_list_is_corpus_minus_noncanonical(self, spark):
         """Count identity: kept = n_docs − (clustered − canonicals);

@@ -243,3 +243,12 @@ def test_fluency_single_token_shuffle_then_partial_agg(spark):
     assert has_partial_aggregation(plan), plan
     assert n_shuffle_exchanges(plan) <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_funnel_all_equi_joins_partial_aggs(spark):
+    from argus_spark.operators.temporal import funnel_conversion
+
+    plan = formatted_plan(funnel_conversion(spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert has_partial_aggregation(plan), plan
