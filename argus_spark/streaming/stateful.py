@@ -64,3 +64,63 @@ def running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_tracker(
+    stream: DataFrame,
+    stages: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming form of ``operators.temporal.funnel_conversion``: a
+    per-user greedy funnel state machine. State = (stage reached,
+    completion time of the last reached stage); an event advances the
+    machine iff it is the next stage's type and STRICTLY later than
+    the previous completion — identical semantics to the batch
+    operator, proven by the convergence test
+    (tests/test_streaming_windows.py): after draining an ordered
+    stream, per-stage user counts equal the batch funnel exactly.
+
+    Ordering contract: per-key events must not regress in ``ts_col``
+    across micro-batches (the A1 ordered-source contract); within a
+    batch the tracker sorts. Emits (key, stage) per key per batch it
+    appeared in (outputMode=update — downstream keeps the latest row
+    per key)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_field = stream.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType, True),
+            T.StructField("stage", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("stage", T.LongType(), True),
+            T.StructField("t_prev", T.LongType(), True),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        stage, t_prev = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                if (
+                    stage < len(stages)
+                    and et == stages[stage]
+                    and int(ts) > t_prev
+                ):
+                    stage, t_prev = stage + 1, int(ts)
+        state.update((stage, t_prev))
+        yield pd.DataFrame({key_col: [key[0]], "stage": [stage]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

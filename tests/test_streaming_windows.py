@@ -212,3 +212,68 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for r in spark.sql("SELECT * FROM wm_dedup_sink").collect()
     )
     assert rows == [(1, 1.0), (2, 3.0)], rows
+
+
+def test_streaming_funnel_converges_to_batch_funnel(spark, tmp_path):
+    """funnel_tracker (applyInPandasWithState) drained over the real
+    events table — ordered feed, 3 micro-batches — must reproduce the
+    batch funnel_conversion stage counts exactly."""
+    import json as _json
+
+    from argus_spark.operators.temporal import (
+        FUNNEL_STAGES,
+        funnel_conversion,
+    )
+    from argus_spark.session import load
+    from argus_spark.streaming.stateful import funnel_tracker
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load(spark, sf, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_type")
+        .orderBy("us", "user_id")
+        .collect()
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    n = len(ev)
+    for idx, lo in enumerate(range(0, n, (n + 2) // 3)):
+        path = os.path.join(feed, f"ev-{idx:04d}.json")
+        with open(path + ".tmp", "w") as f:
+            for r in ev[lo : lo + (n + 2) // 3]:
+                f.write(_json.dumps(
+                    {"user_id": r.user_id, "us": r.us, "event_type": r.event_type}
+                ) + "\n")
+        os.replace(path + ".tmp", path)
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("us", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+    ])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(feed)
+    )
+    q = (
+        funnel_tracker(stream, FUNNEL_STAGES)
+        .writeStream.format("memory")
+        .queryName("funnel_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM funnel_sink").collect()
+    final: dict[int, int] = {}
+    for r in rows:  # stage is monotone per user; keep the max emission
+        final[r.user_id] = max(final.get(r.user_id, 0), r.stage)
+    got = {
+        s: sum(1 for st in final.values() if st >= i + 1)
+        for i, s in enumerate(FUNNEL_STAGES)
+    }
+    want = {
+        r["event_type"]: r["n_users"]
+        for r in funnel_conversion(spark, sf).collect()
+    }
+    assert got == want, (got, want)
