@@ -110,17 +110,10 @@ def _minhash_sig_df(d: DataFrame) -> DataFrame:
     return base.select("doc_id", *[sig_col(i).alias(f"s{i}") for i in range(MH_K)])
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(12) over the word *set*, banded 3×4 → candidate pairs.
-
-    Signature construction in ``_minhash_sig_df`` (map-only; the base-
-    hash projection stays separate from the signature projection —
-    CollapseProject does not inline it because the HOF is non-cheap, so
-    md5 runs once). Candidates come from one explode + self-equi-join
-    on (band, band_hash): the canonical distributed LSH shape.
-    P(candidate) = 1-(1-J^4)^3 ≈ .79 @ J=0.8."""
-    d = load(spark, sf_dir, "documents", widen=True)
-    sig = _minhash_sig_df(d)
+def _minhash_bands_df(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) rows from a signature frame — the banded-LSH
+    index key. Map-only explode; shared by the batch self-join and the
+    streaming incremental sink (streaming/dedup.py)."""
     bands = F.array(
         *[
             F.struct(
@@ -134,9 +127,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(MH_BANDS)
         ]
     )
-    e = sig.select("doc_id", F.explode(bands).alias("b")).select(
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) over the word *set*, banded 3×4 → candidate pairs.
+
+    Signature construction in ``_minhash_sig_df`` (map-only; the base-
+    hash projection stays separate from the signature projection —
+    CollapseProject does not inline it because the HOF is non-cheap, so
+    md5 runs once). Candidates come from one explode + self-equi-join
+    on (band, band_hash): the canonical distributed LSH shape.
+    P(candidate) = 1-(1-J^4)^3 ≈ .79 @ J=0.8."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    sig = _minhash_sig_df(d)
+    e = _minhash_bands_df(sig)
     a, x = e.alias("a"), e.alias("x")
     return (
         a.join(x, ["band", "bh"], "inner")

@@ -277,3 +277,69 @@ def test_streaming_funnel_converges_to_batch_funnel(spark, tmp_path):
         for r in funnel_conversion(spark, sf).collect()
     }
     assert got == want, (got, want)
+
+
+def test_streaming_minhash_neardup_sink(spark, tmp_path):
+    """Incremental near-dup dedup: exact dup within a batch, exact dup
+    across batches, and a VERIFIED near-dup (one word changed, J≈0.9)
+    across batches all drop; distinct docs survive; replaying the feed
+    into the same state is idempotent."""
+    from argus_spark.streaming.dedup import minhash_dedup_sink
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india " \
+           "juliet kilo lima mike november oscar papa quebec romeo " \
+           "sierra tango"
+    near = base.replace("tango", "uniform")  # 19/21 distinct-set J ≈ 0.905
+    docs0 = [(1, base), (2, base), (3, "the quick brown fox jumps")]
+    docs1 = [(4, near), (5, "entirely different words here"),
+             (6, "the quick brown fox jumps")]
+
+    feed = str(tmp_path / "docfeed")
+    os.makedirs(feed, exist_ok=True)
+    import time as _time
+
+    t0 = _time.time()
+    for idx, batch in enumerate([docs0, docs1]):
+        p = os.path.join(feed, f"d-{idx:04d}.json")
+        with open(p + ".tmp", "w") as f:
+            for did, text in batch:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        os.replace(p + ".tmp", p)
+        # FileStreamSource orders by mtime; equal stamps make batch
+        # order unspecified — pin it
+        os.utime(p, (t0 + idx, t0 + idx))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ])
+    out = str(tmp_path / "state")
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).json(feed)
+        )
+        q = (
+            stream.writeStream
+            .foreachBatch(minhash_dedup_sink(spark, out, tau=0.85))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("ck1")
+    kept = {
+        r.doc_id for r in spark.read.parquet(os.path.join(out, "docs")).collect()
+    }
+    assert kept == {1, 3, 5}, kept
+    # replay with a fresh checkpoint: re-delivered docs collide with
+    # their committed selves (J=1) — state unchanged
+    drain("ck2")
+    kept2 = [
+        r.doc_id for r in spark.read.parquet(os.path.join(out, "docs")).collect()
+    ]
+    assert sorted(kept2) == [1, 3, 5], kept2
+    bands = spark.read.parquet(os.path.join(out, "bands"))
+    assert {r.doc_id for r in bands.collect()} == {1, 3, 5}
