@@ -276,6 +276,41 @@ def main() -> None:
         streaming_bps, _ = stream_run("catchup", None)
         streaming_tip_bps, stream_batches = stream_run("tip", 1)
 
+        # The point where the bucketed layout WINS: a narrow spend/
+        # serving probe against a large committed UTxO set. The epoch
+        # write-side cost shows up in the batch-500 bucketed row; this
+        # is the read-side payoff — a 1-key probe reads 1/16 of the
+        # committed files instead of all of them. At 100 TB this is the
+        # whole game: probe cost scales with |probe|/n_buckets, not
+        # with table size.
+        store_p = ParquetStateStore(os.path.join(td, "store_probe"))
+        store_p.set_bucketing("wallet_utxos", ["tx_hash"], 16)
+        pr_blocks = first_n_blocks(spark, SF_DIR, 20000)
+        pr_slots = [
+            r.slot for r in pr_blocks.select("slot").orderBy("slot").collect()
+        ]
+        IndexDriver(
+            spark, build_example_registry(spark, watched), store_p, pr_blocks,
+            batch_size=2000, max_delay_s=1e9, max_rollback_slots=10**12,
+        ).run([ChainEvent("roll_forward", block_slot=s) for s in pr_slots])
+        full = store_p.read_table(spark, "wallet_utxos")
+        a_hash = full.select("tx_hash").first()[0]
+        probe_df = spark.createDataFrame([(a_hash,)], "tx_hash string")
+        buckets = store_p.bucket_ids(spark, "wallet_utxos", probe_df)
+        pruned = store_p.read_table(spark, "wallet_utxos", buckets=buckets)
+
+        def probe_ms(df) -> float:
+            runs = []
+            for i in range(4):  # run 0 warms
+                t0 = time.perf_counter()
+                df.filter(df.tx_hash == a_hash).count()
+                if i > 0:
+                    runs.append(time.perf_counter() - t0)
+            return round(sorted(runs)[1] * 1000, 1)  # median of 3
+
+        probe_full_ms = probe_ms(full)
+        probe_bucketed_ms = probe_ms(pruned)
+
         watched.unpersist()
     finally:
         shutil.rmtree(td, ignore_errors=True)
@@ -302,6 +337,8 @@ def main() -> None:
         "blocks_per_sec_streaming": streaming_bps,
         "blocks_per_sec_streaming_tip": streaming_tip_bps,
         "streaming_tip_micro_batches": stream_batches,
+        "utxo_point_probe_ms_full_scan": probe_full_ms,
+        "utxo_point_probe_ms_bucket_pruned": probe_bucketed_ms,
         "blocks_per_sec_depth1_chain": depth1_bps,
         "blocks_per_sec_depth3_chain": depth3_bps,
         "depth3_retention": round(depth3_bps / depth1_bps, 3) if depth1_bps else 0.0,
