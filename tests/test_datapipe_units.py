@@ -569,3 +569,58 @@ class TestMinhashEstimate:
         for r in est.values():
             assert 0 <= r["n_match"] <= MH_K
             assert r["est_jaccard"] == r["n_match"] / MH_K
+
+
+class TestFunnelProperty:
+    def test_random_event_streams_match_greedy_replay(self, spark):
+        """Hypothesis: for arbitrary (user, ts, type) event sets —
+        duplicate timestamps, missing stages, out-of-order arrival —
+        the distributed funnel equals the sequential greedy replay."""
+        from datetime import datetime, timedelta
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from argus_spark.operators.temporal import funnel_over
+
+        stages = ["a", "b", "c"]
+        event = st.tuples(
+            st.integers(min_value=0, max_value=5),          # user
+            st.integers(min_value=0, max_value=20),         # ts offset (s)
+            st.sampled_from(["a", "b", "c", "x"]),          # type (x = noise)
+        )
+
+        @settings(
+            max_examples=12, deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(st.lists(event, min_size=0, max_size=40))
+        def check(events):
+            base = datetime(2024, 1, 1)
+            rows = [
+                (u, base + timedelta(seconds=off), et) for u, off, et in events
+            ]
+            # sequential greedy replay (time-sorted per user)
+            by_user: dict = {}
+            for u, ts, et in rows:
+                by_user.setdefault(u, []).append((ts, et))
+            want = {s: 0 for s in stages}
+            for evs in by_user.values():
+                evs.sort(key=lambda p: p[0])
+                stage, t_prev = 0, None
+                for ts, et in evs:
+                    if stage < len(stages) and et == stages[stage] and (
+                        t_prev is None or ts > t_prev
+                    ):
+                        want[stages[stage]] += 1
+                        stage, t_prev = stage + 1, ts
+            df = spark.createDataFrame(
+                rows, "user_id long, ts timestamp, event_type string"
+            )
+            got = {
+                r["event_type"]: r["n_users"]
+                for r in funnel_over(df, stages).collect()
+            }
+            assert got == want, (got, want, rows)
+
+        check()

@@ -185,3 +185,31 @@ def test_crash_before_commit_is_invisible(spark, tmp_path):
     assert store.read_table(spark, "t").count() == 1
     assert store.reducer_states()["r"].resume_slot == 1
     store.close()
+
+
+def test_fsck_clean_and_with_injected_anomalies(spark, tmp_path):
+    """DB-backend fsck parity: a committed store audits clean (after
+    vacuum); a stray staging batch reports as an orphan; a dropped
+    sink table becomes a hard error."""
+    store = DuckDBStateStore(str(tmp_path / "argus.duckdb"))
+    rows = spark.createDataFrame([(1, 100)], "slot long, x int")
+    store.commit(
+        appends={"t": (rows, 1, 1)},
+        states={"r": ReducerStateRow("r", 0.0, None, [], 1)},
+    )
+    store.vacuum()
+    rep = store.fsck(spark)
+    assert rep["ok"] and not rep["orphans"], rep
+
+    # stray staging dir (a crashed writer's leftovers) → orphan, not ok-flip
+    os.makedirs(os.path.join(store.staging_dir, "stray_batch"))
+    rep = store.fsck()
+    assert rep["ok"] and rep["orphans"] == ["stray_batch"], rep
+    assert store.vacuum() >= 1
+    assert store.fsck()["orphans"] == []
+
+    # cataloged table dropped out from under the store → error
+    store._con.execute('DROP TABLE "t"')
+    rep = store.fsck()
+    assert not rep["ok"] and any("missing" in e for e in rep["errors"]), rep
+    store.close()
