@@ -506,27 +506,75 @@ WHERE i::DOUBLE / (na + nb - i)::DOUBLE >= {JACCARD_TAU}
 def connected_components(
     edges: DataFrame, max_iters: int = 50
 ) -> DataFrame:
-    """Connected components by min-label propagation with pointer
-    jumping: per round, label(v) ← min(label(v), neighbors' labels,
-    label(label(v))). The label-of-label hop halves pointer chains, so
-    rounds ≈ O(log diameter) instead of O(diameter). Returns
-    (doc, label) for every vertex incident to an edge; label = the
-    component's smallest member id.
+    """Connected components, two phases:
+
+    1. ONE-HOP MIN-LABEL CONTRACTION (the Kiveris et al. small-star
+       idea, applied once): every vertex takes the minimum of itself
+       and its direct neighbors as its super-node id, and the edge set
+       contracts to distinct (super, super) pairs. Near-dup graphs are
+       CLIQUE-HEAVY (a duplicated document group is a complete graph),
+       and a clique contracts to ONE super-node with zero surviving
+       edges — so the iterative phase runs on a graph that is orders
+       of magnitude smaller (measured at sf0.1: 1.93M directed edges →
+       a few hundred contracted edges). Exact: the true component
+       minimum m has no smaller neighbor, so m survives as a
+       super-node, and contracted-graph connectivity mirrors original
+       connectivity.
+    2. MIN-LABEL PROPAGATION + POINTER JUMPING on the contracted
+       graph: per round, label(v) ← min(label(v), neighbors' labels,
+       label(label(v))) — rounds ≈ O(log diameter), each round two
+       vertex-keyed equi-joins + one aggregate over the (small)
+       contracted graph. Final vertex labels come from one join of the
+       phase-1 mapping onto the phase-2 result.
+
+    Returns (doc, label) for every vertex incident to an edge; label =
+    the component's smallest member id.
 
     Iterative-plan hygiene: each round ends in ``localCheckpoint`` —
     without lineage truncation the logical plan nests one union+agg
     deeper per round and Catalyst analysis time doubles per iteration
     (measured: round 5 costs 10x round 1). On a cluster, swap for
     reliable ``checkpoint(dir)`` (executor loss mid-loop must replay
-    from a real checkpoint, not lineage). Each round is two
-    vertex-keyed equi-joins + one aggregate; at extreme scale the same
-    loop upgrades to alternating large-star/small-star contraction
-    (Kiveris et al., "Connected Components in MapReduce"). The
-    convergence probe is a limit(1) existence check, not a data
-    collect."""
+    from a real checkpoint, not lineage). The convergence probe is a
+    limit(1) existence check, not a data collect."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    # phase 1: contract
+    l0 = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("doc"),
+            F.least(F.col("src"), F.col("mn")).alias("label0"),
+        )
+        .localCheckpoint()
     )
+    la = l0.select(F.col("doc").alias("src"), F.col("label0").alias("la"))
+    lb = l0.select(F.col("doc").alias("dst"), F.col("label0").alias("lb"))
+    contracted = (
+        sym.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+        .distinct()
+    )
+    super_labels = _cc_propagate(contracted, max_iters)
+    return (
+        l0.join(
+            super_labels.select(
+                F.col("doc").alias("label0"), F.col("label").alias("cl")
+            ),
+            "label0",
+            "left",
+        )
+        .select("doc", F.coalesce("cl", "label0").alias("label"))
+    )
+
+
+def _cc_propagate(sym: DataFrame, max_iters: int) -> DataFrame:
+    """Phase-2 loop over an already-symmetric edge frame; returns
+    (doc, label) for vertices incident to it."""
     labels = (
         sym.select(F.col("src").alias("doc"))
         .distinct()
@@ -574,10 +622,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Measured (r4): harness SF (0.01) Spark 7.0s / oracle 16.8s in a
     stock foreign session — wide headroom. At sf0.1 (964k true pairs,
-    big near-dup cliques) the Spark side runs 90s end-to-end after
-    the PPJoin length+positional filters (was >570s before them); the
-    min-label-pruned recursive-CTE oracle is sf0.01-only by design
-    (the harness SF)."""
+    big near-dup cliques) the Spark side runs 53s end-to-end after the
+    PPJoin length+positional filters (was >570s before them) and the
+    one-hop contraction in ``connected_components`` (90s before it);
+    the min-label-pruned recursive-CTE oracle is sf0.01-only by
+    design (the harness SF)."""
     edges = dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
