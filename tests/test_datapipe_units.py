@@ -624,3 +624,45 @@ class TestFunnelProperty:
             assert got == want, (got, want, rows)
 
         check()
+
+
+class TestQuantizeAndFluencyContracts:
+    def test_int8_codes_reconstruct_within_one_quantum(self, spark):
+        """Dequantization error bound: per dimension, |dequant - v| <
+        2 quanta (one from floor, one from the code grid) — the
+        contract that makes the 4x memory cut safe for ANN serving."""
+        import numpy as np
+
+        from argus_spark.datapipe.quantize import Q_LEVELS, embedding_quantize_int8
+        from argus_spark.datapipe.dedup import _as_double
+        from argus_spark.session import load
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        q = {r["vec_id"]: r["q8"] for r in
+             embedding_quantize_int8(spark, sf).collect()}
+        raw = {r["vec_id"]: np.array(r["v"]) for r in
+               load(spark, sf, "embeddings", widen=True)
+               .select("vec_id", _as_double("embedding").alias("v")).collect()}
+        mat = np.stack([raw[k] for k in sorted(raw)])
+        mn, mx = mat.min(axis=0), mat.max(axis=0)
+        rng = mx - mn
+        quantum = np.where(rng > 0, rng / Q_LEVELS, 1.0)
+        for vid, codes in q.items():
+            assert all(-127 <= c <= 127 for c in codes), (vid, codes)
+            deq = mn + (np.array(codes) + 127.0) * quantum
+            err = np.abs(deq - raw[vid])
+            assert (err <= 2.0 * quantum + 1e-12).all(), (vid, err.max())
+
+    def test_fluency_bounds_and_extremes(self, spark):
+        """fluency = mean corpus frequency of a doc's tokens: bounded
+        by [1, n_docs·max_repeats] and ordered sensibly — every value
+        ≥ 1 (a token occurs at least once: itself)."""
+        from argus_spark.datapipe.textprep import fluency_unigram
+
+        rows = fluency_unigram(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            assert r["n_tokens"] >= 1
+            assert r["freq_mass"] >= r["n_tokens"]  # each tok freq ≥ 1
+            assert r["fluency"] >= 1.0
