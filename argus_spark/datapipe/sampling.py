@@ -214,7 +214,9 @@ N_SHARDS = 8
 SEQ_CAPACITY = 512  # tokens per packed training sequence
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, docs_df: DataFrame | None = None
+) -> DataFrame:
     """Document-concatenation packing: place every doc at a (shard,
     seq_id, offset) in fixed-capacity token sequences — the layout step
     that turns a filtered corpus into training shards.
@@ -229,8 +231,17 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the only shuffle is hash-partitioning by shard; the
     running sum is a per-shard window, so parallelism = N_SHARDS (set
     it to O(cluster cores) in production — there is no global order to
-    maintain, by design)."""
-    d = load(spark, sf_dir, "documents", widen=True)
+    maintain, by design).
+
+    ``docs_df`` lets a pipeline pack an already-filtered frame (any
+    frame with doc_id + text — see scripts/example_curation.py); the
+    default reads the raw table, which is what the registered oracle
+    query checks."""
+    d = (
+        docs_df
+        if docs_df is not None
+        else load(spark, sf_dir, "documents", widen=True)
+    )
     n_tokens = F.size(words_col()).cast("long")
     h = h64(F.col("doc_id").cast("string"), "pack")
     base = d.select(

@@ -308,3 +308,24 @@ def test_example_indexer_fsck_gate_catches_injected_orphan(spark):
         assert mod["main"]() == 1
     finally:
         sys.argv = argv
+
+
+def test_example_curation_end_to_end(spark):
+    """The runnable curation pipeline (scripts/example_curation.py)
+    must stay green: dedup → decontaminate → quality-curate → pack,
+    with the token-conservation exit gate passing."""
+    import os
+    import runpy
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "example_curation.py",
+    )
+    mod = runpy.run_path(script, run_name="example")
+    argv = sys.argv
+    sys.argv = ["example_curation.py", "/root/testdata/sf0.001", "10"]
+    try:
+        assert mod["main"]() == 0
+    finally:
+        sys.argv = argv
