@@ -70,7 +70,7 @@ _PRIORITY = [
     "kmeans_embeddings", "pii_redact",
     # -- tier 3: new this round -------------------------------------------
     "dedup_semantic", "embedding_quantize_int8", "fluency_unigram",
-    "dedup_keep_list", "funnel_conversion",
+    "dedup_keep_list", "funnel_conversion", "sample_quality_deciles",
     # -- tier 4: fresh green row in round 3 -------------------------------
     "watched_balances", "balances_after_rollback", "tx_flatten",
     "utxo_state", "utxo_spent", "utxo_unspent", "checkpoint_window",

@@ -288,10 +288,76 @@ FROM pos
 """
 
 
+# ---------------- quality-stratified sampling ----------------
+
+QD_N = 10
+# Per-decile keep rate in per-mille, best decile first: keep all of the
+# top decile, grade down to 10% of the worst — the standard
+# "oversample high quality" mixing curve (a config knob in practice).
+QD_RATES = [1000, 900, 800, 700, 600, 500, 400, 300, 200, 100]
+
+
+def sample_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified sampling: rank docs into quality deciles
+    WITHIN each source (ntile over the shared composite quality score,
+    doc_id tie-break — a total order, so deciles are deterministic),
+    then keep hash-deterministically at the decile's rate. Combines
+    the quality-scoring and hash-sampling disciplines: reproducible
+    under retries/repartitioning, bit-identical across engines.
+
+    Scale shape: one per-source ranking window (the same shuffle
+    curate_quality_topk pays — at 100 TB you'd swap exact ntile for
+    broadcast approx-quantile decile boundaries, trading exactness for
+    a map-only assignment) plus a map-side hash filter."""
+    from argus_spark.datapipe.text import text_quality
+
+    tq = text_quality(spark, sf_dir, keep=("source",)).select(
+        "doc_id", "source", "quality_score"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    dec = F.ntile(QD_N).over(w)
+    rate = F.element_at(F.array(*[F.lit(r) for r in QD_RATES]), dec)
+    bucket = h64(F.col("doc_id").cast("string"), "qdec") % F.lit(1000)
+    return (
+        tq.withColumn("decile", dec.cast("long"))
+        .withColumn("rate", rate.cast("long"))
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "source", "decile", "rate")
+    )
+
+
+def _qdec_sql() -> str:
+    from argus_spark.datapipe.text import QUALITY_SCORE_SQL, quality_cte_sql
+
+    rates = "[" + ", ".join(str(r) for r in QD_RATES) + "]"
+    return f"""
+WITH {quality_cte_sql(extra_cols=", source")},
+q AS (
+  SELECT doc_id, source, {QUALITY_SCORE_SQL} AS quality_score FROM m
+), d AS (
+  SELECT doc_id, source,
+         ntile({QD_N}) OVER (PARTITION BY source
+                             ORDER BY quality_score DESC, doc_id) AS decile
+  FROM q
+)
+SELECT doc_id, source, decile::BIGINT AS decile,
+       ({rates}[decile])::BIGINT AS rate
+FROM d
+WHERE {h64_sql("doc_id::VARCHAR", "qdec")} % 1000 < {rates}[decile]
+"""
+
+
+SAMPLE_QUALITY_DECILES_SQL = _qdec_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": sample_stratified,
     "dataset_mixture": dataset_mixture,
     "tfidf_top_terms": tfidf_top_terms,
+    "sample_quality_deciles": sample_quality_deciles,
     "pack_sequences": pack_sequences,
 }
 
@@ -299,5 +365,6 @@ ORACLES: dict[str, str] = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "dataset_mixture": DATASET_MIXTURE_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "sample_quality_deciles": SAMPLE_QUALITY_DECILES_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
 }

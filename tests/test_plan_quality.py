@@ -252,3 +252,12 @@ def test_funnel_all_equi_joins_partial_aggs(spark):
     assert "BroadcastNestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert has_partial_aggregation(plan), plan
+
+
+def test_quality_deciles_single_ranking_shuffle(spark):
+    """sample_quality_deciles: features are map-side; the per-source
+    ntile window is the ONE exchange; the hash keep-filter adds none."""
+    from argus_spark.datapipe.sampling import sample_quality_deciles
+
+    plan = formatted_plan(sample_quality_deciles(spark, SF_SMOKE))
+    assert n_shuffle_exchanges(plan) == 1, plan
