@@ -307,7 +307,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained-CTE Lloyd fit + in-cell dominance anti-join, bit-exact.
     """
     e, centroids, _ = kmeans_codebook(spark, sf_dir)
-    a = _assign(e, centroids).withColumn("nrm", norm(F.col("v")))
+    # Cached: the assignment (k×DIM interpreted folds per row) feeds
+    # BOTH sides of the in-cell self-join plus the final keep scan —
+    # without the cache Catalyst recomputes it per branch (measured
+    # ~11% of wall at sf0.1; the share grows with k).
+    a = _assign(e, centroids).withColumn("nrm", norm(F.col("v"))).cache()
     lhs = a.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
         F.col("cluster_id").alias("cell"), F.col("sqdist").alias("da"),
