@@ -40,23 +40,38 @@ def _modules():
 
 # The correctness harness checks exactly the first 50 registry entries,
 # so registration order is coverage policy (rotated each round so no
-# query goes two rounds without a fresh row). Round-4 priority:
-#   1. the 30 queries whose last fresh row is round-2 vintage (past
-#      r3's 50-cap), text_quality FIRST — it was refactored in r3 with
-#      only transitive validation via curate_quality_topk;
-#   2. queries changed this round: kmeans_embeddings (fixed-point
-#      Lloyd rework, now carries a chained-CTE oracle for the first
-#      time), pii_redact (enrichment gated; registered entry pins the
-#      fixture mode);
-#   3. new operators added this round (inserted here as they land);
-#   4. queries with fresh green r3 rows (these fall past the 50 cap
-#      and ride their r3 evidence — one round stale, max).
+# query goes two rounds without a fresh row). Round-6 priority
+# (stale-first, per the r5 verdict):
+#   1. the 36 queries whose last fresh driver row is round-3 vintage
+#      (they fell past r4/r5's 50-cap twice) — the whole dedup family
+#      is in here;
+#   2. queries changed this round: embedding_quantize_int8 (q8 ->
+#      q8_csv so the driver can canonicalize), dedup_ngram_jaccard
+#      (integer-rational PPJoin positional filter — already in tier 1),
+#      fluency_unigram (de-skewed groupBy+join form), dedup_semantic
+#      (scale-aware k), anti_join_not_exists (de-vacuated slice);
+#   3. queries with a fresh green r5 row (these fall past the 50 cap
+#      and ride their r5 evidence — one round stale, max).
 # Keys absent from this list (future operators) are appended in module
-# order before tier 4's tail.
+# order before tier 3's tail.
 _PRIORITY = [
-    # -- tier 1: last fresh row is round 2 --------------------------------
-    "text_quality",
-    "agg_min_max", "avg_by_key", "min_safe_intersection",
+    # -- tier 1: last fresh driver row is round 3 -------------------------
+    "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
+    "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
+    "dedup_keep_first", "duplicate_detect", "latest_per_key",
+    "topk_serving", "set_intersect", "set_except", "running_sum_frame",
+    "rollup_counts", "pivot_status", "hex_canonical", "prefix_display",
+    "string_funcs", "stable_hash", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "approx_distinct_users",
+    "dedup_embedding_cosine", "dedup_clusters", "chunk_documents",
+    "ngram_counts", "text_diversity", "approx_quantiles_value",
+    "dedup_exact_substring", "curate_quality_topk", "ann_lsh_multiprobe",
+    "dedup_minhash_estimate", "cohort_retention",
+    # -- tier 2: changed this round ---------------------------------------
+    "embedding_quantize_int8", "fluency_unigram", "dedup_semantic",
+    "anti_join_not_exists",
+    # -- tier 3: fresh green row in round 5 (oldest-registered first) -----
+    "text_quality", "agg_min_max", "avg_by_key", "min_safe_intersection",
     "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
     "range_join_pairs", "cube_counts", "grouping_sets_value",
     "median_value_by_type", "tumbling_window_agg", "sliding_window_agg",
@@ -65,28 +80,12 @@ _PRIORITY = [
     "dataset_mixture", "tfidf_top_terms", "ann_cosine_topk",
     "ann_lsh_bucketed", "text_normalize", "multimodal_frame_sample",
     "repetition_ratio", "ann_ivf_topk", "decontaminate_ngram_overlap",
-    "multimodal_resize", "multimodal_meta",
-    # -- tier 2: changed this round ---------------------------------------
-    "kmeans_embeddings", "pii_redact",
-    # -- tier 3: new this round -------------------------------------------
-    "dedup_semantic", "embedding_quantize_int8", "fluency_unigram",
-    "dedup_keep_list", "funnel_conversion", "sample_quality_deciles",
-    # -- tier 4: fresh green row in round 3 -------------------------------
-    "watched_balances", "balances_after_rollback", "tx_flatten",
-    "utxo_state", "utxo_spent", "utxo_unspent", "checkpoint_window",
-    "filter_project", "explode_ordinal", "broadcast_lookup",
-    "semi_join_exists", "anti_join_not_exists", "union_dedup_priority",
-    "group_sum_pricing", "slot_arithmetic", "topk_newest", "json_extract",
-    "count_by_key", "left_join_fillna", "dedup_keep_first",
-    "duplicate_detect", "latest_per_key", "topk_serving", "set_intersect",
-    "set_except", "running_sum_frame", "rollup_counts", "pivot_status",
-    "hex_canonical", "prefix_display", "string_funcs", "stable_hash",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "approx_distinct_users", "dedup_embedding_cosine",
-    "dedup_clusters", "chunk_documents", "ngram_counts", "text_diversity",
-    "approx_quantiles_value", "dedup_exact_substring",
-    "curate_quality_topk", "ann_lsh_multiprobe", "dedup_minhash_estimate",
-    "cohort_retention",
+    "multimodal_resize", "multimodal_meta", "kmeans_embeddings",
+    "pii_redact", "dedup_keep_list", "funnel_conversion",
+    "sample_quality_deciles", "watched_balances",
+    "balances_after_rollback", "tx_flatten", "utxo_state", "utxo_spent",
+    "utxo_unspent", "checkpoint_window", "filter_project",
+    "explode_ordinal", "broadcast_lookup", "semi_join_exists",
 ]
 
 

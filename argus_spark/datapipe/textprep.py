@@ -325,21 +325,26 @@ def fluency_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exactly (a real LM perplexity would be a Pandas-UDF scorer on
     this same frame shape).
 
-    Plan: tokens explode map-side; the corpus frequency attaches via a
-    count window PARTITIONed BY token — one shuffle co-partitioning
-    occurrences with their own vocabulary entry (no separate
-    count-table join) — then one partial-agged per-doc rollup. At
-    deployment the vocabulary table would be precomputed once and
-    broadcast; the single-pass window form keeps the operator
-    self-contained."""
+    Plan: tokens explode map-side; the vocabulary is built with
+    ``groupBy(tok).count()`` — a map-side PARTIAL aggregate, so each
+    task pre-folds its own occurrences of hot tokens and the exchange
+    carries one row per (task, token), immune to Zipfian key skew —
+    and is broadcast back onto the occurrences (vocabulary row count ≪
+    corpus token count under Zipf's law, and it shrinks further with
+    any stop-token df-cut). The earlier one-pass form
+    (``count(*) OVER (PARTITION BY tok)``) shuffled every OCCURRENCE
+    of each token to a single task — at 100 TB the top token is
+    ~10¹¹ rows in one partition, the r5-verdict's named scale-killer —
+    and is now rejected by a plan gate (test_plan_quality.py). If the
+    vocabulary ever outgrows broadcast, drop the hint: AQE's skew-join
+    split handles the equi-join form, which the window form could
+    never benefit from."""
     d = load(spark, sf_dir, "documents", widen=True).select(
         "doc_id", words_col().alias("ws")
     )
     tok = d.select("doc_id", F.explode("ws").alias("tok"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("tok")
-    scored = tok.withColumn("tok_freq", F.count(F.lit(1)).over(w))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
+    scored = tok.join(F.broadcast(vocab), "tok")
     return (
         scored.groupBy("doc_id")
         .agg(

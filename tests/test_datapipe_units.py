@@ -400,7 +400,8 @@ class TestKMeans:
 
         sf = "/root/testdata/sf0.001"
         kept = {r["vec_id"] for r in dedup_semantic(spark, sf).collect()}
-        e, centroids, _ = kmeans_codebook(spark, sf)
+        # same derived k as the operator (max(8, ceil(sqrt(n))))
+        e, centroids, _ = kmeans_codebook(spark, sf, k=None)
         rows = _assign(e, centroids).collect()
         by_cell: dict[int, list] = {}
         for r in rows:
@@ -429,6 +430,34 @@ class TestKMeans:
                     expect.add(a["vec_id"])
         assert kept == expect
         assert len(kept) < len(rows)  # the threshold does real work
+
+    def test_semantic_dedup_in_cell_pair_budget(self, spark):
+        """The scale contract behind derived_k (r5 verdict): with
+        k = max(8, ceil(sqrt(n))) cells, total in-cell candidate pairs
+        must stay well under the all-pairs n(n-1)/2 — gate at n^1.5·4
+        (slack for imbalanced cells) so a future fixed-k regression
+        (k=8 ⇒ ~n²/8 pairs) fails here before it ships."""
+        from argus_spark.datapipe.clustering import (
+            _assign,
+            derived_k,
+            kmeans_codebook,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        e, centroids, _ = kmeans_codebook(spark, sf, k=None)
+        n = e.count()
+        assert len(centroids) == derived_k(n)
+        sizes = [
+            r["c"]
+            for r in _assign(e, centroids)
+            .groupBy("cluster_id")
+            .agg(__import__("pyspark.sql.functions", fromlist=["count"])
+                 .count("*").alias("c"))
+            .collect()
+        ]
+        pairs = sum(s * (s - 1) // 2 for s in sizes)
+        assert pairs <= 4 * n ** 1.5, (pairs, n)
+        assert pairs < n * (n - 1) // 8, (pairs, n)  # beats fixed k=8
 
     def test_assignment_is_map_side_no_corpus_shuffle(self, spark):
         from argus_spark.datapipe.clustering import _assign, kmeans_fit
@@ -639,7 +668,7 @@ class TestQuantizeAndFluencyContracts:
         from pyspark.sql import functions as F
 
         sf = "/root/testdata/sf0.001"
-        q = {r["vec_id"]: r["q8"] for r in
+        q = {r["vec_id"]: [int(x) for x in r["q8_csv"].split(",")] for r in
              embedding_quantize_int8(spark, sf).collect()}
         raw = {r["vec_id"]: np.array(r["v"]) for r in
                load(spark, sf, "embeddings", widen=True)
@@ -666,3 +695,40 @@ class TestQuantizeAndFluencyContracts:
             assert r["n_tokens"] >= 1
             assert r["freq_mass"] >= r["n_tokens"]  # each tok freq ≥ 1
             assert r["fluency"] >= 1.0
+
+
+class TestPPJoinBoundary:
+    def test_positional_filter_keeps_exact_tau_boundary_pair(
+        self, spark, tmp_path
+    ):
+        """Adversarial boundary pair for the PPJoin positional filter
+        (round-5 ADVICE medium): na=63, nb=70 (na+nb=133), overlap 63
+        -> Jaccard = 63/70 = 0.9 = tau exactly.  The only shared prefix
+        token sits at ranks (ka=1, kb=8), giving positional upper bound
+        min(62, 62)+1 = 63, which EQUALS the exact minimum
+        ceil(9/19*133) = 63 (9*133 = 1197 = 19*63).  The former
+        float form ceil(fp(0.9/1.9)*133) = 64 — fp(0.9/1.9) rounds a
+        hair above 9/19 — wrongly pruned this true pair; the
+        integer-rational filter (19*overlap_ub >= 9*(na+nb)) keeps it.
+        """
+        import pandas as pd
+
+        from argus_spark.datapipe.dedup import dedup_ngram_jaccard
+
+        shared = [f"s{i:02d}" for i in range(63)]   # df=2, lexic. ordered
+        extras = [f"x{i:02d}" for i in range(7)]    # df=1, doc_b only
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [" ".join(shared), " ".join(extras + shared)],
+                "lang": ["en", "en"],
+                "source": ["t", "t"],
+                "n_chars": [len(" ".join(shared)), len(" ".join(extras + shared))],
+            }
+        ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+        out = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+        assert len(out) == 1, f"boundary pair pruned: {out}"
+        r = out[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert abs(r["jaccard"] - 0.9) < 1e-12
