@@ -67,9 +67,9 @@ _PRIORITY = [
     "ngram_counts", "text_diversity", "approx_quantiles_value",
     "dedup_exact_substring", "curate_quality_topk", "ann_lsh_multiprobe",
     "dedup_minhash_estimate", "cohort_retention",
-    # -- tier 2: changed this round ---------------------------------------
+    # -- tier 2: changed or new this round --------------------------------
     "embedding_quantize_int8", "fluency_unigram", "dedup_semantic",
-    "anti_join_not_exists",
+    "anti_join_not_exists", "dsir_affinity",
     # -- tier 3: fresh green row in round 5 (oldest-registered first) -----
     "text_quality", "agg_min_max", "avg_by_key", "min_safe_intersection",
     "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",

@@ -11,6 +11,7 @@ from argus_spark.datapipe import (
     clustering,
     quantize,
     dedup,
+    dsir,
     multimodal,
     sampling,
     similarity,
@@ -22,7 +23,7 @@ from argus_spark.datapipe import (
 # (text/sampling/similarity/multimodal, then dedup's clusters/cosine)
 # register ahead of the already-green dedup quartet: the driver walks
 # registry order under a wall-clock budget, so untested entries go first.
-_MODULES = [textprep, clustering, quantize, text, sampling, similarity, multimodal, dedup]
+_MODULES = [textprep, clustering, quantize, dsir, text, sampling, similarity, multimodal, dedup]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -143,10 +143,16 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 
 
 def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B15 — customers with no orders (left_anti = NOT EXISTS; the
-    unspent-UTxO shape)."""
+    """B15 — customers with no HIGH-VALUE order (left_anti = NOT
+    EXISTS; the unspent-UTxO shape). The orders side is restricted to
+    o_totalprice > 300000 (r5-verdict item 10): the unrestricted form
+    returned zero rows at every harness SF — every customer has some
+    order — making the green row vacuous; this slice yields non-empty
+    results at sf0.001/0.01/0.1 (3/30/308 rows) so the anti-join
+    semantics are actually exercised. (B15 is also proven at volume by
+    ``utxo_unspent``.)"""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_nationkey"
     )
@@ -155,7 +161,8 @@ def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANTI_JOIN_NOT_EXISTS_SQL = """
 SELECT c_custkey, c_name, c_nationkey
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 """
 
 

@@ -96,6 +96,27 @@ def minhash_dedup_sink(
     same way ``first_wins_dedup_sink`` is: re-delivered docs collide
     with their own committed copy at J = 1.
 
+    CRASH ATOMICITY (r5-verdict item: the former two-append form could
+    commit docs/ without bands/, so a replayed doc missed its own band
+    index, survived the probe, and duplicated forever): both tables
+    now commit through ONE atomic marker, the lifecycle A11 manifest
+    pattern (lifecycle/store.py:358). Per epoch:
+
+      1. ``docs/epoch=<id>/``  ← overwrite (idempotent on redo)
+      2. ``bands/epoch=<id>/`` ← overwrite
+      3. ``_committed_epochs.json`` ← temp-write + ``os.replace`` —
+         the single commit point covering BOTH tables.
+
+    Readers (the in-sink probe, ``committed_docs``/``committed_bands``)
+    see only manifest-listed epochs, so a crash anywhere before step 3
+    leaves torn epoch dirs invisible, and the replayed epoch overwrites
+    them cleanly. An epoch already in the manifest is SKIPPED — the
+    standard foreachBatch batchId-idempotency contract (Structured
+    Streaming re-delivers a failed batch under the same epoch_id with
+    the same data). One logical stream owns ``out_dir`` (the lifecycle
+    single-writer rule); two queries sharing a state dir would collide
+    on epoch ids by construction.
+
     100 TB shape: the probe is an equi-join against the bands table
     (bucket it by ``bh`` at deployment); verify joins only the slim
     candidate pairs back to text. The bands table is the only state —
@@ -111,11 +132,6 @@ def minhash_dedup_sink(
 
     docs_dir = os.path.join(out_dir, "docs")
     bands_dir = os.path.join(out_dir, "bands")
-
-    def _has_data(d: str) -> bool:
-        return os.path.isdir(d) and any(
-            f.endswith(".parquet") for f in os.listdir(d)
-        )
 
     def _jaccard_ok(cand: DataFrame, wa: DataFrame, wb: DataFrame) -> DataFrame:
         """cand(keep_id, drop_id) → verified drops (exact J ≥ tau)."""
@@ -134,6 +150,9 @@ def minhash_dedup_sink(
         )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        committed = _committed_epochs(out_dir)
+        if int(epoch_id) in committed:
+            return  # already atomically committed — redo is a no-op
         d = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
         words = d.select(
             "doc_id", F.array_distinct(words_col()).alias("w")
@@ -152,8 +171,8 @@ def minhash_dedup_sink(
                 F.col("x.doc_id").alias("drop_id"),
             )
         )
-        if _has_data(bands_dir):
-            committed_bands = spark.read.parquet(bands_dir)
+        if committed:
+            committed_bands = committed_bands_df(spark, out_dir, committed)
             cand = cand.unionByName(
                 eb.join(
                     committed_bands.select(
@@ -162,7 +181,7 @@ def minhash_dedup_sink(
                     ["band", "bh"],
                 ).select("keep_id", F.col("doc_id").alias("drop_id"))
             )
-            committed_words = spark.read.parquet(docs_dir).select(
+            committed_words = committed_docs_df(spark, out_dir, committed).select(
                 F.col("doc_id").alias("keep_id"),
                 F.array_distinct(words_col()).alias("wa"),
             )
@@ -171,9 +190,62 @@ def minhash_dedup_sink(
             "drop_id", "doc_id"
         )
         kept = d.join(dropped, "doc_id", "left_anti")
-        kept.write.mode("append").parquet(docs_dir)
-        eb.join(dropped, "doc_id", "left_anti").write.mode("append").parquet(
-            bands_dir
+        kept.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"epoch={int(epoch_id)}")
         )
+        eb.join(dropped, "doc_id", "left_anti").write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"epoch={int(epoch_id)}")
+        )
+        _commit_epoch(out_dir, int(epoch_id))  # the atomic commit point
 
     return sink
+
+
+# ---------------- manifest (single atomic commit point) ----------------
+
+_MANIFEST = "_committed_epochs.json"
+
+
+def _committed_epochs(out_dir: str) -> list[int]:
+    path = os.path.join(out_dir, _MANIFEST)
+    if not os.path.exists(path):
+        return []
+    import json
+
+    with open(path) as f:
+        return [int(e) for e in json.load(f)]
+
+
+def _commit_epoch(out_dir: str, epoch_id: int) -> None:
+    """Append ``epoch_id`` to the manifest via temp-write + rename —
+    one atomic op makes the epoch's docs AND bands visible together."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    epochs = sorted(set(_committed_epochs(out_dir)) | {int(epoch_id)})
+    path = os.path.join(out_dir, _MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(epochs, f)
+    os.replace(tmp, path)
+
+
+def committed_docs_df(
+    spark: SparkSession, out_dir: str, epochs: list[int] | None = None
+) -> DataFrame:
+    """The surviving corpus — committed epochs only (torn epoch dirs
+    from a crash before the manifest rename are invisible here)."""
+    eps = _committed_epochs(out_dir) if epochs is None else epochs
+    return spark.read.parquet(
+        *[os.path.join(out_dir, "docs", f"epoch={e}") for e in eps]
+    )
+
+
+def committed_bands_df(
+    spark: SparkSession, out_dir: str, epochs: list[int] | None = None
+) -> DataFrame:
+    """The committed banded-MinHash index (same visibility rule)."""
+    eps = _committed_epochs(out_dir) if epochs is None else epochs
+    return spark.read.parquet(
+        *[os.path.join(out_dir, "bands", f"epoch={e}") for e in eps]
+    )

@@ -104,14 +104,20 @@ def funnel_tracker(
     )
 
     def update(key, pdfs, state: GroupState):
-        stage, t_prev = state.get if state.exists else (0, -1)
+        # "No stage yet" is the stage==0 state itself, not a time
+        # sentinel: the old ``t_prev = -1`` + unconditional ``ts >
+        # t_prev`` silently blocked events with ts <= -1 from ever
+        # starting the funnel, diverging from the batch operator
+        # (r5-verdict item 7). t_prev is only meaningful — and only
+        # consulted — once stage >= 1.
+        stage, t_prev = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             for ts, et in zip(pdf[ts_col], pdf[type_col]):
                 if (
                     stage < len(stages)
                     and et == stages[stage]
-                    and int(ts) > t_prev
+                    and (stage == 0 or int(ts) > t_prev)
                 ):
                     stage, t_prev = stage + 1, int(ts)
         state.update((stage, t_prev))

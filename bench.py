@@ -79,6 +79,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "fluency_unigram",
     "funnel_conversion",
+    "dsir_affinity",
 ]
 
 

@@ -32,7 +32,13 @@ def _canon(v):
     if v is None:
         return None
     if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(str(_canon(x)) for x in v) + "]"
+        # The DRIVER's canonicalizer hashes raw cells and crashes on
+        # list-valued ones (TypeError: unhashable type: 'list') — the
+        # exact failure mode that kept embedding_quantize_int8 red for
+        # two rounds while this mirror's friendlier stringification
+        # passed it (r5-verdict item 9). Mirror the driver faithfully:
+        # reject, never stringify.
+        raise TypeError("unhashable type: 'list'")
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     if isinstance(v, (float, np.floating)):
@@ -94,6 +100,31 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
 
+    # Pre-flight schema lint over EVERY registered query (cheap: plans
+    # are lazy, only analysis runs): any top-level container-typed
+    # output column is driver-incompatible regardless of values, so
+    # fail it here — before a full round burns on it.
+    from pyspark.sql import types as ST
+
+    lint_bad = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            bad_cols = [
+                f"{fld.name}:{fld.dataType.simpleString()}"
+                for fld in fn(spark, sf_dir).schema.fields
+                if isinstance(
+                    fld.dataType, (ST.ArrayType, ST.MapType, ST.StructType)
+                )
+            ]
+            if bad_cols:
+                lint_bad[name] = bad_cols
+        except Exception:
+            pass  # the main loop reports build errors with full context
+    if lint_bad:
+        print(json.dumps({"schema_lint": lint_bad}), flush=True)
+
     results = {}
     t_total = time.time()
     for name, fn in qs.items():
@@ -101,6 +132,14 @@ def main():
             continue
         rec = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_s": None, "oracle_s": None, "err": None}
+        if name in lint_bad:
+            rec["err"] = (
+                "driver-incompatible output schema (top-level container "
+                f"column): {lint_bad[name]}"
+            )
+            results[name] = rec
+            print(json.dumps({"q": name, "ok": False, **rec}), flush=True)
+            continue
         try:
             t0 = time.time()
             sdf = fn(spark, sf_dir)

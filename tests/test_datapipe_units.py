@@ -732,3 +732,28 @@ class TestPPJoinBoundary:
         r = out[0]
         assert (r["doc_a"], r["doc_b"]) == (1, 2)
         assert abs(r["jaccard"] - 0.9) < 1e-12
+
+
+class TestDsirAffinity:
+    def test_target_docs_score_higher_and_fixed_point_consistent(self, spark):
+        """Semantic sanity for the hashed-unigram domain model: the
+        mean affinity of target-domain (en) docs must exceed the mean
+        of non-target docs — the separation that makes importance
+        selection work — and the published double must be exactly
+        affinity_fp / 2^30 (the fixed-point contract)."""
+        from argus_spark.datapipe.dsir import DSIR_SCALE, dsir_affinity
+        from argus_spark.session import load
+
+        sf = "/root/testdata/sf0.001"
+        aff = {r["doc_id"]: r for r in dsir_affinity(spark, sf).collect()}
+        langs = {
+            r["doc_id"]: r["lang"]
+            for r in load(spark, sf, "documents").select("doc_id", "lang").collect()
+        }
+        for r in aff.values():
+            assert r["affinity"] == r["affinity_fp"] / DSIR_SCALE
+            assert r["n_tokens"] >= 1
+        en = [r["affinity"] for d, r in aff.items() if langs[d] == "en"]
+        other = [r["affinity"] for d, r in aff.items() if langs[d] != "en"]
+        assert en and other
+        assert sum(en) / len(en) > sum(other) / len(other)

@@ -265,3 +265,18 @@ def test_quality_deciles_single_ranking_shuffle(spark):
 
     plan = formatted_plan(sample_quality_deciles(spark, SF_SMOKE))
     assert n_shuffle_exchanges(plan) == 1, plan
+
+
+def test_dsir_model_broadcast_partial_agg_no_token_window(spark):
+    """dsir_affinity: both 256-row bucket models build via map-side
+    PARTIAL aggregates and attach by BROADCAST; the only corpus-sized
+    exchange is the per-doc rollup. No Window over raw token
+    occurrences, no cartesian on data paths (the one-row totals frame
+    enters via broadcast)."""
+    from argus_spark.datapipe.dsir import dsir_affinity
+
+    plan = formatted_plan(dsir_affinity(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

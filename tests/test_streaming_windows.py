@@ -343,3 +343,116 @@ def test_streaming_minhash_neardup_sink(spark, tmp_path):
     assert sorted(kept2) == [1, 3, 5], kept2
     bands = spark.read.parquet(os.path.join(out, "bands"))
     assert {r.doc_id for r in bands.collect()} == {1, 3, 5}
+
+
+def test_streaming_minhash_sink_crash_between_writes_is_atomic(spark, tmp_path):
+    """r5-verdict item 6: a crash AFTER the docs write but BEFORE the
+    bands write (the former non-atomic window) must not duplicate on
+    replay. Simulated torn state: epoch 1's docs dir exists on disk but
+    the manifest (the single commit point) was never renamed — the
+    replayed epoch must overwrite the torn dir and commit both tables
+    exactly once."""
+    import pyspark.sql.functions as F
+
+    from argus_spark.streaming.dedup import (
+        _committed_epochs,
+        committed_bands_df,
+        committed_docs_df,
+        minhash_dedup_sink,
+    )
+
+    out = str(tmp_path / "state")
+    sink = minhash_dedup_sink(spark, out, tau=0.85)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+    b0 = mk([(1, "alpha bravo charlie delta echo"), (2, "zulu yankee xray")])
+    sink(b0, 0)
+    assert _committed_epochs(out) == [0]
+
+    # Torn epoch 1: docs written, bands NOT, manifest NOT (= crash in
+    # the old two-append window). Write what the sink would have.
+    b1 = mk([(3, "golf hotel india juliet kilo"), (1, "alpha bravo charlie delta echo")])
+    b1.filter("doc_id = 3").write.mode("overwrite").parquet(
+        os.path.join(out, "docs", "epoch=1")
+    )
+    # committed view is unaffected by the torn dir
+    assert {r.doc_id for r in committed_docs_df(spark, out).collect()} == {1, 2}
+
+    # Replay epoch 1 end-to-end: must land exactly once, both tables.
+    sink(b1, 1)
+    assert _committed_epochs(out) == [0, 1]
+    docs = [r.doc_id for r in committed_docs_df(spark, out).collect()]
+    assert sorted(docs) == [1, 2, 3], docs  # re-delivered doc 1 dropped (J=1)
+    band_ids = {r.doc_id for r in committed_bands_df(spark, out).collect()}
+    assert band_ids == {1, 2, 3}  # every survivor is band-indexed
+    # redo of an already-committed epoch is a no-op (batchId contract)
+    sink(b1, 1)
+    assert sorted(
+        r.doc_id for r in committed_docs_df(spark, out).collect()
+    ) == [1, 2, 3]
+
+
+def test_streaming_funnel_negative_timestamps_match_batch(spark, tmp_path):
+    """r5-verdict item 7: the old ``t_prev = -1`` sentinel required
+    ``ts > -1`` even at stage 0, so integer timestamps <= -1 could
+    never start the funnel — diverging from batch ``funnel_over``.
+    Drive an all-negative-timestamp stream through the tracker and
+    assert per-stage user counts equal the batch funnel exactly."""
+    import json as _json
+
+    from pyspark.sql import functions as SF
+
+    from argus_spark.operators.temporal import FUNNEL_STAGES, funnel_over
+    from argus_spark.streaming.stateful import funnel_tracker
+
+    # user 1 completes all 3 stages strictly ordered in negative time;
+    # user 2 stalls at stage 1 (its click ties the signup ts — strict
+    # ordering must reject it); user 3 starts at the old sentinel's
+    # exact blind spot, ts = -1.
+    events = [
+        (1, -50, "signup"), (1, -30, "click"), (1, -10, "purchase"),
+        (2, -40, "signup"), (2, -40, "click"),
+        (3, -1, "signup"),
+    ]
+    batch = funnel_over(
+        spark.createDataFrame(
+            events, "user_id long, ts long, event_type string"
+        ).select("user_id", SF.col("ts").cast("timestamp").alias("ts"),
+                 "event_type")
+    )
+    want = {r["event_type"]: r["n_users"] for r in batch.collect()}
+    assert want == {"signup": 3, "click": 1, "purchase": 1}, want
+
+    feed = str(tmp_path / "negfeed")
+    os.makedirs(feed, exist_ok=True)
+    path = os.path.join(feed, "ev-0000.json")
+    with open(path + ".tmp", "w") as f:
+        for uid, us, et in events:
+            f.write(_json.dumps(
+                {"user_id": uid, "us": us, "event_type": et}) + "\n")
+    os.replace(path + ".tmp", path)
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("us", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+    ])
+    stream = spark.readStream.schema(schema).json(feed)
+    q = (
+        funnel_tracker(stream, FUNNEL_STAGES)
+        .writeStream.format("memory")
+        .queryName("neg_funnel_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "negck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final: dict[int, int] = {}
+    for r in spark.sql("SELECT * FROM neg_funnel_sink").collect():
+        final[r.user_id] = max(final.get(r.user_id, 0), r.stage)
+    got = {
+        s: sum(1 for st in final.values() if st >= i + 1)
+        for i, s in enumerate(FUNNEL_STAGES)
+    }
+    assert got == want, (got, want)
