@@ -304,6 +304,16 @@ KMEANS_EMBEDDINGS_SQL = _kmeans_sql()
 # --------------------------------------------------------------------------
 
 SEM_TAU = 0.4  # near-dup cosine threshold within a cluster
+# SemDeDup cells are a PAIR-BOUNDING device, not a clustering
+# deliverable: dedup precision is exact regardless of cell quality
+# (every candidate is verified by exact cosine), cells only set which
+# pairs get compared. One Lloyd refinement over the deterministic seed
+# partition already yields balanced cells (the in-cell pair-budget test
+# holds), and every avoided iteration is one full-corpus map pass of
+# k×DIM interpreted fold work — the dominant cost once k scales as √n
+# (measured at sf0.1: k 8→45 with 3 iterations took 2.65→4.8s; one
+# iteration keeps the O(n^1.5) pair bound at roughly the old wall).
+SEM_ITERS = 1
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,7 +339,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived by the same √n rule inside the SQL) + in-cell dominance
     anti-join, bit-exact.
     """
-    e, centroids, _ = kmeans_codebook(spark, sf_dir, k=None)
+    e, centroids, _ = kmeans_codebook(spark, sf_dir, k=None, iters=SEM_ITERS)
     # Cached: the assignment (k×DIM interpreted folds per row) feeds
     # BOTH sides of the in-cell self-join plus the final keep scan —
     # without the cache Catalyst recomputes it per branch (measured
@@ -366,7 +376,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_semantic_sql(iters: int = N_ITERS) -> str:
+def _dedup_semantic_sql(iters: int = SEM_ITERS) -> str:
     # k derived inside the SQL by the same max(8, ceil(sqrt(n))) rule
     # as derived_k(), so Spark and the oracle always agree on the cell
     # count at any corpus size the driver points them at.

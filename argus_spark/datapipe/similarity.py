@@ -394,11 +394,59 @@ SELECT q_id, n_id, rnk, cos_sim FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Random-projection dimensionality reduction (JL transform)
+# --------------------------------------------------------------------------
+
+# 64-d → 16-d Johnson–Lindenstrauss reduction: the standard pre-index
+# shrink before building ANN serving structures (4× memory/compute cut
+# on every downstream distance). Planes are seeded literals (a second,
+# independent family from the LSH PLANES) injected into BOTH engines;
+# each output component is one ordered-fold dot product scaled by
+# 1/√16 = 0.25 — an exact power-of-two multiply — so every projected
+# double is bit-identical cross-engine.
+RP_DIM = 16
+_rp_rng = np.random.default_rng(11)
+RP_PLANES: list[list[float]] = [
+    [round(float(x), 4) for x in row]
+    for row in _rp_rng.standard_normal((RP_DIM, DIM))
+]
+RP_SCALE = 0.25  # 1/sqrt(RP_DIM), exact in binary
+
+
+def embedding_project_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side JL projection of every corpus vector to RP_DIM
+    components p0..p15 (flat double columns — the driver's
+    canonicalizer takes scalars only). Zero shuffles: at 100 TB this
+    is a pure scan→project pass that writes the reduced matrix."""
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    return e.select(
+        "vec_id",
+        *[
+            (_dot(F.col("v"), _plane_lit(p)) * F.lit(RP_SCALE)).alias(f"p{i}")
+            for i, p in enumerate(RP_PLANES)
+        ],
+    )
+
+
+EMBEDDING_PROJECT_RP_SQL = (
+    "SELECT vec_id, "
+    + ", ".join(
+        f"{_dot_sql('v', _plane_sql(p))} * {RP_SCALE!r} AS p{i}"
+        for i, p in enumerate(RP_PLANES)
+    )
+    + " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_ivf_topk": ann_ivf_topk,
+    "embedding_project_rp": embedding_project_rp,
 }
 
 ORACLES: dict[str, str] = {
@@ -406,4 +454,5 @@ ORACLES: dict[str, str] = {
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
     "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
+    "embedding_project_rp": EMBEDDING_PROJECT_RP_SQL,
 }

@@ -549,7 +549,50 @@ FROM r GROUP BY event_type
 """
 
 
+def user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over per-user event paths: for every
+    consecutive event pair in a user's (ts, event_id)-ordered stream,
+    count (from_type → to_type) — the classic product-analytics "what
+    do users do next" rollup feeding sankeys and next-step models.
+
+    Scale shape: the lag window partitions by user_id — per-user
+    sequences are short and user cardinality is huge, so the ONE
+    window exchange is well-spread (the opposite regime from the
+    fluency token window); the closing (from,to) groupBy
+    partial-aggregates over ≤ |event_types|² keys. event_id breaks ts
+    ties so the path order — and hence the oracle comparison — is
+    total."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+
+
+USER_PATH_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       count(*)::BIGINT AS n_transitions
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "user_path_transitions": user_path_transitions,
     "tumbling_window_agg": tumbling_window_agg,
     "sliding_window_agg": sliding_window_agg,
     "session_window_agg": session_window_agg,
@@ -565,6 +608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "user_path_transitions": USER_PATH_TRANSITIONS_SQL,
     "tumbling_window_agg": TUMBLING_WINDOW_AGG_SQL,
     "sliding_window_agg": SLIDING_WINDOW_AGG_SQL,
     "session_window_agg": SESSION_WINDOW_AGG_SQL,

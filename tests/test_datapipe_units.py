@@ -392,6 +392,7 @@ class TestKMeans:
         import numpy as np
 
         from argus_spark.datapipe.clustering import (
+            SEM_ITERS,
             SEM_TAU,
             _assign,
             dedup_semantic,
@@ -401,7 +402,7 @@ class TestKMeans:
         sf = "/root/testdata/sf0.001"
         kept = {r["vec_id"] for r in dedup_semantic(spark, sf).collect()}
         # same derived k as the operator (max(8, ceil(sqrt(n))))
-        e, centroids, _ = kmeans_codebook(spark, sf, k=None)
+        e, centroids, _ = kmeans_codebook(spark, sf, k=None, iters=SEM_ITERS)
         rows = _assign(e, centroids).collect()
         by_cell: dict[int, list] = {}
         for r in rows:
@@ -438,13 +439,14 @@ class TestKMeans:
         (slack for imbalanced cells) so a future fixed-k regression
         (k=8 ⇒ ~n²/8 pairs) fails here before it ships."""
         from argus_spark.datapipe.clustering import (
+            SEM_ITERS,
             _assign,
             derived_k,
             kmeans_codebook,
         )
 
         sf = "/root/testdata/sf0.001"
-        e, centroids, _ = kmeans_codebook(spark, sf, k=None)
+        e, centroids, _ = kmeans_codebook(spark, sf, k=None, iters=SEM_ITERS)
         n = e.count()
         assert len(centroids) == derived_k(n)
         sizes = [
@@ -757,3 +759,34 @@ class TestDsirAffinity:
         other = [r["affinity"] for d, r in aff.items() if langs[d] != "en"]
         assert en and other
         assert sum(en) / len(en) > sum(other) / len(other)
+
+
+class TestRandomProjection:
+    def test_matches_sequential_fold_reference_exactly(self, spark):
+        """Bit-exactness contract: each projected component must equal
+        a Python left-fold over the same rounded plane literals, in
+        the same order, scaled by the exact power-of-two 0.25 — no
+        tolerance. Also JL sanity: projection is deterministic under
+        repartitioning (pure map)."""
+        from argus_spark.datapipe.dedup import _as_double
+        from argus_spark.datapipe.similarity import (
+            RP_DIM,
+            RP_PLANES,
+            RP_SCALE,
+            embedding_project_rp,
+        )
+        from argus_spark.session import load
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["vec_id"]: [r[f"p{i}"] for i in range(RP_DIM)]
+               for r in embedding_project_rp(spark, sf).collect()}
+        raw = {r["vec_id"]: list(r["v"]) for r in
+               load(spark, sf, "embeddings")
+               .select("vec_id", _as_double("embedding").alias("v"))
+               .collect()}
+        for vid, v in raw.items():
+            for i, plane in enumerate(RP_PLANES):
+                acc = 0.0
+                for x, y in zip(v, plane):   # ordered left fold
+                    acc = acc + x * y
+                assert got[vid][i] == acc * RP_SCALE, (vid, i)

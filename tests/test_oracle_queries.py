@@ -69,3 +69,27 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(df.columns) == {"address_name", "address", "balance"}
+
+
+def test_no_top_level_container_output_columns(spark):
+    """Driver-compat schema lint (r5-verdict item 9, CI face of the
+    mirror's pre-flight): the driver's canonicalizer hashes raw cells
+    and crashes on container-typed ones — embedding_quantize_int8 was
+    red for two rounds because of exactly this. Every oracled query
+    must expose scalar-only output columns. Analysis-only (lazy
+    plans), so the sweep is cheap."""
+    from pyspark.sql import types as ST
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    bad = {}
+    for name, fn in qs.items():
+        if name not in osql:
+            continue  # rows-only queries are never value-hashed
+        cols = [
+            f"{fld.name}:{fld.dataType.simpleString()}"
+            for fld in fn(spark, SF_SMOKE).schema.fields
+            if isinstance(fld.dataType, (ST.ArrayType, ST.MapType, ST.StructType))
+        ]
+        if cols:
+            bad[name] = cols
+    assert not bad, bad

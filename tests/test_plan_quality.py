@@ -280,3 +280,24 @@ def test_dsir_model_broadcast_partial_agg_no_token_window(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rp_projection_is_map_only(spark):
+    """embedding_project_rp: a pure scan→project pass — the planes are
+    plan literals, every component an ordered fold; ZERO shuffles."""
+    from argus_spark.datapipe.similarity import embedding_project_rp
+
+    plan = formatted_plan(embedding_project_rp(spark, SF_SMOKE))
+    assert n_shuffle_exchanges(plan) == 0, plan
+
+
+def test_path_transitions_user_window_then_partial_agg(spark):
+    """user_path_transitions: one user-keyed window exchange (huge key
+    cardinality, short sequences — skew-safe) + a partial-aggregated
+    (from,to) rollup; never a self-join or cartesian."""
+    from argus_spark.operators.temporal import user_path_transitions
+
+    plan = formatted_plan(user_path_transitions(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert n_shuffle_exchanges(plan) <= 2, plan
+    assert "CartesianProduct" not in plan, plan
