@@ -343,6 +343,13 @@ def fluency_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", words_col().alias("ws")
     )
     tok = d.select("doc_id", F.explode("ws").alias("tok"))
+    # NB: tok's lineage is evaluated twice (vocab build + probe side).
+    # The measured alternative — pre-folding to (doc_id, tok, c) so one
+    # pass feeds both — replaces the second SCAN with a corpus-sized
+    # SHUFFLE on (doc, tok) pairs and benches 20% slower; scans
+    # parallelize freely at any size while that exchange only grows, so
+    # the two-scan + broadcast-join shape (zero occurrence shuffles
+    # before the partial-agged per-doc rollup) is the keeper.
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
     scored = tok.join(F.broadcast(vocab), "tok")
     return (

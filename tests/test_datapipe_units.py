@@ -790,3 +790,71 @@ class TestRandomProjection:
                 for x, y in zip(v, plane):   # ordered left fold
                     acc = acc + x * y
                 assert got[vid][i] == acc * RP_SCALE, (vid, i)
+
+
+class TestPPJoinExactnessProperty:
+    def test_random_cliquey_corpora_match_brute_force(self, spark, tmp_path):
+        """The 'filters only DROP false candidates' invariant as a
+        randomized end-to-end property: on corpora engineered to sit
+        near the tau boundary (shared cores with small per-doc
+        mutations), dedup_ngram_jaccard's pair set must EQUAL the
+        brute-force all-pairs truth — prefix, length, and positional
+        filters may never lose a true pair. Seeded, multi-corpus."""
+        import random
+
+        import pandas as pd
+
+        from argus_spark.datapipe.dedup import JACCARD_TAU, dedup_ngram_jaccard
+
+        rng = random.Random(0xBEEF)
+        for case in range(3):
+            vocab = [f"w{i:03d}" for i in range(80)]
+            docs = []
+            did = 0
+            for clique in range(4):
+                core = rng.sample(vocab, rng.randint(20, 40))
+                for _ in range(rng.randint(2, 4)):
+                    words = list(core)
+                    # mutate 0-2 tokens: some pairs land exactly at or
+                    # around J = tau
+                    for _ in range(rng.randint(0, 2)):
+                        if rng.random() < 0.5 and len(words) > 10:
+                            words.remove(rng.choice(words))
+                        else:
+                            extra = rng.choice(vocab)
+                            if extra not in words:
+                                words.append(extra)
+                    rng.shuffle(words)
+                    docs.append((did, " ".join(words)))
+                    did += 1
+            sets = {d: frozenset(t.split(" ")) for d, t in docs}
+            truth = {}
+            ids = sorted(sets)
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    inter = len(sets[a] & sets[b])
+                    j = inter / len(sets[a] | sets[b])
+                    if j >= JACCARD_TAU:
+                        truth[(a, b)] = j
+            case_dir = tmp_path / f"case{case}"
+            case_dir.mkdir()
+            pd.DataFrame(
+                {
+                    "doc_id": [d for d, _ in docs],
+                    "text": [t for _, t in docs],
+                    "lang": ["en"] * len(docs),
+                    "source": ["t"] * len(docs),
+                    "n_chars": [len(t) for _, t in docs],
+                }
+            ).to_parquet(case_dir / "documents.parquet", index=False)
+            got = {
+                (r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in dedup_ngram_jaccard(spark, str(case_dir)).collect()
+            }
+            assert set(got) == set(truth), (
+                case,
+                set(truth) - set(got),
+                set(got) - set(truth),
+            )
+            for p, j in truth.items():
+                assert abs(got[p] - j) < 1e-12, (case, p, j, got[p])
