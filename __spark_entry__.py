@@ -70,7 +70,7 @@ _PRIORITY = [
     # -- tier 2: changed or new this round --------------------------------
     "embedding_quantize_int8", "fluency_unigram", "dedup_semantic",
     "anti_join_not_exists", "dsir_affinity", "embedding_project_rp",
-    "user_path_transitions",
+    "user_path_transitions", "decontaminate_minhash",
     # -- tier 3: fresh green row in round 5 (oldest-registered first) -----
     "text_quality", "agg_min_max", "avg_by_key", "min_safe_intersection",
     "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",

@@ -266,6 +266,110 @@ DEDUP_MINHASH_ESTIMATE_SQL = _minhash_estimate_sql()
 
 
 # --------------------------------------------------------------------------
+# Fuzzy decontamination — MinHash band probe vs a benchmark slice
+# --------------------------------------------------------------------------
+
+DECON_MH_TAU = 0.8          # near-verbatim leak threshold
+DECON_BENCH_MOD = 97        # benchmark slice: doc_id % 97 == 0
+
+
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY eval-set decontamination: flag corpus docs that are
+    near-verbatim copies (word-set Jaccard ≥ 0.8) of a benchmark doc —
+    the paraphrase/whitespace-robust complement to
+    ``text.decontaminate_ngram_overlap``'s exact 8-gram audit, which a
+    light rewording evades. The benchmark here is the deterministic
+    ``doc_id % 97 == 0`` slice standing in for a held-out eval set.
+
+    Pipeline = the standard leak scan at corpus scale: MinHash bands on
+    BOTH sides (shared ``_minhash_sig_df``/``_minhash_bands_df``
+    kernels, map-only), one (band, bh) equi-join probing corpus bands
+    against the far smaller benchmark index (broadcast it at
+    deployment), then exact set-Jaccard verify on the candidates only.
+    Banding recall at J=0.8 is 1-(1-0.8⁴)³ ≈ 0.79 per the family's
+    documented contract; the oracle mirrors the same bands so the
+    result is bit-exact, and the candidate cut is the whole point at
+    100 TB — no corpus×benchmark all-pairs anywhere."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bands = _minhash_bands_df(_minhash_sig_df(d))
+    corp_b = bands.filter(~is_bench)
+    bench_b = bands.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "band", "bh"
+    )
+    cand = (
+        corp_b.join(bench_b, ["band", "bh"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    words = d.select("doc_id", F.array_distinct(words_col()).alias("w"))
+    wc = words.filter(~is_bench).select("doc_id", F.col("w").alias("wc"))
+    wb = words.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), F.col("w").alias("wb")
+    )
+    i = F.size(F.array_intersect("wc", "wb"))
+    return (
+        cand.join(wc, "doc_id")
+        .join(wb, "bench_id")
+        .withColumn("i", i)
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double")
+            / (F.size("wc") + F.size("wb") - F.col("i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= DECON_MH_TAU)
+        .select("doc_id", "bench_id", "jaccard")
+    )
+
+
+def _decontaminate_minhash_sql() -> str:
+    sig_exprs = _minhash_sig_exprs_sql()
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"s{b * MH_R + r}::VARCHAR" for r in range(MH_R)
+            ),
+        )
+        for b in range(MH_BANDS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_distinct({words_sql()}) AS words FROM documents
+), base AS (
+  SELECT doc_id,
+         list_transform(words, x -> {h64_sql('x', 'mh')} % {MH_P}) AS hs
+  FROM w
+), sig AS (
+  SELECT doc_id,
+    {sig_exprs}
+  FROM base
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+  FROM bands c JOIN bands b ON c.band = b.band AND c.bh = b.bh
+  WHERE c.doc_id % {DECON_BENCH_MOD} <> 0
+    AND b.doc_id % {DECON_BENCH_MOD} = 0
+), verified AS (
+  SELECT cand.doc_id, cand.bench_id,
+         len(list_intersect(wc.words, wb.words)) AS i,
+         len(wc.words) AS nc, len(wb.words) AS nb
+  FROM cand
+  JOIN w wc ON wc.doc_id = cand.doc_id
+  JOIN w wb ON wb.doc_id = cand.bench_id
+)
+SELECT doc_id, bench_id,
+       i::DOUBLE / (nc + nb - i)::DOUBLE AS jaccard
+FROM verified
+WHERE i::DOUBLE / (nc + nb - i)::DOUBLE >= {DECON_MH_TAU}
+"""
+
+
+DECONTAMINATE_MINHASH_SQL = _decontaminate_minhash_sql()
+
+
+# --------------------------------------------------------------------------
 # SimHash (32-bit) + chunk-banded Hamming join
 # --------------------------------------------------------------------------
 
@@ -994,6 +1098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_list": dedup_keep_list,
+    "decontaminate_minhash": decontaminate_minhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -1006,5 +1111,6 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
+    "decontaminate_minhash": DECONTAMINATE_MINHASH_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
 }

@@ -858,3 +858,44 @@ class TestPPJoinExactnessProperty:
             )
             for p, j in truth.items():
                 assert abs(got[p] - j) < 1e-12, (case, p, j, got[p])
+
+
+class TestDecontaminateMinhash:
+    def test_precision_one_and_recall_floor_vs_truth(self, spark):
+        """Contract: every flagged (doc, bench) pair truly has word-set
+        J >= 0.8 (precision 1.0 — candidates are exact-verified), and
+        banding recall vs the brute-force truth clears the documented
+        floor (P(candidate) ~= 0.79 at J = 0.8; exact dups collide with
+        certainty, so the measured mix sits well above 0.5)."""
+        from argus_spark.datapipe.dedup import (
+            DECON_BENCH_MOD,
+            DECON_MH_TAU,
+            decontaminate_minhash,
+        )
+        from argus_spark.session import load
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r["doc_id"], r["bench_id"]): r["jaccard"]
+            for r in decontaminate_minhash(spark, sf).collect()
+        }
+        sets = {
+            r["doc_id"]: frozenset(w for w in r["text"].split(" ") if w)
+            for r in load(spark, sf, "documents").collect()
+        }
+        bench = {d for d in sets if d % DECON_BENCH_MOD == 0}
+        truth = {}
+        for b in bench:
+            for c in sets:
+                if c in bench:
+                    continue
+                inter = len(sets[c] & sets[b])
+                j = inter / len(sets[c] | sets[b])
+                if j >= DECON_MH_TAU:
+                    truth[(c, b)] = j
+        assert truth, "fixture should contain cross-slice near-dups"
+        assert set(got) <= set(truth), set(got) - set(truth)  # precision 1
+        for p, j in got.items():
+            assert abs(j - truth[p]) < 1e-12
+        recall = len(got) / len(truth)
+        assert recall >= 0.5, (len(got), len(truth))

@@ -301,3 +301,13 @@ def test_path_transitions_user_window_then_partial_agg(spark):
     assert has_partial_aggregation(plan), plan
     assert n_shuffle_exchanges(plan) <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_decontaminate_minhash_equi_probe_no_cartesian(spark):
+    """decontaminate_minhash: band probe and verify joins are all
+    equi-keyed — never a corpus×benchmark nested loop."""
+    from argus_spark.datapipe.dedup import decontaminate_minhash
+
+    plan = formatted_plan(decontaminate_minhash(spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
