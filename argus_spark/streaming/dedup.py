@@ -230,6 +230,53 @@ def _commit_epoch(out_dir: str, epoch_id: int) -> None:
     os.replace(tmp, path)
 
 
+def compact_state(spark: SparkSession, out_dir: str) -> int:
+    """Fold all committed epoch dirs into ONE epoch — the operational
+    half of the sink's "state is compactable" contract. At 100 TB the
+    bands index accretes one small parquet dir per micro-batch
+    (thousands per day at tip cadence); probe cost follows file count,
+    so periodic compaction is what keeps the band equi-join cheap.
+
+    Same atomicity argument as the sink itself: the merged docs and
+    bands land in a FRESH epoch dir (id = max committed + 1 — never
+    reused, so no collision with the sink's skip-by-epoch logic), then
+    one manifest rename swaps visibility from the old epoch list to
+    the single new one. A crash before the rename leaves the old state
+    fully intact (the half-written merge dirs are manifest-invisible);
+    after it, readers see only the compacted generation. Old epoch
+    dirs are GC'd last — a crash mid-GC leaves orphans no reader can
+    see, cleaned by the next compaction. Returns the new epoch id."""
+    epochs = _committed_epochs(out_dir)
+    if len(epochs) <= 1:
+        return epochs[0] if epochs else -1
+    gen = max(epochs) + 1
+    docs = committed_docs_df(spark, out_dir, epochs)
+    bands = committed_bands_df(spark, out_dir, epochs)
+    docs.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "docs", f"epoch={gen}")
+    )
+    bands.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "bands", f"epoch={gen}")
+    )
+    # the single atomic visibility swap
+    import json
+
+    path = os.path.join(out_dir, _MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump([gen], f)
+    os.replace(tmp, path)
+    # GC old generations (invisible already; best-effort)
+    import shutil
+
+    for e in epochs:
+        for tbl in ("docs", "bands"):
+            shutil.rmtree(
+                os.path.join(out_dir, tbl, f"epoch={e}"), ignore_errors=True
+            )
+    return gen
+
+
 def committed_docs_df(
     spark: SparkSession, out_dir: str, epochs: list[int] | None = None
 ) -> DataFrame:

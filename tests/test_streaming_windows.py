@@ -456,3 +456,61 @@ def test_streaming_funnel_negative_timestamps_match_batch(spark, tmp_path):
         for i, s in enumerate(FUNNEL_STAGES)
     }
     assert got == want, (got, want)
+
+
+def test_streaming_minhash_state_compaction_atomic(spark, tmp_path):
+    """compact_state folds committed epochs into one generation behind
+    the same atomic manifest rename: state is value-identical before
+    and after, the sink keeps working on the compacted state, and a
+    crash BEFORE the manifest swap (merge dirs written, manifest not)
+    leaves the old state fully visible and intact."""
+    import pyspark.sql.functions as F
+
+    from argus_spark.streaming.dedup import (
+        _committed_epochs,
+        committed_bands_df,
+        committed_docs_df,
+        compact_state,
+        minhash_dedup_sink,
+    )
+
+    out = str(tmp_path / "state")
+    sink = minhash_dedup_sink(spark, out, tau=0.85)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    sink(mk([(1, "alpha bravo charlie delta echo"), (2, "zulu yankee xray")]), 0)
+    sink(mk([(3, "golf hotel india juliet kilo"),
+             (1, "alpha bravo charlie delta echo")]), 1)
+    before_docs = sorted(
+        (r.doc_id, r.text) for r in committed_docs_df(spark, out).collect()
+    )
+    before_bands = sorted(
+        map(tuple, committed_bands_df(spark, out)
+            .select("doc_id", "band", "bh").collect())
+    )
+
+    # crash before the swap: merge dirs on disk, manifest untouched
+    import json as _json
+    docs = committed_docs_df(spark, out)
+    docs.write.mode("overwrite").parquet(os.path.join(out, "docs", "epoch=99"))
+    assert _committed_epochs(out) == [0, 1]
+    assert sorted(
+        (r.doc_id, r.text) for r in committed_docs_df(spark, out).collect()
+    ) == before_docs
+
+    gen = compact_state(spark, out)
+    assert _committed_epochs(out) == [gen]
+    assert sorted(
+        (r.doc_id, r.text) for r in committed_docs_df(spark, out).collect()
+    ) == before_docs
+    assert sorted(
+        map(tuple, committed_bands_df(spark, out)
+            .select("doc_id", "band", "bh").collect())
+    ) == before_bands
+    # old epoch dirs GC'd
+    assert not os.path.isdir(os.path.join(out, "docs", "epoch=0"))
+
+    # the sink continues on compacted state: dup of doc 3 still drops
+    sink(mk([(9, "golf hotel india juliet kilo"),
+             (10, "completely novel content here")]), 5)
+    docs_now = {r.doc_id for r in committed_docs_df(spark, out).collect()}
+    assert docs_now == {1, 2, 3, 10}, docs_now
