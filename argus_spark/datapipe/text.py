@@ -403,7 +403,120 @@ FROM c
 """
 
 
+WIN_K = 5  # winnowing: shingle width (words)
+WIN_W = 4  # winnowing: window of consecutive shingle hashes
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every WIN_K-word shingle,
+    slide a WIN_W-window over the shingle-hash stream, keep each
+    window's MINIMUM — guaranteeing at least one shared fingerprint
+    for any matching passage of ≥ WIN_K+WIN_W−1 words while storing
+    only ~2/(WIN_W+1) of the shingles. The sparse, position-robust
+    complement to ``doc_fingerprint`` (one hash per doc) and
+    ``dedup_exact_substring`` (every window hashed): downstream
+    substring-overlap joins meet on fingerprints that survive
+    insertions outside the match.
+
+    Selection is by hash VALUE (min of the window), so tie handling
+    needs no positional rule and both engines agree exactly. Map-only:
+    shingle hashing, window minima, and per-doc distinct all happen
+    inside one projection — zero shuffles at any scale; output is the
+    exploded (doc_id, fp) fingerprint index."""
+    d = load(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", words_col().alias("ws")
+    )
+    hs = _gram_hashes(F.col("ws"), WIN_K, "win")
+    nh = F.size(hs)
+    mins = (
+        F.when(
+            nh >= F.lit(WIN_W),
+            F.transform(
+                F.sequence(F.lit(1), nh - F.lit(WIN_W - 1)),
+                lambda i: F.array_min(F.slice(hs, i, WIN_W)),
+            ),
+        )
+        # short doc: fewer shingles than one window → one global-min fp
+        .when(nh > F.lit(0), F.array(F.array_min(hs)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+WINNOW_FINGERPRINTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {words_sql()} AS ws FROM documents
+), h AS (
+  SELECT doc_id, {_grams_sql(WIN_K, 'win')} AS hs FROM d
+), m AS (
+  SELECT doc_id,
+         CASE
+           WHEN len(hs) >= {WIN_W} THEN
+             list_transform(range(1, len(hs) - {WIN_W - 1} + 1),
+                            i -> list_min(hs[i:i + {WIN_W - 1}]))
+           WHEN len(hs) > 0 THEN [list_min(hs)]
+           ELSE []::BIGINT[]
+         END AS mins
+  FROM h
+)
+SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
+"""
+
+
+HH_SUPPORT = 0.005  # heavy-hitter threshold: > 0.5% of all tokens
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitter tokens with a SKETCH CONTRACT check — the
+    stop-token discovery step that feeds df-cuts (exact-substring
+    dedup) and PPJoin prefix ordering.
+
+    Two faces, same pattern as ``approx_distinct_users``: the
+    streaming-friendly sketch is ``df.stat.freqItems`` (Karp et al.
+    one-pass counter summary — map-side partial merge, ≤ 1/support
+    cells of state, the shape that survives 100 TB where an exact
+    groupBy would be the fallback, not the default); the EXACT side
+    (one partial-agged groupBy) is what the oracle can verify. The
+    published contract is freqItems' superset guarantee — every token
+    with frequency > support·n must appear in the sketch result —
+    emitted as the ``in_sketch`` boolean the oracle pins to TRUE.
+    Token counts are Zipfian, so this is non-vacuous at every harness
+    SF (30 heavy tokens above 0.5%)."""
+    tok = (
+        load(spark, sf_dir, "documents", widen=True)
+        .select(F.explode(words_col()).alias("tok"))
+    )
+    n = tok.count()  # control-plane scalar
+    # one-pass sketch; result is ONE driver row holding ≤ 1/support items
+    sketch = set(tok.stat.freqItems(["tok"], HH_SUPPORT).first()[0])
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > F.lit(HH_SUPPORT) * F.lit(n))
+    )
+    return exact.select(
+        "tok",
+        "n_occurrences",
+        F.col("tok").isin(sketch).alias("in_sketch"),
+    )
+
+
+HEAVY_HITTER_TOKENS_SQL = f"""
+WITH t AS (
+  SELECT unnest({words_sql()}) AS tok FROM documents
+)
+SELECT tok, count(*)::BIGINT AS n_occurrences, TRUE AS in_sketch
+FROM t GROUP BY tok
+HAVING count(*) > {HH_SUPPORT} * (SELECT count(*) FROM t)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "heavy_hitter_tokens": heavy_hitter_tokens,
+    "winnow_fingerprints": winnow_fingerprints,
     "text_normalize": text_normalize,
     "text_quality": text_quality,
     "lang_id_ngram": lang_id_ngram,
@@ -414,6 +527,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "heavy_hitter_tokens": HEAVY_HITTER_TOKENS_SQL,
+    "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id_ngram": LANG_ID_NGRAM_SQL,
