@@ -27,6 +27,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from argus_spark.session import load
 
@@ -244,14 +245,64 @@ FROM m
 """
 
 
+def _payload_digest_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload_md5": [
+                    hashlib.md5(bytes(b)[HEADER_LEN:]).hexdigest()
+                    for b in pdf["blob"]
+                ],
+            }
+        )
+
+
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by CONTENT digest of the blob payload — the
+    image/audio analogue of ``dedup_exact``: hash the decoded payload
+    bytes (header stripped, so re-encodes of the same pixels under
+    different container metadata still collide), then one map-side-
+    combinable hash aggregate. The digest runs inside the Arrow
+    ``mapInPandas`` decode pass (where a real pipeline would hash
+    decoded pixels), so this exercises the binary plumbing end-to-end;
+    at 100 TB the pattern is hash-at-ingest + one shuffle on uniform
+    digest keys. Oracle: the fake payload is the UTF-8 of the first 16
+    characters, so DuckDB predicts the digest with md5(substr(text))."""
+    d = load(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", "n_chars", "text"
+    )
+    blobs = d.mapInPandas(_encode_batches, schema=_BLOB_SCHEMA)
+    digests = blobs.mapInPandas(
+        _payload_digest_batches, schema="doc_id long, payload_md5 string"
+    )
+    return digests.groupBy("payload_md5").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+
+
+MULTIMODAL_PAYLOAD_DEDUP_SQL = """
+SELECT md5(substr(text, 1, 16)) AS payload_md5,
+       min(doc_id) AS keep_id,
+       count(*)::BIGINT AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": multimodal_meta,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_payload_dedup": multimodal_payload_dedup,
 }
 
 ORACLES: dict[str, str] = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
+    "multimodal_payload_dedup": MULTIMODAL_PAYLOAD_DEDUP_SQL,
 }
