@@ -11,10 +11,18 @@ script only composes their keep-sets):
   2. DECONTAMINATION     — drop the benchmark stand-ins (doc_id % 50
                            == 0, the convention decontaminate_ngram_
                            overlap documents) and every doc sharing an
-                           8-gram with them
-  3. QUALITY CURATION    — top-K per source by the shared composite
+                           8-gram with them; PLUS the fuzzy layer —
+                           ``decontaminate_minhash`` flags near-
+                           verbatim (J ≥ 0.8) copies of its benchmark
+                           slice that a light rewording would slip
+                           past the exact 8-gram check
+  3. DOMAIN SELECTION    — ``dsir_affinity`` hashed-n-gram importance
+                           scores vs the target domain (en); keep docs
+                           leaning toward the target (affinity > 0) —
+                           the DSIR selection step
+  4. QUALITY CURATION    — top-K per source by the shared composite
                            quality score, ranked WITHIN survivors
-  4. PACKING             — ``pack_sequences`` over the surviving
+  5. PACKING             — ``pack_sequences`` over the surviving
                            frame: (shard, seq_id, offset) layout
 
 Exit gate: survival must be strictly monotone non-increasing, the
@@ -41,7 +49,11 @@ def main() -> int:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from argus_spark.datapipe.dedup import dedup_keep_list
+    from argus_spark.datapipe.dedup import (
+        decontaminate_minhash,
+        dedup_keep_list,
+    )
+    from argus_spark.datapipe.dsir import dsir_affinity
     from argus_spark.datapipe.hashing import words_col
     from argus_spark.datapipe.sampling import pack_sequences
     from argus_spark.datapipe.text import (
@@ -69,13 +81,38 @@ def main() -> int:
     s1 = corpus.join(kept, "doc_id", "left_semi")
     n1 = stage_stats(s1, "after near-dup dedup")
 
-    # 2. decontamination: benchmark stand-ins + 8-gram overlappers
+    # 2. decontamination: benchmark stand-ins + 8-gram overlappers +
+    #    fuzzy MinHash near-verbatim copies
     contaminated = decontaminate_ngram_overlap(spark, sf_dir).select("doc_id")
+    fuzzy = decontaminate_minhash(spark, sf_dir).select("doc_id").distinct()
     s2 = (
         s1.filter(F.col("doc_id") % 50 != 0)
         .join(contaminated, "doc_id", "left_anti")
+        .join(fuzzy, "doc_id", "left_anti")
     )
     n2 = stage_stats(s2, "after decontamination")
+
+    # 2b. DSIR domain selection: rank SURVIVORS by target affinity and
+    #     keep the top 3 quintiles (60%) — the importance-resampling
+    #     keep-rate knob, deterministic via (affinity desc, doc_id).
+    #     NB the unpartitioned ntile is a single-task sort — fine for a
+    #     demo corpus; at 100 TB swap for an approxQuantile threshold
+    #     (one pass, no global sort) and filter affinity >= cutoff.
+    affinity = dsir_affinity(spark, sf_dir).select("doc_id", "affinity")
+    sel = (
+        s2.join(affinity, "doc_id")
+        .withColumn(
+            "q",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("affinity"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("q") <= 3)
+        .select("doc_id")
+    )
+    s2b = s2.join(sel, "doc_id", "left_semi")
+    n2b = stage_stats(s2b, "after domain selection")
+    s2 = s2b
 
     # 3. quality curation within survivors
     scores = text_quality(spark, sf_dir, keep=("source",)).select(
@@ -116,7 +153,7 @@ def main() -> int:
         F.sum(F.size(words_col())).alias("t")
     ).first()["t"]
     ok = (
-        n0 >= n1 >= n2 >= n3 > 0
+        n0 >= n1 >= n2 >= n2b >= n3 > 0
         and pk["n"] == n3
         and int(pk["toks"] or 0) == int(survivors_toks or 0)
     )
