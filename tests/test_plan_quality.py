@@ -311,3 +311,33 @@ def test_decontaminate_minhash_equi_probe_no_cartesian(spark):
     plan = formatted_plan(decontaminate_minhash(spark, SF_SMOKE))
     assert "BroadcastNestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_winnow_fingerprints_map_only(spark):
+    """winnow_fingerprints: shingle hash → window minima → distinct →
+    explode all inside one projection — zero shuffles at any scale."""
+    from argus_spark.datapipe.text import winnow_fingerprints
+
+    plan = formatted_plan(winnow_fingerprints(spark, SF_SMOKE))
+    assert n_shuffle_exchanges(plan) == 0, plan
+
+
+def test_heavy_hitters_exact_side_partial_agg_single_shuffle(spark):
+    """heavy_hitter_tokens: the returned frame is the exact groupBy
+    (one partial-agged exchange) + an isin over the <= 1/support
+    sketch literal — the freqItems pass is a separate one-shot job."""
+    from argus_spark.datapipe.text import heavy_hitter_tokens
+
+    plan = formatted_plan(heavy_hitter_tokens(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert n_shuffle_exchanges(plan) == 1, plan
+
+
+def test_multimodal_payload_dedup_partial_agg_single_shuffle(spark):
+    """multimodal_payload_dedup: digest inside the Arrow decode pass,
+    then ONE map-side-combinable aggregate on uniform digest keys."""
+    from argus_spark.datapipe.multimodal import multimodal_payload_dedup
+
+    plan = formatted_plan(multimodal_payload_dedup(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert n_shuffle_exchanges(plan) == 1, plan
