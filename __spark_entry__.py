@@ -72,7 +72,7 @@ _PRIORITY = [
     "anti_join_not_exists", "dsir_affinity", "embedding_project_rp",
     "user_path_transitions", "decontaminate_minhash",
     "heavy_hitter_tokens", "winnow_fingerprints",
-    "multimodal_payload_dedup",
+    "multimodal_payload_dedup", "corpus_stats_by_source",
     # -- tier 3: fresh green row in round 5 (oldest-registered first) -----
     "text_quality", "agg_min_max", "avg_by_key", "min_safe_intersection",
     "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",

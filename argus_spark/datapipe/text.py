@@ -466,6 +466,53 @@ SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
 """
 
 
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: per-source doc count, token mass, and mean
+    composite quality — the summary table a curation run publishes
+    alongside its shards (mixture accounting + quality drift watch).
+
+    One scan (quality features are map-side, source threaded through
+    ``text_quality(keep=...)``) + one partial-aggregated groupBy on
+    ~20 source keys. The quality mean uses the module's fixed-point
+    convention (floor(q·10⁶) BIGINT sum → two correctly-rounded
+    closing divisions) so the double is bit-identical cross-engine
+    despite being an order-free distributed sum."""
+    from argus_spark.operators.relational import FX, _fx
+
+    q = text_quality(spark, sf_dir, keep=("source",))
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.sum(_fx(F.col("quality_score"))).alias("_sq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                (F.col("_sq").cast("double") / F.lit(float(FX)))
+                / F.col("n_docs").cast("double")
+            ).alias("mean_quality"),
+        )
+    )
+
+
+CORPUS_STATS_BY_SOURCE_SQL = f"""
+WITH {quality_cte_sql(extra_cols=", source")},
+q AS (
+  SELECT doc_id, source, n_words, {QUALITY_SCORE_SQL} AS qs FROM m
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       (CAST(sum(CAST(floor(qs * 1000000.0) AS BIGINT)) AS DOUBLE)
+          / 1000000.0) / count(*)::DOUBLE AS mean_quality
+FROM q GROUP BY source
+"""
+
+
 HH_SUPPORT = 0.005  # heavy-hitter threshold: > 0.5% of all tokens
 
 
@@ -517,6 +564,7 @@ HAVING count(*) > {HH_SUPPORT} * (SELECT count(*) FROM t)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "winnow_fingerprints": winnow_fingerprints,
+    "corpus_stats_by_source": corpus_stats_by_source,
     "text_normalize": text_normalize,
     "text_quality": text_quality,
     "lang_id_ngram": lang_id_ngram,
@@ -529,6 +577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "heavy_hitter_tokens": HEAVY_HITTER_TOKENS_SQL,
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
+    "corpus_stats_by_source": CORPUS_STATS_BY_SOURCE_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id_ngram": LANG_ID_NGRAM_SQL,
