@@ -60,29 +60,29 @@ def dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", "lang", F.explode("ws").alias("w")).select(
         "doc_id", "lang", (h64(F.col("w"), "dsir") % DSIR_BUCKETS).alias("b")
     )
-    cr = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    ct = (
-        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    tots = tok.agg(
-        F.count(F.lit(1)).alias("nr"),
+    # BOTH models in one partial-aggregated pass over the token stream
+    # (cr = all occurrences, ct = target-slice occurrences via a
+    # conditional sum), and the totals fold from the 256-row model
+    # table itself — one corpus pass builds everything, vs the naive
+    # three (raw counts, target counts, totals). Absent target buckets
+    # carry ct=0 and smooth via the +1 Laplace term.
+    models = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
         F.sum(
             F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)).otherwise(
                 F.lit(0)
             )
-        ).alias("nt"),
+        ).alias("ct"),
     )
-    # 256-row model table: every bucket present in the corpus; absent
-    # target buckets smooth to ct=0 (+1 Laplace).
+    tots = models.agg(  # 256-row input: control-plane-cheap
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
     bucket = (
-        cr.join(ct, "b", "left")
-        .crossJoin(F.broadcast(tots))  # one-row totals frame
+        models.crossJoin(F.broadcast(tots))  # one-row totals frame
         .select(
             "b",
             (
-                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                (F.col("ct") + F.lit(1)).cast("double")
                 / (F.col("nt") + F.lit(DSIR_BUCKETS)).cast("double")
                 - (F.col("cr") + F.lit(1)).cast("double")
                 / (F.col("nr") + F.lit(DSIR_BUCKETS)).cast("double")
