@@ -45,11 +45,14 @@ def _modules():
 #   1. the 36 queries whose last fresh driver row is round-3 vintage
 #      (they fell past r4/r5's 50-cap twice) — the whole dedup family
 #      is in here;
-#   2. queries changed this round: embedding_quantize_int8 (q8 ->
-#      q8_csv so the driver can canonicalize), dedup_ngram_jaccard
-#      (integer-rational PPJoin positional filter — already in tier 1),
-#      fluency_unigram (de-skewed groupBy+join form), dedup_semantic
-#      (scale-aware k), anti_join_not_exists (de-vacuated slice);
+#   2. queries changed this round (embedding_quantize_int8 q8_csv fix,
+#      de-skewed fluency_unigram, scale-aware-k dedup_semantic,
+#      de-vacuated anti_join_not_exists; dedup_ngram_jaccard's
+#      integer-rational PPJoin fix rides tier 1) plus the eight NEW
+#      round-6 operators (dsir_affinity, embedding_project_rp,
+#      user_path_transitions, decontaminate_minhash,
+#      heavy_hitter_tokens, winnow_fingerprints,
+#      multimodal_payload_dedup, corpus_stats_by_source);
 #   3. queries with a fresh green r5 row (these fall past the 50 cap
 #      and ride their r5 evidence — one round stale, max).
 # Keys absent from this list (future operators) are appended in module
