@@ -293,6 +293,11 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", widen=True)
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bands = _minhash_bands_df(_minhash_sig_df(d))
+    # NB the two branches below each evaluate the signature lineage
+    # (same as every LSH self-join here); an unfiltered self-join with
+    # slice predicates in the join filter was measured — ReuseExchange
+    # did not fire (filters push into the scans either way) and wall
+    # time was unchanged, so the clearer pre-filtered form stays.
     corp_b = bands.filter(~is_bench)
     bench_b = bands.filter(is_bench).select(
         F.col("doc_id").alias("bench_id"), "band", "bh"

@@ -427,21 +427,28 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", widen=True).select(
         "doc_id", words_col().alias("ws")
     )
-    hs = _gram_hashes(F.col("ws"), WIN_K, "win")
+    # Materialize the shingle-hash array once per row (a named column,
+    # not an inlined expression — Catalyst would otherwise recompute
+    # the md5 pass per window), then take window minima via WIN_W
+    # element reads per window. The earlier slice()+array_min form
+    # allocated a fresh 4-element array per window inside an
+    # interpreted HOF — measured 8.5s at sf0.1 vs ~1s for this form.
+    h = d.select("doc_id", _gram_hashes(F.col("ws"), WIN_K, "win").alias("hs"))
+    hs = F.col("hs")
     nh = F.size(hs)
+    win_min = lambda i: F.least(  # noqa: E731
+        *[F.element_at(hs, i + F.lit(k)) for k in range(WIN_W)]
+    )
     mins = (
         F.when(
             nh >= F.lit(WIN_W),
-            F.transform(
-                F.sequence(F.lit(1), nh - F.lit(WIN_W - 1)),
-                lambda i: F.array_min(F.slice(hs, i, WIN_W)),
-            ),
+            F.transform(F.sequence(F.lit(1), nh - F.lit(WIN_W - 1)), win_min),
         )
         # short doc: fewer shingles than one window → one global-min fp
         .when(nh > F.lit(0), F.array(F.array_min(hs)))
         .otherwise(F.array().cast("array<long>"))
     )
-    return d.select(
+    return h.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
     )
 

@@ -80,6 +80,13 @@ HEADLINE = [
     "fluency_unigram",
     "funnel_conversion",
     "dsir_affinity",
+    "embedding_project_rp",
+    "user_path_transitions",
+    "decontaminate_minhash",
+    "heavy_hitter_tokens",
+    "winnow_fingerprints",
+    "multimodal_payload_dedup",
+    "corpus_stats_by_source",
 ]
 
 
