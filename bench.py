@@ -73,6 +73,7 @@ HEADLINE = [
     "pack_sequences",
     "chunk_documents",
     "ngram_counts",
+    "dedup_ngram_jaccard",
     "dedup_exact_substring",
     "ann_lsh_multiprobe",
     "dedup_semantic",
