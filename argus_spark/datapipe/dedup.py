@@ -751,13 +751,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are not emitted — at 100 TB the cluster table is a small side
     output joined back as an anti-filter (``dedup_keep_list``).
 
-    Measured (r4): harness SF (0.01) Spark 7.0s / oracle 16.8s in a
-    stock foreign session — wide headroom. At sf0.1 (964k true pairs,
-    big near-dup cliques) the Spark side runs 53s end-to-end after the
-    PPJoin length+positional filters (was >570s before them) and the
-    one-hop contraction in ``connected_components`` (90s before it);
-    the min-label-pruned recursive-CTE oracle is sf0.01-only by
-    design (the harness SF)."""
+    Measured: harness SF (0.01) Spark 7.0s / oracle 16.8s in a stock
+    foreign session (r4) — wide headroom. At sf0.1 (964k true pairs,
+    big near-dup cliques) the Spark side runs ~13s end-to-end (r6)
+    after three successive cuts: the PPJoin length+positional filters
+    (>570s → 90s), the one-hop contraction in
+    ``connected_components`` (→ 53s), and the candidate-frame
+    materialization in ``dedup_ngram_jaccard`` (→ ~13s); the
+    min-label-pruned recursive-CTE oracle is sf0.01-only by design
+    (the harness SF)."""
     edges = dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
