@@ -1009,6 +1009,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"), F.col("x.vec_id").alias("vec_b")
         )
         .distinct()
+        # candidate-frame materialization (see dedup_ngram_jaccard):
+        # the hyperplane band projections otherwise recompute per
+        # verify branch — measured 2.9s → 1.9s at sf0.1
+        .cache()
     )
     va = e.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
