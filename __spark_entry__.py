@@ -39,45 +39,28 @@ def _modules():
 
 
 # The correctness harness checks exactly the first 50 registry entries,
-# so registration order is coverage policy (rotated each round so no
-# query goes two rounds without a fresh row). Round-6 priority
-# (stale-first, per the r5 verdict):
-#   1. the 36 queries whose last fresh driver row is round-3 vintage
-#      (they fell past r4/r5's 50-cap twice) — the whole dedup family
-#      is in here;
-#   2. queries changed this round (embedding_quantize_int8 q8_csv fix,
-#      de-skewed fluency_unigram, scale-aware-k dedup_semantic,
-#      de-vacuated anti_join_not_exists; dedup_ngram_jaccard's
-#      integer-rational PPJoin fix rides tier 1) plus the eight NEW
-#      round-6 operators (dsir_affinity, embedding_project_rp,
-#      user_path_transitions, decontaminate_minhash,
-#      heavy_hitter_tokens, winnow_fingerprints,
-#      multimodal_payload_dedup, corpus_stats_by_source);
-#   3. queries with a fresh green r5 row (these fall past the 50 cap
-#      and ride their r5 evidence — one round stale, max).
-# Keys absent from this list (future operators) are appended in module
-# order before tier 3's tail.
+# so registration order is coverage policy. STANDING PER-ROUND POLICY
+# (adopted r6, confirmed by the r6 verdict): rotate stale-first every
+# round —
+#   tier 1: queries whose latest fresh driver row is OLDEST (they hit
+#           two-rounds-stale if skipped again);
+#   tier 2: queries CHANGED or NEW this round (their old evidence no
+#           longer covers the current code);
+#   tier 3: queries with a fresh green row from the previous round
+#           (these may fall past the 50 cap and ride that evidence —
+#           one round stale, max).
+# After each round, no registered query's latest driver row should be
+# older than one round. Keys absent from this list (future operators)
+# are appended in module order after the listed ones.
+#
+# Round-7 rotation: tier 1 = the 44 queries whose latest row is r5
+# (r6's tier 3 minus text_quality/agg_min_max which made r6's window);
+# tier 2 = heavy_hitter_tokens (integer-rational threshold rewrite on
+# both engine and oracle sides this round) + the new streaming-replay
+# queries; tier 3 = the 47 unchanged r6 greens.
 _PRIORITY = [
-    # -- tier 1: last fresh driver row is round 3 -------------------------
-    "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
-    "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
-    "dedup_keep_first", "duplicate_detect", "latest_per_key",
-    "topk_serving", "set_intersect", "set_except", "running_sum_frame",
-    "rollup_counts", "pivot_status", "hex_canonical", "prefix_display",
-    "string_funcs", "stable_hash", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "approx_distinct_users",
-    "dedup_embedding_cosine", "dedup_clusters", "chunk_documents",
-    "ngram_counts", "text_diversity", "approx_quantiles_value",
-    "dedup_exact_substring", "curate_quality_topk", "ann_lsh_multiprobe",
-    "dedup_minhash_estimate", "cohort_retention",
-    # -- tier 2: changed or new this round --------------------------------
-    "embedding_quantize_int8", "fluency_unigram", "dedup_semantic",
-    "anti_join_not_exists", "dsir_affinity", "embedding_project_rp",
-    "user_path_transitions", "decontaminate_minhash",
-    "heavy_hitter_tokens", "winnow_fingerprints",
-    "multimodal_payload_dedup", "corpus_stats_by_source",
-    # -- tier 3: fresh green row in round 5 (oldest-registered first) -----
-    "text_quality", "agg_min_max", "avg_by_key", "min_safe_intersection",
+    # -- tier 1: latest fresh driver row is round 5 -----------------------
+    "avg_by_key", "min_safe_intersection",
     "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
     "range_join_pairs", "cube_counts", "grouping_sets_value",
     "median_value_by_type", "tumbling_window_agg", "sliding_window_agg",
@@ -92,6 +75,26 @@ _PRIORITY = [
     "balances_after_rollback", "tx_flatten", "utxo_state", "utxo_spent",
     "utxo_unspent", "checkpoint_window", "filter_project",
     "explode_ordinal", "broadcast_lookup", "semi_join_exists",
+    # -- tier 2: changed or new this round --------------------------------
+    "heavy_hitter_tokens",
+    # -- tier 3: fresh green row in round 6 -------------------------------
+    "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
+    "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
+    "dedup_keep_first", "duplicate_detect", "latest_per_key",
+    "topk_serving", "set_intersect", "set_except", "running_sum_frame",
+    "rollup_counts", "pivot_status", "hex_canonical", "prefix_display",
+    "string_funcs", "stable_hash", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "approx_distinct_users",
+    "dedup_embedding_cosine", "dedup_clusters", "chunk_documents",
+    "ngram_counts", "text_diversity", "approx_quantiles_value",
+    "dedup_exact_substring", "curate_quality_topk", "ann_lsh_multiprobe",
+    "dedup_minhash_estimate", "cohort_retention",
+    "embedding_quantize_int8", "fluency_unigram", "dedup_semantic",
+    "anti_join_not_exists", "dsir_affinity", "embedding_project_rp",
+    "user_path_transitions", "decontaminate_minhash",
+    "winnow_fingerprints",
+    "multimodal_payload_dedup", "corpus_stats_by_source",
+    "text_quality", "agg_min_max",
 ]
 
 

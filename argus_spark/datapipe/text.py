@@ -546,10 +546,13 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = tok.count()  # control-plane scalar
     # one-pass sketch; result is ONE driver row holding ≤ 1/support items
     sketch = set(tok.stat.freqItems(["tok"], HH_SUPPORT).first()[0])
+    # integer-rational threshold (count*1000 > 5*n ⟺ count > 0.005n),
+    # matching the PPJoin convention: filters in integer rationals,
+    # never float, so Spark and the oracle agree bit-for-bit at any n
     exact = (
         tok.groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
-        .filter(F.col("n_occurrences") > F.lit(HH_SUPPORT) * F.lit(n))
+        .filter(F.col("n_occurrences") * F.lit(1000) > F.lit(5) * F.lit(n))
     )
     return exact.select(
         "tok",
@@ -564,7 +567,7 @@ WITH t AS (
 )
 SELECT tok, count(*)::BIGINT AS n_occurrences, TRUE AS in_sketch
 FROM t GROUP BY tok
-HAVING count(*) > {HH_SUPPORT} * (SELECT count(*) FROM t)
+HAVING count(*) * 1000 > 5 * (SELECT count(*) FROM t)
 """
 
 

@@ -150,8 +150,9 @@ def minhash_dedup_sink(
         )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        committed = _committed_epochs(out_dir)
-        if int(epoch_id) in committed:
+        # replay guard consults ONLY stream-committed batch ids — never
+        # compaction generations, which live in a disjoint namespace
+        if int(epoch_id) in _committed_epochs(out_dir):
             return  # already atomically committed — redo is a no-op
         d = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
         words = d.select(
@@ -171,8 +172,8 @@ def minhash_dedup_sink(
                 F.col("x.doc_id").alias("drop_id"),
             )
         )
-        if committed:
-            committed_bands = committed_bands_df(spark, out_dir, committed)
+        if _has_state(out_dir):
+            committed_bands = committed_bands_df(spark, out_dir)
             cand = cand.unionByName(
                 eb.join(
                     committed_bands.select(
@@ -181,7 +182,7 @@ def minhash_dedup_sink(
                     ["band", "bh"],
                 ).select("keep_id", F.col("doc_id").alias("drop_id"))
             )
-            committed_words = committed_docs_df(spark, out_dir, committed).select(
+            committed_words = committed_docs_df(spark, out_dir).select(
                 F.col("doc_id").alias("keep_id"),
                 F.array_distinct(words_col()).alias("wa"),
             )
@@ -202,97 +203,133 @@ def minhash_dedup_sink(
 
 
 # ---------------- manifest (single atomic commit point) ----------------
+#
+# Two DISJOINT id namespaces, because they have different owners:
+#   * stream_epochs — foreachBatch batch ids, assigned by Structured
+#     Streaming; the sink's replay guard consults ONLY this list.
+#   * generations   — compaction outputs, assigned by compact_state,
+#     stored in dirs named ``gen=<n>``. They can NEVER collide with a
+#     future batch id (the former single-list design set the compacted
+#     id to max(epoch)+1 — exactly the stream's next batch id — so the
+#     replay guard silently dropped that real batch's data).
+# Readers see the union of both; the skip check sees only the first.
 
 _MANIFEST = "_committed_epochs.json"
 
 
-def _committed_epochs(out_dir: str) -> list[int]:
+def _read_manifest(out_dir: str) -> dict:
     path = os.path.join(out_dir, _MANIFEST)
     if not os.path.exists(path):
-        return []
+        return {"stream_epochs": [], "generations": []}
     import json
 
     with open(path) as f:
-        return [int(e) for e in json.load(f)]
+        m = json.load(f)
+    if isinstance(m, list):  # legacy v1 single-list manifest
+        return {"stream_epochs": [int(e) for e in m], "generations": []}
+    return {
+        "stream_epochs": [int(e) for e in m.get("stream_epochs", [])],
+        "generations": [int(g) for g in m.get("generations", [])],
+    }
 
 
-def _commit_epoch(out_dir: str, epoch_id: int) -> None:
-    """Append ``epoch_id`` to the manifest via temp-write + rename —
-    one atomic op makes the epoch's docs AND bands visible together."""
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    """Temp-write + ``os.replace`` — the single atomic commit point."""
     import json
 
     os.makedirs(out_dir, exist_ok=True)
-    epochs = sorted(set(_committed_epochs(out_dir)) | {int(epoch_id)})
     path = os.path.join(out_dir, _MANIFEST)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(epochs, f)
+        json.dump(manifest, f)
     os.replace(tmp, path)
+
+
+def _committed_epochs(out_dir: str) -> list[int]:
+    """Stream-committed batch ids ONLY (the replay-skip namespace)."""
+    return _read_manifest(out_dir)["stream_epochs"]
+
+
+def _commit_epoch(out_dir: str, epoch_id: int) -> None:
+    m = _read_manifest(out_dir)
+    m["stream_epochs"] = sorted(set(m["stream_epochs"]) | {int(epoch_id)})
+    _write_manifest(out_dir, m)
+
+
+def _state_dirs(out_dir: str, tbl: str, manifest: dict | None = None) -> list[str]:
+    m = _read_manifest(out_dir) if manifest is None else manifest
+    return [
+        os.path.join(out_dir, tbl, f"gen={g}") for g in m["generations"]
+    ] + [os.path.join(out_dir, tbl, f"epoch={e}") for e in m["stream_epochs"]]
+
+
+def _has_state(out_dir: str) -> bool:
+    m = _read_manifest(out_dir)
+    return bool(m["stream_epochs"] or m["generations"])
 
 
 def compact_state(spark: SparkSession, out_dir: str) -> int:
-    """Fold all committed epoch dirs into ONE epoch — the operational
-    half of the sink's "state is compactable" contract. At 100 TB the
-    bands index accretes one small parquet dir per micro-batch
-    (thousands per day at tip cadence); probe cost follows file count,
-    so periodic compaction is what keeps the band equi-join cheap.
+    """Fold all committed state (epoch dirs + prior generations) into
+    ONE generation — the operational half of the sink's "state is
+    compactable" contract. At 100 TB the bands index accretes one small
+    parquet dir per micro-batch (thousands per day at tip cadence);
+    probe cost follows file count, so periodic compaction is what keeps
+    the band equi-join cheap.
+
+    Generations live in their own id namespace (``gen=<n>`` dirs,
+    ``generations`` manifest key) so a compacted id can never equal a
+    future foreachBatch batch id — the replay guard keeps consulting
+    only ``stream_epochs`` and real future batches are never skipped.
 
     Same atomicity argument as the sink itself: the merged docs and
-    bands land in a FRESH epoch dir (id = max committed + 1 — never
-    reused, so no collision with the sink's skip-by-epoch logic), then
-    one manifest rename swaps visibility from the old epoch list to
-    the single new one. A crash before the rename leaves the old state
-    fully intact (the half-written merge dirs are manifest-invisible);
-    after it, readers see only the compacted generation. Old epoch
-    dirs are GC'd last — a crash mid-GC leaves orphans no reader can
-    see, cleaned by the next compaction. Returns the new epoch id."""
-    epochs = _committed_epochs(out_dir)
-    if len(epochs) <= 1:
-        return epochs[0] if epochs else -1
-    gen = max(epochs) + 1
-    docs = committed_docs_df(spark, out_dir, epochs)
-    bands = committed_bands_df(spark, out_dir, epochs)
-    docs.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "docs", f"epoch={gen}")
-    )
-    bands.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "bands", f"epoch={gen}")
-    )
-    # the single atomic visibility swap
-    import json
+    bands land in a fresh ``gen=<n>`` dir, then one manifest rename
+    swaps visibility from the old state list to the single new
+    generation. A crash before the rename leaves the old state fully
+    intact (the half-written merge dirs are manifest-invisible); after
+    it, readers see only the compacted generation. Old dirs are GC'd
+    last — a crash mid-GC leaves orphans no reader can see, cleaned by
+    the next compaction.
 
-    path = os.path.join(out_dir, _MANIFEST)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump([gen], f)
-    os.replace(tmp, path)
-    # GC old generations (invisible already; best-effort)
+    MUST NOT run concurrently with an in-flight micro-batch: the
+    manifest swap GCs dirs a running batch's lazy plan may still read.
+    Run it from the stream's own driver between triggers (e.g. in a
+    ``StreamingQueryListener`` or a paused window) — the same
+    single-writer rule the sink itself documents. Returns the new
+    generation id (or the current sole generation / -1 if nothing to
+    do)."""
+    m = _read_manifest(out_dir)
+    if not m["stream_epochs"] and len(m["generations"]) <= 1:
+        return m["generations"][0] if m["generations"] else -1
+    gen = (max(m["generations"]) + 1) if m["generations"] else 0
+    old_dirs = [
+        (tbl, d) for tbl in ("docs", "bands") for d in _state_dirs(out_dir, tbl, m)
+    ]
+    committed_docs_df(spark, out_dir).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "docs", f"gen={gen}")
+    )
+    committed_bands_df(spark, out_dir).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "bands", f"gen={gen}")
+    )
+    # the single atomic visibility swap — stream_epochs resets empty;
+    # the ids stay burned from the stream's side via its checkpoint
+    # (Structured Streaming never reissues a batch id it has committed,
+    # and an uncommitted replay re-delivers with data we'd reprocess
+    # idempotently against the compacted state).
+    _write_manifest(out_dir, {"stream_epochs": [], "generations": [gen]})
+    # GC old dirs (invisible already; best-effort)
     import shutil
 
-    for e in epochs:
-        for tbl in ("docs", "bands"):
-            shutil.rmtree(
-                os.path.join(out_dir, tbl, f"epoch={e}"), ignore_errors=True
-            )
+    for _tbl, d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
     return gen
 
 
-def committed_docs_df(
-    spark: SparkSession, out_dir: str, epochs: list[int] | None = None
-) -> DataFrame:
-    """The surviving corpus — committed epochs only (torn epoch dirs
+def committed_docs_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The surviving corpus — manifest-visible state only (torn dirs
     from a crash before the manifest rename are invisible here)."""
-    eps = _committed_epochs(out_dir) if epochs is None else epochs
-    return spark.read.parquet(
-        *[os.path.join(out_dir, "docs", f"epoch={e}") for e in eps]
-    )
+    return spark.read.parquet(*_state_dirs(out_dir, "docs"))
 
 
-def committed_bands_df(
-    spark: SparkSession, out_dir: str, epochs: list[int] | None = None
-) -> DataFrame:
+def committed_bands_df(spark: SparkSession, out_dir: str) -> DataFrame:
     """The committed banded-MinHash index (same visibility rule)."""
-    eps = _committed_epochs(out_dir) if epochs is None else epochs
-    return spark.read.parquet(
-        *[os.path.join(out_dir, "bands", f"epoch={e}") for e in eps]
-    )
+    return spark.read.parquet(*_state_dirs(out_dir, "bands"))

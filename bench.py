@@ -65,6 +65,9 @@ HEADLINE = [
     "range_join_pairs",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_quality",
@@ -346,12 +349,7 @@ def main() -> None:
         except ValueError:
             pass
 
-    out = {
-        "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "queries": timings,  # per-query MEDIAN of n steady-state runs
-        "queries_stats": stats,
+    lifecycle_metrics = {
         "sf": sf,
         "blocks_per_sec_utxo_graph": blocks_per_sec,
         "blocks_per_sec_lifecycle": lifecycle_bps,
@@ -367,7 +365,30 @@ def main() -> None:
         "depth3_retention": round(depth3_bps / depth1_bps, 3) if depth1_bps else 0.0,
         "n_blocks": n_blocks,
     }
-    print(json.dumps(out))
+    # The driver records only the LAST 2000 chars of stdout and parses
+    # them as JSON only when the whole line fits (BENCH_r1/r2 parsed;
+    # r3-r6 lost the first ~20 headline queries to truncation). So the
+    # stdout line is deliberately COMPACT — 3-digit medians, no spaces,
+    # no per-query stats — and the full {median,min,n} record goes to
+    # bench_full.json beside the repo for history/regression triage.
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {n: round(v, 3) for n, v in timings.items()},
+        **lifecycle_metrics,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1950:  # keep the whole line inside the 2000-char tail
+        out["queries"] = {n: round(v, 2) for n, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    full = dict(out)
+    full["queries_stats"] = stats
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(line)
     spark.stop()
 
 

@@ -498,7 +498,12 @@ def test_streaming_minhash_state_compaction_atomic(spark, tmp_path):
     ) == before_docs
 
     gen = compact_state(spark, out)
-    assert _committed_epochs(out) == [gen]
+    # generations live in a namespace disjoint from stream batch ids:
+    # the replay-skip list is now EMPTY, so no future batch id can
+    # collide with the compacted generation's id
+    assert _committed_epochs(out) == []
+    assert gen == 0
+    assert os.path.isdir(os.path.join(out, "docs", f"gen={gen}"))
     assert sorted(
         (r.doc_id, r.text) for r in committed_docs_df(spark, out).collect()
     ) == before_docs
@@ -509,8 +514,19 @@ def test_streaming_minhash_state_compaction_atomic(spark, tmp_path):
     # old epoch dirs GC'd
     assert not os.path.isdir(os.path.join(out, "docs", "epoch=0"))
 
-    # the sink continues on compacted state: dup of doc 3 still drops
+    # REGRESSION (data-loss bug): the next real micro-batch carries the
+    # CONSECUTIVE batch id (2 == old max epoch + 1, which the former
+    # single-namespace design burned as the compacted id, silently
+    # dropping this batch). It must be processed, and the near-dup
+    # probe against compacted state must still work: dup of doc 3 drops.
     sink(mk([(9, "golf hotel india juliet kilo"),
-             (10, "completely novel content here")]), 5)
+             (10, "completely novel content here")]), 2)
+    docs_now = {r.doc_id for r in committed_docs_df(spark, out).collect()}
+    assert docs_now == {1, 2, 3, 10}, docs_now
+    assert _committed_epochs(out) == [2]
+
+    # a second compaction folds gen=0 + epoch=2 into gen=1
+    gen2 = compact_state(spark, out)
+    assert gen2 == 1 and _committed_epochs(out) == []
     docs_now = {r.doc_id for r in committed_docs_df(spark, out).collect()}
     assert docs_now == {1, 2, 3, 10}, docs_now
