@@ -66,6 +66,7 @@ from argus_spark.datapipe.dedup import (
     norm,
 )
 from argus_spark.session import load
+from argus_spark.datapipe.scoped_cache import scoped_cache
 
 log = logging.getLogger(__name__)
 
@@ -149,11 +150,12 @@ def kmeans_codebook(
     # summary re-scan the same corpus projection — at bench SFs the
     # repeated widen+decode dominated wall time, and at cluster scale
     # you'd persist the feature matrix for exactly the same reason.
-    # Session-lifetime cache (downstream lineage still references it,
-    # so it cannot be unpersisted here).
-    e = load(spark, sf_dir, "embeddings", widen=True).select(
+    # Scoped cache (downstream lineage still references it, so it
+    # cannot be unpersisted here; the registry wrapper releases it when
+    # the next query constructs — scoped_cache.py).
+    e = scoped_cache(load(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", _as_double("embedding").alias("v")
-    ).cache()
+    ))
     if k is None:
         k = derived_k(e.count())  # control-plane: one count job
     seed_rows = e.orderBy("vec_id").limit(k).collect()  # control-plane: k rows
@@ -344,7 +346,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BOTH sides of the in-cell self-join plus the final keep scan —
     # without the cache Catalyst recomputes it per branch (measured
     # ~11% of wall at sf0.1; the share grows with k).
-    a = _assign(e, centroids).withColumn("nrm", norm(F.col("v"))).cache()
+    a = scoped_cache(_assign(e, centroids).withColumn("nrm", norm(F.col("v"))))
     lhs = a.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
         F.col("cluster_id").alias("cell"), F.col("sqdist").alias("da"),

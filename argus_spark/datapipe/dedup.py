@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from argus_spark.datapipe.hashing import h64, h64_sql, words_col, words_sql
+from argus_spark.datapipe.scoped_cache import scoped_cache
 from argus_spark.session import load
 
 # --------------------------------------------------------------------------
@@ -309,8 +310,9 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same candidate-frame materialization as dedup_ngram_jaccard:
         # skinny (doc, bench) pairs cached before verify — measured
         # 2.8s → 0.9s at sf0.1 (the fused plan recomputed the band
-        # subtree per verify branch)
-        .cache()
+        # subtree per verify branch); scoped: released when the next
+        # registered query constructs (scoped_cache.py)
+        .transform(scoped_cache)
     )
     words = d.select("doc_id", F.array_distinct(words_col()).alias("w"))
     wc = words.filter(~is_bench).select("doc_id", F.col("w").alias("wc"))
@@ -446,9 +448,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cached: the signature frame is tiny (one long per doc) but its
     # computation — 32 per-bit vote folds over the word-hash array —
     # is the expensive pass, and BOTH sides of the chunk self-join
-    # (plus the hamming verify) reference it. Session-lifetime cache,
-    # same pattern as the candidate frames above.
-    d = _simhash_df(load(spark, sf_dir, "documents", widen=True)).cache()
+    # (plus the hamming verify) reference it. Scoped cache, same
+    # pattern as the candidate frames above.
+    d = scoped_cache(_simhash_df(load(spark, sf_dir, "documents", widen=True)))
     chunks = F.array(
         *[
             F.struct(
@@ -598,10 +600,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and whose broadcast/condition placement pessimizes the
         # intersect stage; from a materialized candidate frame the
         # verify is two broadcast joins + map-side intersects (~2s).
-        # Same session-lifetime-cache tradeoff as dedup_semantic's
+        # Same scoped-cache tradeoff as dedup_semantic's
         # assignment frame; at 100 TB this is the standard PPJoin
         # candidate materialization (pairs ≪ corpus).
-        .cache()
+        .transform(scoped_cache)
     )
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
@@ -1011,8 +1013,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # candidate-frame materialization (see dedup_ngram_jaccard):
         # the hyperplane band projections otherwise recompute per
-        # verify branch — measured 2.9s → 1.9s at sf0.1
-        .cache()
+        # verify branch — measured 2.9s → 1.9s at sf0.1; scoped cache
+        .transform(scoped_cache)
     )
     va = e.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")

@@ -150,6 +150,11 @@ def main() -> None:
             "min": round(runs[0], 4),
             "n": N_RUNS,
         }
+    # release the last query's scoped caches (each query construction
+    # already flushed its predecessor's — scoped_cache.py contract)
+    from argus_spark.datapipe.scoped_cache import flush_scoped
+
+    flush_scoped()
 
     # blocks/s through the canonical UTxO lifecycle graph (batch mode):
     # how many distinct slots (= blocks, FIXTURES §5) the §2.C pipeline

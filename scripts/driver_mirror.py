@@ -100,30 +100,16 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
 
-    # Pre-flight schema lint over EVERY registered query (cheap: plans
-    # are lazy, only analysis runs): any top-level container-typed
-    # output column is driver-incompatible regardless of values, so
-    # fail it here — before a full round burns on it.
+    # Schema lint runs INLINE, on the main loop's single construction
+    # of each query: any top-level container-typed output column is
+    # driver-incompatible regardless of values, so the query fails on
+    # the lint without executing. (A separate pre-flight pass was not
+    # cheap — some constructions run driver-side jobs eagerly
+    # (heavy_hitter_tokens: corpus count + freqItems; dedup_semantic:
+    # count + seed collect + Lloyd) and the second construction also
+    # flushed the first's scoped caches, recomputing the materialized
+    # candidate frames the r6 perf work exists to avoid.)
     from pyspark.sql import types as ST
-
-    lint_bad = {}
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        try:
-            bad_cols = [
-                f"{fld.name}:{fld.dataType.simpleString()}"
-                for fld in fn(spark, sf_dir).schema.fields
-                if isinstance(
-                    fld.dataType, (ST.ArrayType, ST.MapType, ST.StructType)
-                )
-            ]
-            if bad_cols:
-                lint_bad[name] = bad_cols
-        except Exception:
-            pass  # the main loop reports build errors with full context
-    if lint_bad:
-        print(json.dumps({"schema_lint": lint_bad}), flush=True)
 
     results = {}
     t_total = time.time()
@@ -132,17 +118,24 @@ def main():
             continue
         rec = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_s": None, "oracle_s": None, "err": None}
-        if name in lint_bad:
-            rec["err"] = (
-                "driver-incompatible output schema (top-level container "
-                f"column): {lint_bad[name]}"
-            )
-            results[name] = rec
-            print(json.dumps({"q": name, "ok": False, **rec}), flush=True)
-            continue
         try:
             t0 = time.time()
             sdf = fn(spark, sf_dir)
+            bad_cols = [
+                f"{fld.name}:{fld.dataType.simpleString()}"
+                for fld in sdf.schema.fields
+                if isinstance(
+                    fld.dataType, (ST.ArrayType, ST.MapType, ST.StructType)
+                )
+            ]
+            if bad_cols:
+                rec["err"] = (
+                    "driver-incompatible output schema (top-level "
+                    f"container column): {bad_cols}"
+                )
+                results[name] = rec
+                print(json.dumps({"q": name, "ok": False, **rec}), flush=True)
+                continue
             sp_pdf = sdf.toPandas()
             rec["spark_s"] = round(time.time() - t0, 2)
             sql = oracles.get(name)

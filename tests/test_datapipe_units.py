@@ -959,3 +959,37 @@ class TestSimhashBruteForceReference:
             set(got) ^ set(expect),
             {k: (got.get(k), expect.get(k)) for k in set(got) ^ set(expect)},
         )
+
+
+def test_scoped_cache_released_between_registry_queries(spark):
+    """Registry-level cache hygiene (r6 verdict): constructing a
+    registered query releases the previous query's scoped caches, so a
+    long harness session pins at most one query's frames; an explicit
+    flush empties the cache manager entirely. Results stay correct
+    after their cache is released (unpersist only loses the cache)."""
+    import __spark_entry__ as e
+    from argus_spark.datapipe import scoped_cache as sc
+    from tests.conftest import SF_SMOKE
+
+    qs = e.queries()
+    sc.flush_scoped()
+
+    d1 = qs["dedup_simhash"](spark, SF_SMOKE)
+    n1 = d1.count()
+    assert len(sc._LIVE) == 1  # the signature frame
+    # re-constructing the SAME query keeps its cache (bench's repeat
+    # runs reuse the materialized frame) but tracks the new handle
+    qs["dedup_simhash"](spark, SF_SMOKE)
+    assert len(sc._LIVE) == 2
+    d2 = qs["decontaminate_minhash"](spark, SF_SMOKE)
+    # constructing a DIFFERENT query flushed query 1's frames
+    assert len(sc._LIVE) == 1  # only query 2's candidate frame
+    n2 = d2.count()
+    # query 1's result is still correct after its cache was released
+    assert d1.count() == n1
+    d3 = qs["dedup_semantic"](spark, SF_SMOKE)
+    assert len(sc._LIVE) == 2  # corpus projection + assignment frame
+    assert d3.count() > 0 and n2 >= 0
+    released = sc.flush_scoped()
+    assert released == 2 and not sc._LIVE
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

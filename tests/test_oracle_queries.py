@@ -73,11 +73,13 @@ def test_entry_smoke(spark):
 
 def test_no_top_level_container_output_columns(spark):
     """Driver-compat schema lint (r5-verdict item 9, CI face of the
-    mirror's pre-flight): the driver's canonicalizer hashes raw cells
+    mirror's inline lint): the driver's canonicalizer hashes raw cells
     and crashes on container-typed ones — embedding_quantize_int8 was
     red for two rounds because of exactly this. Every oracled query
-    must expose scalar-only output columns. Analysis-only (lazy
-    plans), so the sweep is cheap."""
+    must expose scalar-only output columns. Mostly analysis-only, but
+    a few constructions run real driver-side jobs eagerly
+    (heavy_hitter_tokens, dedup_semantic/kmeans) — cheap at sf0.001,
+    which is why this sweep runs at SF_SMOKE."""
     from pyspark.sql import types as ST
 
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
