@@ -77,6 +77,7 @@ _PRIORITY = [
     "explode_ordinal", "broadcast_lookup", "semi_join_exists",
     # -- tier 2: changed or new this round --------------------------------
     "heavy_hitter_tokens",
+    "streaming_minhash_replay", "streaming_first_wins_replay",
     # -- tier 3: fresh green row in round 6 -------------------------------
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",

@@ -23,7 +23,12 @@ from argus_spark.datapipe import (
 # (text/sampling/similarity/multimodal, then dedup's clusters/cosine)
 # register ahead of the already-green dedup quartet: the driver walks
 # registry order under a wall-clock budget, so untested entries go first.
-_MODULES = [textprep, clustering, quantize, dsir, text, sampling, similarity, multimodal, dedup]
+from argus_spark.streaming import replay
+
+_MODULES = [
+    textprep, clustering, quantize, dsir, text, sampling, similarity,
+    multimodal, dedup, replay,
+]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,206 @@
+"""Batch-replay harness for the streaming sinks — driver-provable
+correctness rows for the streaming twins (r6 verdict item 7).
+
+The streaming sinks (``streaming/dedup.py``) were previously
+pytest-only: their ``foreachBatch`` bodies never earned a driver
+CORRECTNESS row because the driver's harness runs (spark, sf_dir) →
+DataFrame queries, not streams. These two queries close that gap by
+running the REAL sink functions over a scripted, deterministic
+micro-batch schedule derived from the test tables, then returning the
+committed state as a DataFrame an ANSI-SQL oracle can reproduce:
+
+  * ``streaming_minhash_replay`` — the incremental MinHash near-dup
+    sink over 3 batches of ``documents`` (batch k = doc_id % 3 == k),
+    plus a REPLAYED batch (same epoch id re-delivered, the Structured
+    Streaming at-least-once contract) that must be a manifest-skip
+    no-op. Oracle: 3 chained CTE stages reproducing the sink's exact
+    dominance semantics — within a batch any smaller-doc_id banded
+    near-dup (word-set Jaccard ≥ τ) drops you; across batches only
+    committed SURVIVORS dominate (their bands are the only ones
+    appended to the probe index).
+  * ``streaming_first_wins_replay`` — the exact first-wins dedup sink
+    over 3 batches of per-user rows from ``events`` (batch k =
+    event_id % 3 == k), plus a re-delivered batch that must add
+    nothing. Oracle: min batch per user.
+
+Both are EAGER by construction (the sink invocations run during query
+construction, like ``dedup_semantic``'s Lloyd fit) and use a process-
+lifetime temp dir for sink state (cleaned at exit) so the returned
+DataFrame stays a lazy parquet read — no data-plane collect.
+
+Scale note: the replay runs the sinks' own plans, so the 100 TB
+arguments are the sinks' (banded probe against a bucketed bands table,
+key-pruned anti-join); the 3-batch schedule is the correctness frame,
+not the deployment shape.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from argus_spark.datapipe.dedup import (
+    MH_BANDS,
+    MH_P,
+    MH_R,
+    _minhash_sig_exprs_sql,
+)
+from argus_spark.datapipe.hashing import h64_sql, words_sql
+from argus_spark.session import load
+
+N_REPLAY_BATCHES = 3
+REPLAY_TAU = 0.9  # minhash_dedup_sink's default near-dup threshold
+
+
+def _state_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def streaming_minhash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the incremental MinHash near-dup sink over a scripted
+    3-batch feed of the documents table and return the surviving
+    corpus (doc_id + the batch that committed it).
+
+    The schedule: batch k carries docs with doc_id % 3 == k, in epoch
+    order 0,1,2, then batch 1 is RE-DELIVERED under its original epoch
+    id — the sink's manifest guard must skip it (at-least-once replay
+    becomes exactly-once effect). The final state is therefore pure
+    function of the corpus, which is what lets a SQL oracle verify a
+    crash-safe streaming sink."""
+    from argus_spark.streaming.dedup import (
+        committed_docs_df,
+        minhash_dedup_sink,
+    )
+
+    out = _state_dir("argus_replay_mh_")
+    sink = minhash_dedup_sink(spark, out, tau=REPLAY_TAU)
+    d = load(spark, sf_dir, "documents", widen=True).select("doc_id", "text")
+    for k in range(N_REPLAY_BATCHES):
+        sink(d.filter(F.col("doc_id") % N_REPLAY_BATCHES == k), k)
+    # at-least-once redelivery of a committed epoch: must be a no-op
+    sink(d.filter(F.col("doc_id") % N_REPLAY_BATCHES == 1), 1)
+    return committed_docs_df(spark, out).select(
+        "doc_id", (F.col("doc_id") % N_REPLAY_BATCHES).alias("batch")
+    )
+
+
+def _streaming_minhash_replay_sql() -> str:
+    """Chained-CTE oracle for the 3-batch incremental sink: stage k's
+    drops = banded candidates (in-batch smaller doc_id, or any PRIOR
+    SURVIVOR) that verify at word-set Jaccard ≥ τ; survivors
+    accumulate. Mirrors the sink's float-division verify expression
+    exactly (both engines do one IEEE divide of small ints)."""
+    m = N_REPLAY_BATCHES
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"s{b * MH_R + r}::VARCHAR" for r in range(MH_R)
+            ),
+        )
+        for b in range(MH_BANDS)
+    )
+    jac = (
+        "len(list_intersect(wa.words, wx.words))::DOUBLE / "
+        "(len(wa.words) + len(wx.words) "
+        "- len(list_intersect(wa.words, wx.words)))::DOUBLE"
+    )
+    stages = []
+    prev_surv = None
+    for k in range(m):
+        dominator = f"(a.doc_id % {m} = {k} AND a.doc_id < x.doc_id)"
+        if prev_surv is not None:
+            dominator += f" OR a.doc_id IN (SELECT doc_id FROM {prev_surv})"
+        stages.append(
+            f"""drop{k} AS (
+  SELECT DISTINCT x.doc_id
+  FROM bands a JOIN bands x ON a.band = x.band AND a.bh = x.bh
+  JOIN w wa ON wa.doc_id = a.doc_id
+  JOIN w wx ON wx.doc_id = x.doc_id
+  WHERE x.doc_id % {m} = {k}
+    AND ({dominator})
+    AND {jac} >= {REPLAY_TAU}
+)"""
+        )
+        surv_src = (
+            f"SELECT doc_id FROM w WHERE doc_id % {m} = {k} "
+            f"AND doc_id NOT IN (SELECT doc_id FROM drop{k})"
+        )
+        if prev_surv is not None:
+            surv_src += f" UNION ALL SELECT doc_id FROM {prev_surv}"
+        stages.append(f"surv{k} AS (\n  {surv_src}\n)")
+        prev_surv = f"surv{k}"
+    stage_sql = ",\n".join(stages)
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_distinct({words_sql()}) AS words FROM documents
+), base AS (
+  SELECT doc_id,
+         list_transform(words, x -> {h64_sql('x', 'mh')} % {MH_P}) AS hs
+  FROM w
+), sig AS (
+  SELECT doc_id,
+    {_minhash_sig_exprs_sql()}
+  FROM base
+), bands AS (
+{band_selects}
+),
+{stage_sql}
+SELECT doc_id, doc_id % {m} AS batch FROM {prev_surv}
+"""
+
+
+def streaming_first_wins_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the exact first-wins dedup sink over a scripted 3-batch feed
+    of per-user rows from events and return (user_id, batch) — the
+    batch in which each user's key first committed.
+
+    Batch k carries DISTINCT (user_id, k) rows for users with an event
+    whose event_id % 3 == k (one row per user per batch, so within-
+    batch dropDuplicates is deterministic); after the three epochs,
+    batch 0 is re-delivered and must append nothing (every key already
+    committed — the anti-join against the output table is the
+    idempotency mechanism, lifecycle A11 applied to dedup)."""
+    from argus_spark.streaming.dedup import first_wins_dedup_sink
+
+    out = _state_dir("argus_replay_fw_")
+    sink = first_wins_dedup_sink(spark, out, key_cols=["user_id"])
+    ev = load(spark, sf_dir, "events")
+
+    def batch(k: int) -> DataFrame:
+        return (
+            ev.filter(F.col("event_id") % N_REPLAY_BATCHES == k)
+            .select("user_id")
+            .distinct()
+            .withColumn("batch", F.lit(k).cast("long"))
+        )
+
+    for k in range(N_REPLAY_BATCHES):
+        sink(batch(k), k)
+    sink(batch(0), 0)  # redelivery: anti-join drops every row
+    return spark.read.parquet(out).select("user_id", "batch")
+
+
+STREAMING_FIRST_WINS_REPLAY_SQL = f"""
+SELECT user_id, min(event_id % {N_REPLAY_BATCHES})::BIGINT AS batch
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_minhash_replay": streaming_minhash_replay,
+    "streaming_first_wins_replay": streaming_first_wins_replay,
+}
+
+ORACLES: dict[str, str] = {
+    "streaming_minhash_replay": _streaming_minhash_replay_sql(),
+    "streaming_first_wins_replay": STREAMING_FIRST_WINS_REPLAY_SQL,
+}
