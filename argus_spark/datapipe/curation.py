@@ -1,0 +1,115 @@
+"""End-to-end corpus-curation pipeline as ONE composed Spark plan —
+the product-level composition of the registered operators (each
+individually oracle-checked): near-dup dedup → decontamination →
+DSIR domain selection → quality top-k per source → sequence packing.
+
+scripts/example_curation.py drives this with per-stage provenance
+accounting and a CI exit gate; bench.py times ``curation_packed`` as
+the ``curation_pipeline_wall`` headline metric, so the PRODUCT-level
+regression story is tracked per-round, not just per-operator (the
+composed plan can regress — e.g. a lost broadcast at a stage seam —
+while every stage benches fine in isolation).
+
+Scale shape: every stage is the registered operator's plan (banded
+candidate generation, broadcast keep/drop-lists, partial-agged
+scores); the seams are left-semi/anti joins on doc_id against frames
+that are small by construction (drop-lists ≪ corpus), so at
+deployment each seam is a broadcast join. The one deliberate demo
+shortcut — the unpartitioned ntile for DSIR quintiles — is flagged
+inline with its 100 TB replacement (approxQuantile threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def curation_stages(
+    spark: SparkSession, sf_dir: str, topk: int = 10
+) -> dict[str, DataFrame]:
+    """Build all pipeline stages lazily and return them by name:
+    ``raw`` → ``dedup`` → ``decontam`` → ``domain`` → ``quality`` →
+    ``packed``. Nothing executes here — callers pick the frames they
+    need (the example script counts every stage; bench runs only
+    ``packed``, whose lineage contains all of them)."""
+    from argus_spark.datapipe.dedup import (
+        decontaminate_minhash,
+        dedup_keep_list,
+    )
+    from argus_spark.datapipe.dsir import dsir_affinity
+    from argus_spark.datapipe.sampling import pack_sequences
+    from argus_spark.datapipe.text import (
+        decontaminate_ngram_overlap,
+        text_quality,
+    )
+    from argus_spark.session import load
+
+    d = load(spark, sf_dir, "documents", widen=True)
+    raw = d.select("doc_id", "source", "text")
+
+    # 1. near-dup dedup (MinHash/PPJoin → components → keep-list)
+    kept = dedup_keep_list(spark, sf_dir).select("doc_id")
+    s1 = raw.join(kept, "doc_id", "left_semi")
+
+    # 2. decontamination: benchmark stand-ins (doc_id % 50 == 0, the
+    #    decontaminate_ngram_overlap convention) + exact 8-gram
+    #    overlappers + fuzzy MinHash near-verbatim copies
+    contaminated = decontaminate_ngram_overlap(spark, sf_dir).select("doc_id")
+    fuzzy = decontaminate_minhash(spark, sf_dir).select("doc_id").distinct()
+    s2 = (
+        s1.filter(F.col("doc_id") % 50 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .join(fuzzy, "doc_id", "left_anti")
+    )
+
+    # 3. DSIR domain selection: keep the top 3 affinity quintiles
+    #    (60%) among survivors, deterministic via (affinity desc,
+    #    doc_id). NB the unpartitioned ntile is a single-task sort —
+    #    fine for a demo corpus; at 100 TB swap for an approxQuantile
+    #    threshold (one pass, no global sort) and filter
+    #    affinity >= cutoff.
+    affinity = dsir_affinity(spark, sf_dir).select("doc_id", "affinity")
+    sel = (
+        s2.join(affinity, "doc_id")
+        .withColumn(
+            "q",
+            F.ntile(5).over(Window.orderBy(F.desc("affinity"), F.asc("doc_id"))),
+        )
+        .filter(F.col("q") <= 3)
+        .select("doc_id")
+    )
+    s2b = s2.join(sel, "doc_id", "left_semi")
+
+    # 4. quality top-k per source, ranked WITHIN survivors
+    scores = text_quality(spark, sf_dir, keep=("source",)).select(
+        "doc_id", "quality_score"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    s3 = (
+        s2b.join(scores, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("doc_id", "source", "text")
+    )
+
+    # 5. pack the survivors into training shards
+    packed = pack_sequences(spark, sf_dir, docs_df=s3)
+
+    return {
+        "raw": raw,
+        "dedup": s1,
+        "decontam": s2,
+        "domain": s2b,
+        "quality": s3,
+        "packed": packed,
+    }
+
+
+def curation_packed(
+    spark: SparkSession, sf_dir: str, topk: int = 10
+) -> DataFrame:
+    """The pipeline's final frame — executing it runs every stage."""
+    return curation_stages(spark, sf_dir, topk)["packed"]

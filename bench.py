@@ -156,6 +156,24 @@ def main() -> None:
 
     flush_scoped()
 
+    # End-to-end curation pipeline (dedup → decontaminate → DSIR →
+    # quality top-k → packed shards) as ONE composed plan — the
+    # product-level number: a regression at a stage seam (e.g. a lost
+    # broadcast) shows up here even when every stage benches fine in
+    # isolation. Same warm+median-of-3 protocol; each construction is
+    # fresh so the scoped-cache flush rules match a real pipeline run.
+    from argus_spark.datapipe.curation import curation_packed
+
+    cur_runs = []
+    for i in range(N_WARM + N_RUNS):
+        t0 = time.perf_counter()
+        _run(curation_packed(spark, SF_DIR, topk=50))
+        if i >= N_WARM:
+            cur_runs.append(time.perf_counter() - t0)
+    cur_runs.sort()
+    curation_wall = round(cur_runs[len(cur_runs) // 2], 3)
+    flush_scoped()
+
     # blocks/s through the canonical UTxO lifecycle graph (batch mode):
     # how many distinct slots (= blocks, FIXTURES §5) the §2.C pipeline
     # processes per wall-second.
@@ -356,6 +374,7 @@ def main() -> None:
 
     lifecycle_metrics = {
         "sf": sf,
+        "curation_pipeline_wall": curation_wall,
         "blocks_per_sec_utxo_graph": blocks_per_sec,
         "blocks_per_sec_lifecycle": lifecycle_bps,
         "blocks_per_sec_lifecycle_batch500": lifecycle_bps_500,

@@ -1,7 +1,9 @@
 """Runnable end-to-end corpus-curation pipeline — the datapipe twin of
 scripts/example_indexer.py: the individual registered operators
 composed the way a training-data team actually runs them, with
-per-stage provenance accounting and a CI exit gate.
+per-stage provenance accounting and a CI exit gate. The composition
+itself lives in argus_spark/datapipe/curation.py (shared with bench.py,
+which times the final packed frame as ``curation_pipeline_wall``).
 
 Stages (each one is a registered, oracle-checked operator — this
 script only composes their keep-sets):
@@ -46,26 +48,15 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     topk = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from argus_spark.datapipe.dedup import (
-        decontaminate_minhash,
-        dedup_keep_list,
-    )
-    from argus_spark.datapipe.dsir import dsir_affinity
+    from argus_spark.datapipe.curation import curation_stages
     from argus_spark.datapipe.hashing import words_col
-    from argus_spark.datapipe.sampling import pack_sequences
-    from argus_spark.datapipe.text import (
-        decontaminate_ngram_overlap,
-        text_quality,
-    )
-    from argus_spark.session import get_spark, load
+    from argus_spark.session import get_spark
 
     spark = get_spark("argus_example_curation")
 
-    d = load(spark, sf_dir, "documents", widen=True)
-    corpus = d.select("doc_id", "source", "text")
+    stages = curation_stages(spark, sf_dir, topk)
 
     def stage_stats(df, name):
         n = df.count()
@@ -74,63 +65,14 @@ def main() -> int:
         return n
 
     print(f"curation over {sf_dir} (top-{topk}/source):")
-    n0 = stage_stats(corpus, "raw corpus")
-
-    # 1. near-dup dedup
-    kept = dedup_keep_list(spark, sf_dir).select("doc_id")
-    s1 = corpus.join(kept, "doc_id", "left_semi")
-    n1 = stage_stats(s1, "after near-dup dedup")
-
-    # 2. decontamination: benchmark stand-ins + 8-gram overlappers +
-    #    fuzzy MinHash near-verbatim copies
-    contaminated = decontaminate_ngram_overlap(spark, sf_dir).select("doc_id")
-    fuzzy = decontaminate_minhash(spark, sf_dir).select("doc_id").distinct()
-    s2 = (
-        s1.filter(F.col("doc_id") % 50 != 0)
-        .join(contaminated, "doc_id", "left_anti")
-        .join(fuzzy, "doc_id", "left_anti")
-    )
-    n2 = stage_stats(s2, "after decontamination")
-
-    # 2b. DSIR domain selection: rank SURVIVORS by target affinity and
-    #     keep the top 3 quintiles (60%) — the importance-resampling
-    #     keep-rate knob, deterministic via (affinity desc, doc_id).
-    #     NB the unpartitioned ntile is a single-task sort — fine for a
-    #     demo corpus; at 100 TB swap for an approxQuantile threshold
-    #     (one pass, no global sort) and filter affinity >= cutoff.
-    affinity = dsir_affinity(spark, sf_dir).select("doc_id", "affinity")
-    sel = (
-        s2.join(affinity, "doc_id")
-        .withColumn(
-            "q",
-            F.ntile(5).over(
-                Window.orderBy(F.desc("affinity"), F.asc("doc_id"))
-            ),
-        )
-        .filter(F.col("q") <= 3)
-        .select("doc_id")
-    )
-    s2b = s2.join(sel, "doc_id", "left_semi")
-    n2b = stage_stats(s2b, "after domain selection")
-    s2 = s2b
-
-    # 3. quality curation within survivors
-    scores = text_quality(spark, sf_dir, keep=("source",)).select(
-        "doc_id", "quality_score"
-    )
-    w = Window.partitionBy("source").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
-    )
-    s3 = (
-        s2.join(scores, "doc_id")
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= topk)
-        .select("doc_id", "source", "text")
-    )
+    n0 = stage_stats(stages["raw"], "raw corpus")
+    n1 = stage_stats(stages["dedup"], "after near-dup dedup")
+    n2 = stage_stats(stages["decontam"], "after decontamination")
+    n2b = stage_stats(stages["domain"], "after domain selection")
+    s3 = stages["quality"]
     n3 = stage_stats(s3, "after quality top-k")
 
-    # 4. pack the survivors into training shards
-    packed = pack_sequences(spark, sf_dir, docs_df=s3)
+    packed = stages["packed"]
     pk = packed.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_tokens").alias("toks"),
