@@ -56,8 +56,10 @@ def _modules():
 # Round-7 rotation: tier 1 = the 44 queries whose latest row is r5
 # (r6's tier 3 minus text_quality/agg_min_max which made r6's window);
 # tier 2 = heavy_hitter_tokens (integer-rational threshold rewrite on
-# both engine and oracle sides this round) + the new streaming-replay
-# queries; tier 3 = the 47 unchanged r6 greens.
+# both engine and oracle sides this round), the new streaming-replay
+# queries, and curation_pipeline (new: the end-to-end composed corpus
+# pipeline with a composed oracle); tier 3 = the 47 unchanged r6
+# greens.
 _PRIORITY = [
     # -- tier 1: latest fresh driver row is round 5 -----------------------
     "avg_by_key", "min_safe_intersection",
@@ -78,6 +80,7 @@ _PRIORITY = [
     # -- tier 2: changed or new this round --------------------------------
     "heavy_hitter_tokens",
     "streaming_minhash_replay", "streaming_first_wins_replay",
+    "curation_pipeline",
     # -- tier 3: fresh green row in round 6 -------------------------------
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",

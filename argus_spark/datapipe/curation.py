@@ -113,3 +113,91 @@ def curation_packed(
 ) -> DataFrame:
     """The pipeline's final frame — executing it runs every stage."""
     return curation_stages(spark, sf_dir, topk)["packed"]
+
+
+# --------------------------------------------------------------------------
+# Registered query + composed oracle
+# --------------------------------------------------------------------------
+#
+# The whole pipeline is ALSO a registered, oracle-checked query: the
+# DuckDB twin composes the stage oracles (each independently green)
+# with the same seam semantics — semi/anti joins on doc_id, ntile
+# quintile cut, per-source row_number top-k — and re-uses the packing
+# oracle's fragments over the survivor set. One hash-match here proves
+# every stage AND every seam end-to-end, the strongest single
+# correctness signal the driver can record for the datapipe surface.
+
+CURATION_TOPK = 10
+
+
+def _curation_sql(topk: int = CURATION_TOPK) -> str:
+    from argus_spark.datapipe.dedup import (
+        DECONTAMINATE_MINHASH_SQL,
+        DEDUP_KEEP_LIST_SQL,
+    )
+    from argus_spark.datapipe.dsir import DSIR_AFFINITY_SQL
+    from argus_spark.datapipe.hashing import h64_sql, words_sql
+    from argus_spark.datapipe.sampling import N_SHARDS, SEQ_CAPACITY
+    from argus_spark.datapipe.text import DECONTAMINATE_SQL, TEXT_QUALITY_SQL
+
+    return f"""
+WITH keep AS ({DEDUP_KEEP_LIST_SQL}),
+contaminated AS ({DECONTAMINATE_SQL}),
+fuzzy AS (SELECT DISTINCT doc_id FROM ({DECONTAMINATE_MINHASH_SQL})),
+aff AS ({DSIR_AFFINITY_SQL}),
+qual AS ({TEXT_QUALITY_SQL}),
+s2 AS (
+  SELECT d.doc_id, d.source
+  FROM documents d
+  JOIN keep USING (doc_id)
+  WHERE d.doc_id % 50 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND d.doc_id NOT IN (SELECT doc_id FROM fuzzy)
+),
+sel AS (
+  SELECT doc_id FROM (
+    SELECT s2.doc_id,
+           ntile(5) OVER (ORDER BY aff.affinity DESC, s2.doc_id) AS q
+    FROM s2 JOIN aff USING (doc_id)
+  ) WHERE q <= 3
+),
+s3 AS (
+  SELECT doc_id FROM (
+    SELECT s2.doc_id,
+           row_number() OVER (PARTITION BY s2.source
+                              ORDER BY qual.quality_score DESC,
+                                       s2.doc_id) AS rnk
+    FROM s2 JOIN sel USING (doc_id) JOIN qual USING (doc_id)
+  ) WHERE rnk <= {topk}
+),
+base AS (
+  SELECT doc_id,
+         len({words_sql()})::BIGINT AS n_tokens,
+         {h64_sql("doc_id::VARCHAR", "pack")} AS h
+  FROM documents JOIN s3 USING (doc_id)
+),
+pospack AS (
+  SELECT doc_id, h % {N_SHARDS} AS shard, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY h % {N_SHARDS}
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS pos
+  FROM base
+)
+SELECT doc_id, shard, n_tokens, pos,
+       pos // {SEQ_CAPACITY} AS seq_id,
+       pos % {SEQ_CAPACITY} AS offset
+FROM pospack
+"""
+
+
+QUERIES = {
+    "curation_pipeline": lambda spark, sf_dir: curation_packed(
+        spark, sf_dir, topk=CURATION_TOPK
+    ),
+}
+
+ORACLES = {
+    "curation_pipeline": _curation_sql(),
+}

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from argus_spark.datapipe import (
     clustering,
+    curation,
     quantize,
     dedup,
     dsir,
@@ -27,7 +28,7 @@ from argus_spark.streaming import replay
 
 _MODULES = [
     textprep, clustering, quantize, dsir, text, sampling, similarity,
-    multimodal, dedup, replay,
+    multimodal, dedup, replay, curation,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
