@@ -57,9 +57,10 @@ def _modules():
 # (r6's tier 3 minus text_quality/agg_min_max which made r6's window);
 # tier 2 = heavy_hitter_tokens (integer-rational threshold rewrite on
 # both engine and oracle sides this round), the new streaming-replay
-# queries, and curation_pipeline (new: the end-to-end composed corpus
-# pipeline with a composed oracle); tier 3 = the 47 unchanged r6
-# greens.
+# queries, curation_pipeline (new: the end-to-end composed corpus
+# pipeline with a composed oracle), and dedup_simhash (signature
+# widened 32→48 bits after the BENCH_SCALE precision finding); tier 3
+# = the unchanged r6 greens.
 _PRIORITY = [
     # -- tier 1: latest fresh driver row is round 5 -----------------------
     "avg_by_key", "min_safe_intersection",
@@ -80,7 +81,7 @@ _PRIORITY = [
     # -- tier 2: changed or new this round --------------------------------
     "heavy_hitter_tokens",
     "streaming_minhash_replay", "streaming_first_wins_replay",
-    "curation_pipeline",
+    "curation_pipeline", "dedup_simhash",
     # -- tier 3: fresh green row in round 6 -------------------------------
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
@@ -88,7 +89,7 @@ _PRIORITY = [
     "topk_serving", "set_intersect", "set_except", "running_sum_frame",
     "rollup_counts", "pivot_status", "hex_canonical", "prefix_display",
     "string_funcs", "stable_hash", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "approx_distinct_users",
+    "dedup_minhash_lsh", "approx_distinct_users",
     "dedup_embedding_cosine", "dedup_clusters", "chunk_documents",
     "ngram_counts", "text_diversity", "approx_quantiles_value",
     "dedup_exact_substring", "curate_quality_topk", "ann_lsh_multiprobe",

@@ -340,7 +340,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, no iteration. Oracle: the same chained-CTE Lloyd fit (with k
     derived by the same √n rule inside the SQL) + in-cell dominance
     anti-join, bit-exact.
-    """
+
+    Scaling, measured (BENCH_SCALE.md, r7, 2k→20k vectors): wall
+    exponent ≈ 0.4-0.5 over the fitted window — comfortably inside
+    the O(n^1.5) in-cell pair bound the √n cell rule guarantees (the
+    k·DIM assignment folds and the n²/k pair work both grow ~n^1.5;
+    fixed per-job cost still amortizing at these sizes keeps the fit
+    low)."""
     e, centroids, _ = kmeans_codebook(spark, sf_dir, k=None, iters=SEM_ITERS)
     # Cached: the assignment (k×DIM interpreted folds per row) feeds
     # BOTH sides of the in-cell self-join plus the final keep scan —

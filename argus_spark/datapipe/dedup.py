@@ -141,7 +141,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     CollapseProject does not inline it because the HOF is non-cheap, so
     md5 runs once). Candidates come from one explode + self-equi-join
     on (band, band_hash): the canonical distributed LSH shape.
-    P(candidate) = 1-(1-J^4)^3 ≈ .79 @ J=0.8."""
+    P(candidate) = 1-(1-J^4)^3 ≈ .79 @ J=0.8.
+
+    Scaling, measured (BENCH_SCALE.md, r7, 5k→50k docs): wall
+    exponent ≈ 0.3-0.5 at output exponent 1.06 — signature+band cost
+    is per-doc, the equi-join tracks true collisions."""
     d = load(spark, sf_dir, "documents", widen=True)
     sig = _minhash_sig_df(d)
     e = _minhash_bands_df(sig)
@@ -290,7 +294,10 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Banding recall at J=0.8 is 1-(1-0.8⁴)³ ≈ 0.79 per the family's
     documented contract; the oracle mirrors the same bands so the
     result is bit-exact, and the candidate cut is the whole point at
-    100 TB — no corpus×benchmark all-pairs anywhere."""
+    100 TB — no corpus×benchmark all-pairs anywhere. Scaling, measured
+    (BENCH_SCALE.md, r7, 5k→50k docs): wall exponent ≈ 0.1-0.3 —
+    nearly flat; the probe tracks the benchmark slice, not the
+    corpus."""
     d = load(spark, sf_dir, "documents", widen=True)
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bands = _minhash_bands_df(_minhash_sig_df(d))
@@ -385,9 +392,26 @@ DECONTAMINATE_MINHASH_SQL = _decontaminate_minhash_sql()
 # SimHash (32-bit) + chunk-banded Hamming join
 # --------------------------------------------------------------------------
 
-SH_BITS = 32
-SH_CHUNKS = 4  # 4 × 8-bit chunks; Hamming ≤ t with t < chunks ⇒ some chunk equal
-SH_HAMMING = 6
+# 48-bit signature, 4 × 12-bit chunks (widened from 32/4×8 by the r7
+# scale run, BENCH_SCALE.md: at 32 bits the random-pair acceptance
+# floor P(H ≤ 6) ≈ 2.7e-4 made the OUTPUT grow at measured exponent
+# 1.89 — near-quadratic on any corpus, an algorithmic precision
+# ceiling, not a plan defect. At 48/τ=9 the floor is P(H ≤ 9 of 48)
+# ≈ 6.6e-6 (~40x lower) and chunk buckets go 256 → 4096 (16x fewer
+# random band candidates). 48 not 64: every engine-neutral integer
+# idiom here (p*2 in the bit test, the MSB-first acc*2+b fold) stays
+# comfortably inside signed-64 range — DuckDB ERRORS on BIGINT
+# overflow, so 64-bit signatures would need a different encoding on
+# the oracle side. The full 100 TB evolution is Manku-style
+# block-permuted multi-table probing (WWW'07) — same verify, candidate
+# tables keyed on rotations — which this chunk layout is the 1-table
+# special case of. Post-widening measurement (same BENCH_SCALE run,
+# 5k→50k docs): output exponent 1.89 → 1.14 (x10 output 258,214 →
+# 14,485 pairs — the random-collision mass gone), wall flat (~0.9s).
+SH_BITS = 48
+SH_CHUNK_BITS = 12
+SH_CHUNKS = 4  # Hamming ≤ t with t < chunks ⇒ some chunk equal (t ≤ 3 exact)
+SH_HAMMING = 9
 _POW2 = [1 << j for j in range(SH_BITS)]
 
 
@@ -406,8 +430,8 @@ def _simhash_df(d: DataFrame) -> DataFrame:
 
 
 def _simhash_col(hs: F.Column) -> F.Column:
-    """32-bit SimHash over a precomputed word-hash array column, pure
-    integer arithmetic.
+    """SH_BITS-bit SimHash over a precomputed word-hash array column,
+    pure integer arithmetic.
 
     bit_j = sign of Σ_words (±1 by bit j of h64(word)); bit test uses
     ``h % 2p >= p`` (no shift-by-column needed — engine-neutral)."""
@@ -441,21 +465,27 @@ def _simhash_sql_expr() -> str:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: join on any equal 8-bit chunk (pigeonhole
-    guarantees recall for Hamming ≤ 3 over 4 chunks; we accept ≤ 6 so
-    the band join is a recall-biased candidate filter, like production
-    SimHash dedup), verify with exact ``bit_count(xor)``."""
+    """SimHash near-dup pairs: join on any equal SH_CHUNK_BITS-bit
+    chunk (pigeonhole guarantees recall for Hamming ≤ 3 over 4 chunks;
+    we accept ≤ SH_HAMMING so the band join is a recall-biased
+    candidate filter, like production SimHash dedup), verify with
+    exact ``bit_count(xor)``. Signature width / chunk width are sized
+    by the measured scale run — see the SH_BITS comment above."""
     # Cached: the signature frame is tiny (one long per doc) but its
-    # computation — 32 per-bit vote folds over the word-hash array —
-    # is the expensive pass, and BOTH sides of the chunk self-join
-    # (plus the hamming verify) reference it. Scoped cache, same
-    # pattern as the candidate frames above.
+    # computation — SH_BITS per-bit vote folds over the word-hash
+    # array — is the expensive pass, and BOTH sides of the chunk
+    # self-join (plus the hamming verify) reference it. Scoped cache,
+    # same pattern as the candidate frames above.
     d = scoped_cache(_simhash_df(load(spark, sf_dir, "documents", widen=True)))
+    cb = SH_CHUNK_BITS
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("c"),
-                ((F.col("simhash") % F.lit(1 << (8 * c + 8))) / F.lit(1 << (8 * c)))
+                (
+                    (F.col("simhash") % F.lit(1 << (cb * (c + 1))))
+                    / F.lit(1 << (cb * c))
+                )
                 .cast("long")
                 .alias("chunk"),
             )
@@ -482,9 +512,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
+    cb = SH_CHUNK_BITS
     chunk_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, simhash, {c} AS c, "
-        f"(simhash % {1 << (8 * c + 8)}) // {1 << (8 * c)} AS chunk FROM sh"
+        f"(simhash % {1 << (cb * (c + 1))}) // {1 << (cb * c)} AS chunk FROM sh"
         for c in range(SH_CHUNKS)
     )
     return f"""
@@ -546,7 +577,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffles: token df agg, df join, per-doc window, prefix self-join
     (bounded fanout), pair verify joins — all equi-keyed, AQE-safe. A
-    plan/row-count bound lives in tests (candidates ≪ uncut join)."""
+    plan/row-count bound lives in tests (candidates ≪ uncut join).
+
+    Scaling, measured (BENCH_SCALE.md, r7, linear-true-pair family,
+    5k→50k docs): wall exponent ≈ 1.2-1.4 across clean runs at output
+    exponent 1.01 — the mild super-linearity is the global df agg +
+    per-doc sort, not the pair stage."""
     d = load(spark, sf_dir, "documents", widen=True).select(
         "doc_id", F.array_distinct(words_col()).alias("words")
     )
@@ -782,7 +818,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``connected_components`` (→ 53s), and the candidate-frame
     materialization in ``dedup_ngram_jaccard`` (→ ~13s); the
     min-label-pruned recursive-CTE oracle is sf0.01-only by design
-    (the harness SF)."""
+    (the harness SF).
+
+    Scaling, measured (BENCH_SCALE.md, r7, 5k→50k docs, Θ(n) true
+    pairs): wall exponent ≈ 0.95 — pair generation + contraction +
+    pointer-jumping all track the edge count, which is linear in the
+    realistic regime."""
     edges = dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -984,7 +1025,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionable, AQE-skew-splittable, no BroadcastNestedLoop (plan-
     gated in test_plan_quality). The verify stage re-joins the slim
     candidate pairs back to the vector table by id, so wide arrays
-    never ride through the candidate shuffle."""
+    never ride through the candidate shuffle.
+
+    Scaling, measured (BENCH_SCALE.md, r7, 2k→20k isotropic 64-d
+    vectors): wall exponent ≈ 1.1-1.3 while the TRUE pair count grows
+    at 1.81 (at τ=0.4 isotropic random pairs clear the threshold with
+    p ≈ 5e-4, so the answer itself is near-quadratic in that family)
+    — wall grows strictly slower than output, i.e. the banding holds;
+    on corpora with linear pair density wall tracks n."""
     e = load(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", _as_double("embedding").alias("v")
     )
@@ -1086,7 +1134,11 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's pair fan-out at MAXDF² — boilerplate (headers, licenses)
     is exactly what it drops, the standard practice for this operator.
     Exactness: within the df-cut the result is exact (md5 collisions
-    aside) — windows in ≤ ES_MAXDF docs lose nothing."""
+    aside) — windows in ≤ ES_MAXDF docs lose nothing.
+
+    Scaling, measured (BENCH_SCALE.md, r7, 5k→50k docs): wall growth
+    sub-linear across clean runs (fit −0.6..0.8 — the 1-5s absolute
+    walls sit inside fixed per-job cost) at output exponent 1.03."""
     from argus_spark.datapipe.text import _gram_hashes
 
     d = load(spark, sf_dir, "documents", widen=True)

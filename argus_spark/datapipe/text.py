@@ -423,7 +423,9 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs no positional rule and both engines agree exactly. Map-only:
     shingle hashing, window minima, and per-doc distinct all happen
     inside one projection — zero shuffles at any scale; output is the
-    exploded (doc_id, fp) fingerprint index."""
+    exploded (doc_id, fp) fingerprint index. Scaling, measured
+    (BENCH_SCALE.md, r7, 5k→50k docs): wall exponent ≈ 0.6-0.7 at
+    output exponent 1.0 — the map-only control row for the run."""
     d = load(spark, sf_dir, "documents", widen=True).select(
         "doc_id", words_col().alias("ws")
     )

@@ -91,12 +91,19 @@ def main() -> None:
     def _run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    from argus_spark.datapipe.scoped_cache import flush_scoped
+
     results: dict[str, dict] = {}
     for op in ops:
         fn = qs[op]
         per_m: dict[int, dict] = {}
         for m in mults:
             d = dirs[m]
+            # the entry-point wrapper flushes scoped caches only on a
+            # query-NAME change; successive scale points of the same
+            # query would otherwise pile one cached candidate frame per
+            # point — flush explicitly so each point is self-contained
+            flush_scoped()
             for _ in range(2):  # 2 warms — one leaves JIT-inflated runs
                 _run(fn(spark, d))  # in the timed window (bench.py finding)
             walls = []

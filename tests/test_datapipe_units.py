@@ -905,14 +905,16 @@ class TestSimhashBruteForceReference:
     def test_pairs_match_independent_python_simhash(self, spark):
         """Independent Python re-implementation of the whole SimHash
         chain (md5-based h64, ±1 bit votes over the word MULTISET,
-        MSB-first fold, 8-bit chunk banding, Hamming <= 6 verify) must
-        reproduce the operator's pair set exactly on the fixture —
-        the same engine-independence proof the oracle gives, but
-        against a third implementation with no shared code."""
+        MSB-first fold, SH_CHUNK_BITS-wide chunk banding, Hamming <=
+        SH_HAMMING verify) must reproduce the operator's pair set
+        exactly on the fixture — the same engine-independence proof
+        the oracle gives, but against a third implementation with no
+        shared code."""
         import hashlib
 
         from argus_spark.datapipe.dedup import (
             SH_BITS,
+            SH_CHUNK_BITS,
             SH_CHUNKS,
             SH_HAMMING,
             dedup_simhash,
@@ -942,8 +944,10 @@ class TestSimhashBruteForceReference:
         for i, a in enumerate(ids):
             for b in ids[i + 1:]:
                 sa, sb = sigs[a], sigs[b]
+                mask = (1 << SH_CHUNK_BITS) - 1
                 if not any(
-                    (sa >> (8 * c)) & 0xFF == (sb >> (8 * c)) & 0xFF
+                    (sa >> (SH_CHUNK_BITS * c)) & mask
+                    == (sb >> (SH_CHUNK_BITS * c)) & mask
                     for c in range(SH_CHUNKS)
                 ):
                     continue
