@@ -160,8 +160,18 @@ def main() -> None:
     # quality top-k → packed shards) as ONE composed plan — the
     # product-level number: a regression at a stage seam (e.g. a lost
     # broadcast) shows up here even when every stage benches fine in
-    # isolation. Same warm+median-of-3 protocol; each construction is
-    # fresh so the scoped-cache flush rules match a real pipeline run.
+    # isolation. Same warm+median-of-3 protocol, but each repeat is
+    # made SELF-CONTAINED with a scoped-cache flush + gc between runs:
+    # reusing the plan-keyed caches across repeats of this composed
+    # plan (many sub-caches + the CC localCheckpoints) measured
+    # unstable — mostly ~12s but sporadically 85-350s at sf0.1, the
+    # cached-relation reuse racing ContextCleaner cleanup of the prior
+    # construction's broadcasts — while flushed repeats hold a steady
+    # ~15s and leave no accumulated state to distort the lifecycle
+    # metrics that follow. The timed number is therefore the cost of a
+    # fresh pipeline run — the driver-style cost a user actually pays.
+    import gc as _gc
+
     from argus_spark.datapipe.curation import curation_packed
 
     cur_runs = []
@@ -170,9 +180,10 @@ def main() -> None:
         _run(curation_packed(spark, SF_DIR, topk=50))
         if i >= N_WARM:
             cur_runs.append(time.perf_counter() - t0)
+        flush_scoped()
+        _gc.collect()
     cur_runs.sort()
     curation_wall = round(cur_runs[len(cur_runs) // 2], 3)
-    flush_scoped()
 
     # blocks/s through the canonical UTxO lifecycle graph (batch mode):
     # how many distinct slots (= blocks, FIXTURES §5) the §2.C pipeline
