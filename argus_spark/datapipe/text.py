@@ -308,6 +308,85 @@ WHERE doc_id % {BENCH_STRIDE} <> 0
 GROUP BY doc_id
 """
 
+
+# Containment threshold as an integer rational (n_shared/n_bench ≥ 1/2)
+# — the repo convention: thresholds compare in integers on both engine
+# and oracle sides, never through a float literal.
+CONTAIN_NUM, CONTAIN_DEN = 1, 2
+
+
+def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak SEVERITY scoring, the asymmetric complement of the two
+    decontamination audits above: for each (corpus doc, benchmark doc)
+    pair, the CONTAINMENT of the benchmark in the doc —
+    |grams(bench) ∩ grams(doc)| / |grams(bench)| over verbatim
+    8-grams — kept where ≥ 1/2. This is the measure that catches a
+    SHORT eval item quoted inside a LONG training document: such a
+    pair's Jaccard is tiny (length mismatch), so symmetric near-dup
+    dedup and MinHash banding (which approximates Jaccard) both miss
+    it, while nearly all of the benchmark's 8-grams appearing verbatim
+    is exactly what "the eval leaked" means.
+
+    100 TB shape: the benchmark gram index and its per-doc sizes are
+    eval-suite-small → broadcast both; the corpus side is one scan →
+    gram explode → broadcast equi-join → partial-agged (doc, bench)
+    counts. No corpus×corpus work anywhere; output rows ≤ corpus hits
+    against the suite."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_gram_hashes(words_col(), DECON_N, "decon"))
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % BENCH_STRIDE == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    n_bench = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    hits = (
+        grams.filter(F.col("doc_id") % BENCH_STRIDE != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        # grams are distinct per doc on both sides → count = |∩|
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(F.broadcast(n_bench), "bench_id")
+        .filter(
+            F.col("n_shared") * F.lit(CONTAIN_DEN)
+            >= F.col("n_bench") * F.lit(CONTAIN_NUM)
+        )
+        .select(
+            "doc_id", "bench_id", "n_shared", "n_bench",
+            (
+                F.col("n_shared").cast("double")
+                / F.col("n_bench").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+DECONTAMINATE_CONTAINMENT_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {words_sql()} AS ws FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest({_grams_sql(DECON_N, 'decon')}) AS g FROM w
+), bench AS (
+  SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % {BENCH_STRIDE} = 0
+), nb AS (
+  SELECT bench_id, count(*)::BIGINT AS n_bench FROM bench GROUP BY bench_id
+), hits AS (
+  SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS n_shared
+  FROM grams c JOIN bench b USING (g)
+  WHERE c.doc_id % {BENCH_STRIDE} <> 0
+  GROUP BY c.doc_id, b.bench_id
+)
+SELECT h.doc_id, h.bench_id, h.n_shared, nb.n_bench,
+       h.n_shared::DOUBLE / nb.n_bench::DOUBLE AS containment
+FROM hits h JOIN nb USING (bench_id)
+WHERE h.n_shared * {CONTAIN_DEN} >= nb.n_bench * {CONTAIN_NUM}
+"""
+
 REP_N = 3  # repetition shingle size
 REP_TAU = 0.2
 
@@ -475,6 +554,58 @@ SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
 """
 
 
+WP_MAXDF = 16      # fingerprint document-frequency cut (boilerplate)
+WP_MIN_SHARED = 2  # pairs must share at least this many fingerprints
+
+
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detection half of the winnowing story (MOSS, SIGMOD'03):
+    ``winnow_fingerprints`` builds the index; this reports doc PAIRS
+    sharing ≥ WP_MIN_SHARED selected fingerprints — the plagiarism /
+    near-copy candidates a winnowing system actually surfaces.
+
+    Same scale discipline as ``dedup_exact_substring``: fingerprints
+    appearing in > WP_MAXDF docs are boilerplate and are cut BEFORE
+    the self-join (the df agg is partial-agged, the cut bounds any
+    fingerprint's pair fan-out at WP_MAXDF²); the pair join is equi on
+    the fingerprint with both sides hash-partitioned by it, and the
+    final (doc_a, doc_b) count is partial-agged. Within the df-cut
+    the result is exact."""
+    fps = winnow_fingerprints(spark, sf_dir)  # (doc_id, fp), distinct/doc
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WP_MAXDF)
+        .select("fp")
+    )
+    pruned = fps.join(keep, "fp")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WP_MIN_SHARED)
+    )
+
+
+WINNOW_OVERLAP_PAIRS_SQL = f"""
+WITH base AS ({WINNOW_FINGERPRINTS_SQL}),
+keep AS (
+  SELECT fp FROM base GROUP BY fp HAVING count(*) <= {WP_MAXDF}
+), pruned AS (
+  SELECT doc_id, fp FROM base JOIN keep USING (fp)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WP_MIN_SHARED}
+"""
+
+
 def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card rollup: per-source doc count, token mass, and mean
     composite quality — the summary table a curation run publishes
@@ -576,6 +707,8 @@ HAVING count(*) * 1000 > 5 * (SELECT count(*) FROM t)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "winnow_fingerprints": winnow_fingerprints,
+    "winnow_overlap_pairs": winnow_overlap_pairs,
+    "decontaminate_containment": decontaminate_containment,
     "corpus_stats_by_source": corpus_stats_by_source,
     "text_normalize": text_normalize,
     "text_quality": text_quality,
@@ -589,6 +722,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "heavy_hitter_tokens": HEAVY_HITTER_TOKENS_SQL,
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
+    "winnow_overlap_pairs": WINNOW_OVERLAP_PAIRS_SQL,
+    "decontaminate_containment": DECONTAMINATE_CONTAINMENT_SQL,
     "corpus_stats_by_source": CORPUS_STATS_BY_SOURCE_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "text_quality": TEXT_QUALITY_SQL,

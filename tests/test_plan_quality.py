@@ -341,3 +341,22 @@ def test_multimodal_payload_dedup_partial_agg_single_shuffle(spark):
     plan = formatted_plan(multimodal_payload_dedup(spark, SF_SMOKE))
     assert has_partial_aggregation(plan), plan
     assert n_shuffle_exchanges(plan) == 1, plan
+
+
+def test_curation_pipeline_no_cartesian_no_nlj(spark):
+    """curation_pipeline: the end-to-end composed plan (keep-list →
+    decontamination → DSIR quintiles → quality top-k → packing) must
+    keep every stage seam an equi/semi/anti hash join — a lost
+    broadcast or a join that degrades to a nested loop at a seam is
+    invisible to the per-stage gates, which is why the composition
+    gets its own. Exactly ONE BroadcastNestedLoopJoin is expected and
+    allowed: dsir_affinity's scalar-totals crossJoin, whose build side
+    is a one-row aggregate (a broadcast of two counters, not a data
+    join); anything beyond it means a seam degraded."""
+    from argus_spark.datapipe.curation import curation_packed
+
+    plan = formatted_plan(curation_packed(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    # tree line + detail section ⇒ each physical BNLJ prints twice
+    n_bnlj = plan.count("BroadcastNestedLoopJoin") // 2
+    assert n_bnlj <= 1, plan
