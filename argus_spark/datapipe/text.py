@@ -387,6 +387,68 @@ FROM hits h JOIN nb USING (bench_id)
 WHERE h.n_shared * {CONTAIN_DEN} >= nb.n_bench * {CONTAIN_NUM}
 """
 
+NOV_N = 5  # novelty shingle width
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc NOVELTY against the corpus in doc_id order: the
+    fraction of a doc's distinct ``NOV_N``-grams whose FIRST corpus
+    occurrence (min doc_id) is this doc. A curation signal with two
+    standard uses: low-novelty docs late in a crawl are near-copies /
+    boilerplate even when no single pair crosses a dedup threshold
+    (cumulative, not pairwise), and the corpus-level novelty curve is
+    the diminishing-returns diagnostic for "is more of this source
+    still adding new text".
+
+    100 TB shape: one gram explode → one partial-agged min(doc_id) per
+    gram (the inverted-index shuffle, uniform md5 keys) → equi-join
+    back → per-doc partial-agged rollup. Two shuffles total, both on
+    well-spread keys; no pairwise work anywhere — novelty is linear in
+    corpus size where pairwise dedup is not."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_gram_hashes(words_col(), NOV_N, "nov"))
+        ).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {words_sql()} AS ws FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest({_grams_sql(NOV_N, 'nov')}) AS g FROM w
+), first AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         ::DOUBLE / count(*)::DOUBLE AS novelty
+FROM grams JOIN first USING (g)
+GROUP BY doc_id
+"""
+
 REP_N = 3  # repetition shingle size
 REP_TAU = 0.2
 
@@ -709,6 +771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "decontaminate_containment": decontaminate_containment,
+    "ngram_novelty": ngram_novelty,
     "corpus_stats_by_source": corpus_stats_by_source,
     "text_normalize": text_normalize,
     "text_quality": text_quality,
@@ -724,6 +787,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "winnow_overlap_pairs": WINNOW_OVERLAP_PAIRS_SQL,
     "decontaminate_containment": DECONTAMINATE_CONTAINMENT_SQL,
+    "ngram_novelty": NGRAM_NOVELTY_SQL,
     "corpus_stats_by_source": CORPUS_STATS_BY_SOURCE_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "text_quality": TEXT_QUALITY_SQL,
