@@ -332,12 +332,18 @@ def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram explode → broadcast equi-join → partial-agged (doc, bench)
     counts. No corpus×corpus work anywhere; output rows ≤ corpus hits
     against the suite."""
+    from argus_spark.datapipe.scoped_cache import scoped_cache
+
     d = load(spark, sf_dir, "documents", widen=True)
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(_gram_hashes(words_col(), DECON_N, "decon"))
-        ).alias("g"),
+    # Scoped-cached: the gram explode feeds the benchmark slice (twice:
+    # sizes + probe index) and the corpus probe side.
+    grams = scoped_cache(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_gram_hashes(words_col(), DECON_N, "decon"))
+            ).alias("g"),
+        )
     )
     bench = grams.filter(F.col("doc_id") % BENCH_STRIDE == 0).select(
         F.col("doc_id").alias("bench_id"), "g"
@@ -405,12 +411,19 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     back → per-doc partial-agged rollup. Two shuffles total, both on
     well-spread keys; no pairwise work anywhere — novelty is linear in
     corpus size where pairwise dedup is not."""
+    from argus_spark.datapipe.scoped_cache import scoped_cache
+
     d = load(spark, sf_dir, "documents", widen=True)
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(_gram_hashes(words_col(), NOV_N, "nov"))
-        ).alias("g"),
+    # Scoped-cached: the exploded gram frame feeds both the
+    # first-occurrence agg and the join-back — cache or the md5
+    # shingle pass runs twice.
+    grams = scoped_cache(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_gram_hashes(words_col(), NOV_N, "nov"))
+            ).alias("g"),
+        )
     )
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -633,7 +646,13 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint with both sides hash-partitioned by it, and the
     final (doc_a, doc_b) count is partial-agged. Within the df-cut
     the result is exact."""
-    fps = winnow_fingerprints(spark, sf_dir)  # (doc_id, fp), distinct/doc
+    # Scoped-cached: the fingerprint frame's computation (the winnow
+    # HOF pass) feeds THREE plan branches (df-cut + both join sides) —
+    # without the cache Catalyst recomputes it per branch (the r6
+    # candidate-materialization root cause).
+    from argus_spark.datapipe.scoped_cache import scoped_cache
+
+    fps = scoped_cache(winnow_fingerprints(spark, sf_dir))
     keep = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

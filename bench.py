@@ -91,6 +91,9 @@ HEADLINE = [
     "winnow_fingerprints",
     "multimodal_payload_dedup",
     "corpus_stats_by_source",
+    "winnow_overlap_pairs",
+    "decontaminate_containment",
+    "ngram_novelty",
 ]
 
 
