@@ -83,7 +83,7 @@ _PRIORITY = [
     "streaming_minhash_replay", "streaming_first_wins_replay",
     "curation_pipeline", "dedup_simhash",
     "winnow_overlap_pairs", "decontaminate_containment",
-    "ngram_novelty",
+    "ngram_novelty", "streaming_watermark_dedup_replay",
     # -- tier 3: fresh green row in round 6 -------------------------------
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",

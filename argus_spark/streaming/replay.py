@@ -195,12 +195,133 @@ FROM events GROUP BY user_id
 """
 
 
+def streaming_watermark_dedup_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive Spark's OWN bounded-state streaming dedup
+    (``dedup_within_watermark`` → ``dropDuplicatesWithinWatermark``)
+    through a REAL stream — readStream file source, event-time
+    watermark, 4 deterministic micro-batches under
+    ``Trigger.AvailableNow`` + ``maxFilesPerTrigger=1`` — and return
+    the committed survivors. Unlike the two sink replays above (which
+    call foreachBatch bodies directly), this exercises the full
+    Structured Streaming path: source listing order, per-batch
+    watermark advance, operator state, and late-data filtering.
+
+    Schedule (delay = 10 min): batches 0/1/2 carry one row per user
+    with an event whose event_id % 3 == k, at event times base+0/5/10
+    minutes — every duplicate arrives WITHIN the delay, so the
+    contract is exactly first-occurrence-wins. Batch 3 carries one
+    LATE sentinel row 10 minutes below the watermark (after batch 2
+    the watermark is base+0), which the engine must drop — the
+    documented late-data rule, checked by the sentinel's absence from
+    the oracle result. Determinism notes, both load-bearing: feed
+    files get strictly increasing mtimes (``os.utime``) because the
+    file source orders by timestamp and same-ms files measured
+    arriving in listing order, i.e. nondeterministically; and the
+    schedule deliberately never depends on STATE EVICTION timing —
+    probing showed the state sweep lags the watermark by one batch
+    (a re-occurrence after nominal expiry is still deduplicated), an
+    internal the oracle must not encode.
+
+    Scale: state is one (key, expiry) entry per live key, bounded by
+    the watermark horizon — the built-in bounded-lookback tool the
+    module docstring contrasts with the unbounded sink designs."""
+    import json as _json
+    import time as _time
+
+    out = _state_dir("argus_replay_wm_")
+    feed = os.path.join(out, "feed")
+    res_dir = os.path.join(out, "res")
+    os.makedirs(feed, exist_ok=True)
+    ev = load(spark, sf_dir, "events")
+    now = _time.time()
+    for k in range(N_REPLAY_BATCHES):
+        users = [
+            r["user_id"]
+            for r in ev.filter(
+                F.col("event_id") % N_REPLAY_BATCHES == k
+            )
+            .select("user_id")
+            .distinct()
+            .collect()
+        ]
+        rows = [
+            _json.dumps(
+                {
+                    "user_id": u,
+                    "ts": f"2024-01-01 00:{5 * k:02d}:00",
+                    "batch": k,
+                }
+            )
+            for u in sorted(users)
+        ]
+        _write_feed(feed, k, rows, now + 10 * k)
+    # batch 3: one late sentinel below the watermark (base+0 after
+    # batch 2's base+10min max) — must be dropped by the engine
+    _write_feed(
+        feed,
+        N_REPLAY_BATCHES,
+        [
+            _json.dumps(
+                {
+                    "user_id": "u_late_sentinel",
+                    "ts": "2023-12-31 23:50:00",
+                    "batch": N_REPLAY_BATCHES,
+                }
+            )
+        ],
+        now + 10 * N_REPLAY_BATCHES,
+    )
+    from argus_spark.streaming.dedup import dedup_within_watermark
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, batch long")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+    dd = dedup_within_watermark(stream, ["user_id"], "ts", "10 minutes")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(res_dir)
+
+    q = (
+        dd.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(out, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(res_dir).select("user_id", "ts", "batch")
+
+
+def _write_feed(feed: str, seq: int, rows: list[str], mtime: float) -> None:
+    p = os.path.join(feed, f"{seq:05d}.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(rows))
+    os.replace(tmp, p)
+    os.utime(p, (mtime, mtime))
+
+
+STREAMING_WATERMARK_DEDUP_REPLAY_SQL = f"""
+SELECT user_id,
+       (TIMESTAMP '2024-01-01 00:00:00'
+        + to_minutes(5 * min(event_id % {N_REPLAY_BATCHES})))::TIMESTAMP
+         AS ts,
+       min(event_id % {N_REPLAY_BATCHES})::BIGINT AS batch
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_minhash_replay": streaming_minhash_replay,
     "streaming_first_wins_replay": streaming_first_wins_replay,
+    "streaming_watermark_dedup_replay": streaming_watermark_dedup_replay,
 }
 
 ORACLES: dict[str, str] = {
     "streaming_minhash_replay": _streaming_minhash_replay_sql(),
     "streaming_first_wins_replay": STREAMING_FIRST_WINS_REPLAY_SQL,
+    "streaming_watermark_dedup_replay": STREAMING_WATERMARK_DEDUP_REPLAY_SQL,
 }
