@@ -76,19 +76,22 @@ _PRIORITY = [
     "pii_redact", "dedup_keep_list", "funnel_conversion",
     "sample_quality_deciles", "watched_balances",
     "balances_after_rollback", "tx_flatten", "utxo_state", "utxo_spent",
-    "utxo_unspent", "checkpoint_window", "filter_project",
+    "utxo_unspent",
     # -- tier 2: changed or new this round --------------------------------
     "heavy_hitter_tokens",
     "streaming_minhash_replay", "streaming_first_wins_replay",
     "curation_pipeline", "dedup_simhash",
     "winnow_overlap_pairs", "decontaminate_containment",
     "ngram_novelty", "streaming_watermark_dedup_replay",
-    # -- tier 3: fresh green row in round 6, PLUS three r5-vintage ---------
-    # relational entries (explode_ordinal, broadcast_lookup,
-    # semi_join_exists) deferred past the cap: 44 stale + 9 new/changed
-    # exceeds the 50-window by 3, new-query coverage outranks refresh of
-    # stable single-join ops, and these three lead tier 1 next round.
+    "dataset_mixture_temperature", "pack_efficiency_stats",
+    # -- tier 3: fresh green row in round 6, PLUS five r5-vintage ----------
+    # relational/utxo entries (explode_ordinal, broadcast_lookup,
+    # semi_join_exists, checkpoint_window, filter_project) deferred
+    # past the cap: 44 stale + 11 new/changed exceeds the 50-window,
+    # new-query coverage outranks refresh of stable ops, and these
+    # five lead tier 1 next round.
     "explode_ordinal", "broadcast_lookup", "semi_join_exists",
+    "checkpoint_window", "filter_project",
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
     "dedup_keep_first", "duplicate_detect", "latest_per_key",

@@ -353,18 +353,159 @@ WHERE {h64_sql("doc_id::VARCHAR", "qdec")} % 1000 < {rates}[decile]
 SAMPLE_QUALITY_DECILES_SQL = _qdec_sql()
 
 
+# Temperature sampling: quotas ∝ n_s^(1/2) (α = 0.5 — the standard
+# multilingual-corpus rebalancing knob: tail sources are upsampled
+# relative to their share, head sources downsampled). Budget separate
+# from MIX_BUDGET so the two mixture ops stay independently tunable.
+TEMP_BUDGET = 300
+TEMP_SCALE = 1_000_000  # fixed-point for sqrt(n): floor(sqrt·1e6)
+
+
+def dataset_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling over ALL sources: source s
+    gets quota_s = ⌊budget · s_fp / Σ s_fp⌋ docs where s_fp =
+    ⌊√n_s · 1e6⌋ — the α=0.5 temperature curve, in FIXED-POINT so the
+    cross-source sum is an integer sum (order-free; a float Σ√n would
+    depend on summation order and drift between engines; √ itself is
+    correctly-rounded IEEE in both, so the scaled floor agrees
+    bit-for-bit). Selection within a source is the same deterministic
+    bottom-k-by-hash reservoir as ``dataset_mixture``.
+
+    100 TB shape: per-source counts are a tiny partial-agged aggregate;
+    the fixed-point temperature arithmetic happens on that ~|sources|-
+    row frame driver-free; quotas broadcast back; WindowGroupLimit
+    prunes the per-source ranking map-side so the shuffle carries
+    ≈ quota rows per source."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .withColumn(
+            "s_fp",
+            F.floor(F.sqrt(F.col("n_src").cast("double")) * F.lit(float(TEMP_SCALE)))
+            .cast("long"),
+        )
+    )
+    tot = counts.agg(F.sum("s_fp").alias("tot_fp"))
+    quotas = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "quota",
+            # integer `div`, not float `/`+cast: at fixed-point
+            # magnitudes a correctly-rounded double quotient can land
+            # on the far side of an integer from the true rational
+            F.least(
+                F.col("n_src"),
+                F.expr(f"({TEMP_BUDGET} * s_fp) div tot_fp"),
+            ),
+        )
+        .select("source", "n_src", "quota")
+    )
+    ranked = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(quotas), "source")
+        .withColumn("h", h64(F.col("doc_id").cast("string"), "temp"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= F.col("quota")).select(
+        "doc_id", "source", "quota", "rk"
+    )
+
+
+DATASET_MIXTURE_TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT source, count(*)::BIGINT AS n_src,
+         CAST(floor(sqrt(count(*)::DOUBLE) * {float(TEMP_SCALE)!r}) AS BIGINT)
+           AS s_fp
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(s_fp) AS BIGINT) AS tot_fp FROM counts
+), quotas AS (
+  SELECT source, n_src,
+         least(n_src, ({TEMP_BUDGET} * s_fp) // tot_fp) AS quota
+  FROM counts CROSS JOIN tot
+), ranked AS (
+  SELECT d.doc_id, d.source, q.quota,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY {h64_sql("d.doc_id::VARCHAR", "temp")}, d.doc_id
+         ) AS rk
+  FROM documents d JOIN quotas q USING (source)
+)
+SELECT doc_id, source, quota, rk FROM ranked WHERE rk <= quota
+"""
+
+
+def pack_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency rollup over the ``pack_sequences`` layout:
+    per shard, the docs placed, token mass, sequences touched
+    (⌊(max(pos + n_tokens) − 1) / capacity⌋ + 1), and utilization =
+    tokens / (sequences · capacity) — the padding-waste diagnostic a
+    packing run publishes (utilization near 1 ⇒ the layout wastes
+    little sequence capacity on tail padding).
+
+    One |shards|-key partial-agged aggregate over the packing frame —
+    the packing plan's own shuffle already delivered shard
+    partitioning, so this rollup adds one tiny exchange."""
+    p = pack_sequences(spark, sf_dir)
+    return (
+        p.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.floor(
+                    (F.max(F.col("pos") + F.col("n_tokens")) - F.lit(1))
+                    / F.lit(SEQ_CAPACITY)
+                )
+                + F.lit(1)
+            ).cast("long").alias("n_seqs"),
+        )
+        .select(
+            "shard", "n_docs", "total_tokens", "n_seqs",
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_seqs") * F.lit(SEQ_CAPACITY)).cast("double")
+            ).alias("utilization"),
+        )
+    )
+
+
+PACK_EFFICIENCY_STATS_SQL = f"""
+WITH packed AS ({PACK_SEQUENCES_SQL}),
+agg AS (
+  SELECT shard, count(*)::BIGINT AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         ((max(pos + n_tokens) - 1) // {SEQ_CAPACITY} + 1)::BIGINT AS n_seqs
+  FROM packed GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens, n_seqs,
+       total_tokens::DOUBLE / (n_seqs * {SEQ_CAPACITY})::DOUBLE AS utilization
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": sample_stratified,
     "dataset_mixture": dataset_mixture,
+    "dataset_mixture_temperature": dataset_mixture_temperature,
     "tfidf_top_terms": tfidf_top_terms,
     "sample_quality_deciles": sample_quality_deciles,
     "pack_sequences": pack_sequences,
+    "pack_efficiency_stats": pack_efficiency_stats,
 }
 
 ORACLES: dict[str, str] = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "dataset_mixture": DATASET_MIXTURE_SQL,
+    "dataset_mixture_temperature": DATASET_MIXTURE_TEMPERATURE_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "sample_quality_deciles": SAMPLE_QUALITY_DECILES_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "pack_efficiency_stats": PACK_EFFICIENCY_STATS_SQL,
 }
