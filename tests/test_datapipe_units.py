@@ -997,3 +997,90 @@ def test_scoped_cache_released_between_registry_queries(spark):
     released = sc.flush_scoped()
     assert released == 2 and not sc._LIVE
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+class TestNewOpInvariants:
+    """Structural invariants for the r7 operators — properties the
+    oracle equality can't state on its own (they hold for ANY corpus,
+    not just the fixture)."""
+
+    def test_ngram_novelty_partitions_the_gram_universe(self, spark):
+        """Every distinct gram has exactly one first-occurrence doc, so
+        Σ n_novel over docs == |distinct grams corpus-wide|; and the
+        smallest doc_id that has grams is 100% novel by definition."""
+        import pyspark.sql.functions as F
+
+        from argus_spark.datapipe.hashing import words_col
+        from argus_spark.datapipe.text import (
+            NOV_N,
+            _gram_hashes,
+            ngram_novelty,
+        )
+        from argus_spark.session import load
+        from tests.conftest import SF_SMOKE
+
+        nov = ngram_novelty(spark, SF_SMOKE).cache()
+        rows = nov.collect()
+        # n_novel == 0 is legitimate: an exact-duplicate doc later in
+        # doc_id order re-sees every gram — precisely the signal
+        assert all(0 <= r["n_novel"] <= r["n_grams"] for r in rows)
+        assert all(0.0 <= r["novelty"] <= 1.0 for r in rows)
+        total_novel = sum(r["n_novel"] for r in rows)
+        universe = (
+            load(spark, SF_SMOKE, "documents")
+            .select(F.explode(_gram_hashes(words_col(), NOV_N, "nov")).alias("g"))
+            .agg(F.count_distinct("g"))
+            .first()[0]
+        )
+        assert total_novel == universe
+        first_doc = min(r["doc_id"] for r in rows)
+        first = next(r for r in rows if r["doc_id"] == first_doc)
+        assert first["n_novel"] == first["n_grams"]
+        nov.unpersist()
+
+    def test_pack_efficiency_conserves_tokens_and_bounds_utilization(self, spark):
+        import pyspark.sql.functions as F
+
+        from argus_spark.datapipe.hashing import words_col
+        from argus_spark.datapipe.sampling import pack_efficiency_stats
+        from argus_spark.session import load
+        from tests.conftest import SF_SMOKE
+
+        stats = pack_efficiency_stats(spark, SF_SMOKE).collect()
+        assert all(0.0 < r["utilization"] <= 1.0 for r in stats)
+        corpus_tokens = (
+            load(spark, SF_SMOKE, "documents")
+            .select(F.sum(F.size(words_col())))
+            .first()[0]
+        )
+        assert sum(r["total_tokens"] for r in stats) == corpus_tokens
+
+    def test_temperature_quotas_fill_budget_and_respect_ranks(self, spark):
+        from argus_spark.datapipe.sampling import (
+            TEMP_BUDGET,
+            dataset_mixture_temperature,
+        )
+        from tests.conftest import SF_SMOKE
+
+        rows = dataset_mixture_temperature(spark, SF_SMOKE).collect()
+        assert all(1 <= r["rk"] <= r["quota"] for r in rows)
+        # floors can undershoot the budget by at most one doc per source
+        n_sources = len({r["source"] for r in rows})
+        assert len(rows) <= TEMP_BUDGET
+        assert len(rows) >= TEMP_BUDGET - n_sources
+
+    def test_containment_bounds(self, spark):
+        from argus_spark.datapipe.text import (
+            CONTAIN_DEN,
+            CONTAIN_NUM,
+            decontaminate_containment,
+        )
+        from tests.conftest import SF_SMOKE
+
+        rows = decontaminate_containment(spark, SF_SMOKE).collect()
+        assert rows, "fixture should contain at least one containment hit"
+        tau = CONTAIN_NUM / CONTAIN_DEN
+        for r in rows:
+            assert r["doc_id"] % 50 != 0 and r["bench_id"] % 50 == 0
+            assert tau <= r["containment"] <= 1.0
+            assert r["n_shared"] <= r["n_bench"]
