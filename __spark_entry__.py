@@ -53,14 +53,19 @@ def _modules():
 # older than one round. Keys absent from this list (future operators)
 # are appended in module order after the listed ones.
 #
-# Round-7 rotation: tier 1 = the 44 queries whose latest row is r5
-# (r6's tier 3 minus text_quality/agg_min_max which made r6's window);
-# tier 2 = heavy_hitter_tokens (integer-rational threshold rewrite on
-# both engine and oracle sides this round), the new streaming-replay
-# queries, curation_pipeline (new: the end-to-end composed corpus
-# pipeline with a composed oracle), and dedup_simhash (signature
-# widened 32→48 bits after the BENCH_SCALE precision finding); tier 3
-# = the unchanged r6 greens.
+# Round-8 rotation (the round-7 driver pass never ran, so the r7
+# window was never consumed — staleness is still measured against
+# r6/r5 rows): tier 1 = the r5-vintage queries, unchanged from the r7
+# plan; tier 2 = everything with NO driver row at all — the r7-built
+# queries (streaming replays, curation_pipeline, containment /
+# winnowing / novelty, temperature mixture, pack stats) plus this
+# round's new operators (weighted_sample_bernoulli,
+# boilerplate_chunk_removal, fluency_bigram,
+# quality_classifier_hashed) and the r7-changed heavy_hitter_tokens /
+# dedup_simhash; tier 3 = the unchanged r6 greens. Four more stable
+# map-only r5 ops (text_normalize, repetition_ratio, multimodal_resize,
+# multimodal_meta) defer past the cap to make room — no-row coverage
+# outranks stale-row refresh, and they lead tier 1 next round.
 _PRIORITY = [
     # -- tier 1: latest fresh driver row is round 5 -----------------------
     "avg_by_key", "min_safe_intersection",
@@ -70,28 +75,30 @@ _PRIORITY = [
     "session_window_agg", "token_count", "sample_stratified",
     "pack_sequences", "doc_fingerprint", "lang_id_ngram",
     "dataset_mixture", "tfidf_top_terms", "ann_cosine_topk",
-    "ann_lsh_bucketed", "text_normalize", "multimodal_frame_sample",
-    "repetition_ratio", "ann_ivf_topk", "decontaminate_ngram_overlap",
-    "multimodal_resize", "multimodal_meta", "kmeans_embeddings",
+    "ann_lsh_bucketed", "multimodal_frame_sample",
+    "ann_ivf_topk", "decontaminate_ngram_overlap",
+    "kmeans_embeddings",
     "pii_redact", "dedup_keep_list", "funnel_conversion",
     "sample_quality_deciles", "watched_balances",
     "balances_after_rollback", "tx_flatten", "utxo_state", "utxo_spent",
     "utxo_unspent",
-    # -- tier 2: changed or new this round --------------------------------
+    # -- tier 2: no driver row yet, or changed since their last row -------
     "heavy_hitter_tokens",
     "streaming_minhash_replay", "streaming_first_wins_replay",
     "curation_pipeline", "dedup_simhash",
     "winnow_overlap_pairs", "decontaminate_containment",
     "ngram_novelty", "streaming_watermark_dedup_replay",
     "dataset_mixture_temperature", "pack_efficiency_stats",
-    # -- tier 3: fresh green row in round 6, PLUS five r5-vintage ----------
-    # relational/utxo entries (explode_ordinal, broadcast_lookup,
-    # semi_join_exists, checkpoint_window, filter_project) deferred
-    # past the cap: 44 stale + 11 new/changed exceeds the 50-window,
-    # new-query coverage outranks refresh of stable ops, and these
-    # five lead tier 1 next round.
+    "weighted_sample_bernoulli", "boilerplate_chunk_removal",
+    "fluency_bigram", "quality_classifier_hashed",
+    # -- tier 3: fresh green row in round 6, PLUS the deferred r5 ----------
+    # entries (explode_ordinal, broadcast_lookup, semi_join_exists,
+    # checkpoint_window, filter_project from the r7 plan, plus this
+    # round's four deferrals) leading so they top tier 1 next round.
     "explode_ordinal", "broadcast_lookup", "semi_join_exists",
     "checkpoint_window", "filter_project",
+    "text_normalize", "repetition_ratio", "multimodal_resize",
+    "multimodal_meta",
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
     "dedup_keep_first", "duplicate_detect", "latest_per_key",

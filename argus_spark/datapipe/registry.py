@@ -13,6 +13,7 @@ from argus_spark.datapipe import (
     quantize,
     dedup,
     dsir,
+    lm,
     multimodal,
     sampling,
     similarity,
@@ -27,7 +28,7 @@ from argus_spark.datapipe import (
 from argus_spark.streaming import replay
 
 _MODULES = [
-    textprep, clustering, quantize, dsir, text, sampling, similarity,
+    textprep, clustering, quantize, dsir, lm, text, sampling, similarity,
     multimodal, dedup, replay, curation,
 ]
 

@@ -490,8 +490,66 @@ FROM agg
 """
 
 
+# weighted Bernoulli sampling: expected sample size (in docs) and the
+# 60-bit uniform's modulus, shared by both engines.
+WB_TARGET = 100
+WB_MOD = 1 << 60
+
+
+def weighted_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted Bernoulli sampling: include doc i independently
+    with probability p_i = min(1, K·w_i / W) where w_i = n_chars and
+    W = Σw — the standard one-pass weighted downsample (expected-size
+    K, longer docs proportionally likelier; the length-bias partner of
+    the uniform ``sample_stratified``).
+
+    The inclusion test is EXACT INTEGER arithmetic: with u_i =
+    h64(doc_id) uniform on [0, 2⁶⁰), include iff
+    u_i · W < K · w_i · 2⁶⁰, evaluated in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) so the products never round (u·W < 2⁶⁰·W and at
+    100 TB W ≈ 10¹⁴ ⇒ ≈ 2¹⁰⁷ < 2¹²⁶). The p ≥ 1 case needs no special
+    path: u < 2⁶⁰ makes the inequality always true when K·w ≥ W.
+    Plan: one tiny total aggregate, broadcast one-row back (the house
+    crossJoin shape), then a pure map-side filter — zero data shuffles."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    tot = d.agg(F.sum("n_chars").cast("decimal(38,0)").alias("w_total"))
+    u = h64(F.col("doc_id").cast("string"), "wbern")
+    return (
+        d.crossJoin(F.broadcast(tot))  # one-row totals frame
+        .withColumn("u", u)
+        .filter(
+            F.col("u").cast("decimal(38,0)") * F.col("w_total")
+            < F.lit(WB_TARGET).cast("decimal(38,0)")
+            * F.col("n_chars").cast("decimal(38,0)")
+            * F.lit(WB_MOD).cast("decimal(38,0)")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            "u",
+            F.col("w_total").cast("long").alias("w_total"),
+        )
+    )
+
+
+WEIGHTED_SAMPLE_BERNOULLI_SQL = f"""
+WITH tot AS (
+  SELECT CAST(sum(n_chars) AS HUGEINT) AS w_total FROM documents
+)
+SELECT doc_id, source,
+       n_chars::BIGINT AS weight,
+       {h64_sql("doc_id::VARCHAR", "wbern")} AS u,
+       w_total::BIGINT AS w_total
+FROM documents CROSS JOIN tot
+WHERE ({h64_sql("doc_id::VARCHAR", "wbern")})::HUGEINT * w_total
+      < {WB_TARGET}::HUGEINT * n_chars::HUGEINT * {WB_MOD}::HUGEINT
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": sample_stratified,
+    "weighted_sample_bernoulli": weighted_sample_bernoulli,
     "dataset_mixture": dataset_mixture,
     "dataset_mixture_temperature": dataset_mixture_temperature,
     "tfidf_top_terms": tfidf_top_terms,
@@ -502,6 +560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "weighted_sample_bernoulli": WEIGHTED_SAMPLE_BERNOULLI_SQL,
     "dataset_mixture": DATASET_MIXTURE_SQL,
     "dataset_mixture_temperature": DATASET_MIXTURE_TEMPERATURE_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,

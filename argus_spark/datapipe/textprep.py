@@ -380,8 +380,110 @@ FROM c GROUP BY doc_id
 """
 
 
+# ---------------- boilerplate removal ----------------
+
+BOILER_WIDTH = 12   # tokens per non-overlapping chunk
+BOILER_MINDF = 3    # chunk is boilerplate if it appears in >= MINDF docs
+
+
+def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate removal at chunk granularity:
+    split each document into non-overlapping BOILER_WIDTH-token chunks,
+    drop every chunk whose exact text occurs in >= BOILER_MINDF distinct
+    documents (headers, footers, licence blocks), and reassemble the
+    survivors in order.
+
+    Plan: chunk expansion is map-side (transform + posexplode); the
+    document-frequency table is a map-side-PARTIAL two-level aggregate
+    (chunk_text × doc first — bounded fan-in — then chunk_text), and
+    only rows with df >= MINDF survive into the flag table, which is
+    tiny (true boilerplate is rare and repeated) and BROADCAST onto the
+    chunk stream; the rebuild is one partial-agged per-doc rollup over
+    (ordinal, text) structs. At 100 TB nothing but the df aggregate and
+    the rollup exchanges, both on uniform keys. DuckDB disagreement
+    risk on reassembly order is closed by sorting the struct array by
+    ordinal on both engines."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    ws = words_col()
+    n = F.size(ws)
+    n_chunks = F.ceil(n / F.lit(BOILER_WIDTH)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.array_join(
+            F.slice(ws, k * BOILER_WIDTH + 1, BOILER_WIDTH), " "
+        ),
+    )
+    ch = (
+        d.filter(n > 0)
+        .select("doc_id", F.posexplode(chunks).alias("ord", "chunk_text"))
+    )
+    boiler = (
+        ch.groupBy("chunk_text")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_MINDF)
+        .select("chunk_text", F.lit(True).alias("is_boiler"))
+    )
+    flagged = ch.join(F.broadcast(boiler), "chunk_text", "left").select(
+        "doc_id",
+        "ord",
+        "chunk_text",
+        F.coalesce(F.col("is_boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.col("is_boiler"),
+                F.struct(F.col("ord"), F.col("chunk_text")),
+            )
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.array_join(
+                F.transform(kept, lambda s: s.getField("chunk_text")), " "
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_chunks", "n_dropped", "clean_text")
+    )
+
+
+BOILERPLATE_CHUNK_REMOVAL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {words_sql()} AS ws FROM documents
+), k AS (
+  SELECT doc_id, ws, ((len(ws) + {BOILER_WIDTH} - 1) // {BOILER_WIDTH}) AS n_chunks
+  FROM t WHERE len(ws) > 0
+), ch AS (
+  SELECT doc_id, u.k AS ord,
+         array_to_string(
+           ws[u.k * {BOILER_WIDTH} + 1 : u.k * {BOILER_WIDTH} + {BOILER_WIDTH}],
+           ' ') AS chunk_text
+  FROM k, unnest(range(0, n_chunks)) AS u(k)
+), boiler AS (
+  SELECT chunk_text FROM ch GROUP BY chunk_text
+  HAVING count(DISTINCT doc_id) >= {BOILER_MINDF}
+), flagged AS (
+  SELECT ch.doc_id, ch.ord, ch.chunk_text,
+         (b.chunk_text IS NOT NULL) AS is_boiler
+  FROM ch LEFT JOIN boiler b USING (chunk_text)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(CASE WHEN NOT is_boiler THEN chunk_text END, ' '
+                           ORDER BY ord), '') AS clean_text
+FROM flagged GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": chunk_documents,
+    "boilerplate_chunk_removal": boilerplate_chunk_removal,
     "curate_quality_topk": curate_quality_topk,
     # registered entry runs the synthetic-fixture mode so the oracle's
     # regexes have real matches to check; live callers use the default
@@ -393,6 +495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "boilerplate_chunk_removal": BOILERPLATE_CHUNK_REMOVAL_SQL,
     "curate_quality_topk": CURATE_QUALITY_TOPK_SQL,
     "pii_redact": PII_REDACT_SQL,
     "ngram_counts": NGRAM_COUNTS_SQL,

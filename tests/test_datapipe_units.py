@@ -1084,3 +1084,159 @@ class TestNewOpInvariants:
             assert r["doc_id"] % 50 != 0 and r["bench_id"] % 50 == 0
             assert tau <= r["containment"] <= 1.0
             assert r["n_shared"] <= r["n_bench"]
+
+
+def _py_h64(s: str, seed: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:15], 16)
+
+
+def _py_words(text: str) -> list[str]:
+    return [w for w in text.split(" ") if w != ""]
+
+
+class TestR8OpReferenceExactness:
+    """Full independent Python recomputation of the r8 operators at
+    smoke scale — a third engine agreeing with both Spark and DuckDB."""
+
+    def _docs(self, spark):
+        from argus_spark.session import load
+        from tests.conftest import SF_SMOKE
+
+        return {
+            r["doc_id"]: r["text"]
+            for r in load(spark, SF_SMOKE, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+
+    def test_weighted_bernoulli_matches_python_reference(self, spark):
+        import pyspark.sql.functions as F
+
+        from argus_spark.datapipe.sampling import (
+            WB_MOD,
+            WB_TARGET,
+            weighted_sample_bernoulli,
+        )
+        from argus_spark.session import load
+        from tests.conftest import SF_SMOKE
+
+        corpus = {
+            r["doc_id"]: r["n_chars"]
+            for r in load(spark, SF_SMOKE, "documents", widen=True)
+            .select("doc_id", "n_chars")
+            .collect()
+        }
+        w_total = sum(corpus.values())
+        expect = {
+            doc_id
+            for doc_id, w in corpus.items()
+            if _py_h64(str(doc_id), "wbern") * w_total < WB_TARGET * w * WB_MOD
+        }
+        got = {
+            r["doc_id"]: r
+            for r in weighted_sample_bernoulli(spark, SF_SMOKE).collect()
+        }
+        assert set(got) == expect
+        for r in got.values():
+            assert r["w_total"] == w_total
+            assert r["u"] == _py_h64(str(r["doc_id"]), "wbern")
+        # the sample is a real downsample, not vacuous or total
+        assert 0 < len(got) < len(corpus)
+
+    def test_boilerplate_matches_python_reference(self, spark):
+        from collections import Counter
+
+        from argus_spark.datapipe.textprep import (
+            BOILER_MINDF,
+            BOILER_WIDTH,
+            boilerplate_chunk_removal,
+        )
+        from tests.conftest import SF_SMOKE
+
+        docs = self._docs(spark)
+        chunks = {}
+        for doc_id, text in docs.items():
+            ws = _py_words(text)
+            if not ws:
+                continue
+            chunks[doc_id] = [
+                " ".join(ws[k : k + BOILER_WIDTH])
+                for k in range(0, len(ws), BOILER_WIDTH)
+            ]
+        df = Counter()
+        for ch in chunks.values():
+            for c in set(ch):
+                df[c] += 1
+        boiler = {c for c, n in df.items() if n >= BOILER_MINDF}
+        got = {
+            r["doc_id"]: r
+            for r in boilerplate_chunk_removal(spark, SF_SMOKE).collect()
+        }
+        assert set(got) == set(chunks)
+        for doc_id, ch in chunks.items():
+            r = got[doc_id]
+            kept = [c for c in ch if c not in boiler]
+            assert r["n_chunks"] == len(ch)
+            assert r["n_dropped"] == len(ch) - len(kept)
+            assert r["clean_text"] == " ".join(kept)
+        # the fixture's duplicated docs must actually trip the df cut
+        assert any(r["n_dropped"] > 0 for r in got.values())
+
+    def test_fluency_bigram_matches_python_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from argus_spark.datapipe.lm import FB_SCALE, fluency_bigram
+        from tests.conftest import SF_SMOKE
+
+        docs = {k: _py_words(t) for k, t in self._docs(spark).items()}
+        c2, c1 = Counter(), Counter()
+        vocab = set()
+        for ws in docs.values():
+            vocab.update(ws)
+            for a, b in zip(ws, ws[1:]):
+                c2[(a, b)] += 1
+                c1[a] += 1
+        v = len(vocab)
+        got = {r["doc_id"]: r for r in fluency_bigram(spark, SF_SMOKE).collect()}
+        expect_ids = {k for k, ws in docs.items() if len(ws) >= 2}
+        assert set(got) == expect_ids
+        for doc_id in expect_ids:
+            ws = docs[doc_id]
+            mass = sum(
+                math.floor((c2[(a, b)] + 1) / (c1[a] + v) * float(FB_SCALE))
+                for a, b in zip(ws, ws[1:])
+            )
+            r = got[doc_id]
+            assert r["n_bigrams"] == len(ws) - 1
+            assert r["prob_mass_fp"] == mass
+            assert 0.0 < r["fluency"] <= 1.0
+
+    def test_quality_classifier_matches_python_reference(self, spark):
+        from argus_spark.datapipe.lm import (
+            QC_BUCKETS,
+            QC_RANGE,
+            QC_SEED,
+            quality_classifier_hashed,
+        )
+        from tests.conftest import SF_SMOKE
+
+        docs = {k: _py_words(t) for k, t in self._docs(spark).items()}
+        got = {
+            r["doc_id"]: r
+            for r in quality_classifier_hashed(spark, SF_SMOKE).collect()
+        }
+        assert set(got) == {k for k, ws in docs.items() if ws}
+        for doc_id, r in got.items():
+            ws = docs[doc_id]
+            mass = sum(
+                (_py_h64(str(_py_h64(t, QC_SEED) % QC_BUCKETS), QC_SEED)
+                 % (2 * QC_RANGE + 1)) - QC_RANGE
+                for t in ws
+            )
+            assert r["n_tokens"] == len(ws)
+            assert r["weight_mass"] == mass
+            assert abs(r["weight_mass"]) <= r["n_tokens"] * QC_RANGE
+            assert r["keep"] == (mass > 0)
