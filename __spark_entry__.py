@@ -61,11 +61,13 @@ def _modules():
 # winnowing / novelty, temperature mixture, pack stats) plus this
 # round's new operators (weighted_sample_bernoulli,
 # boilerplate_chunk_removal, fluency_bigram,
-# quality_classifier_hashed) and the r7-changed heavy_hitter_tokens /
-# dedup_simhash; tier 3 = the unchanged r6 greens. Four more stable
+# quality_classifier_hashed, the three TPC-H-shape multi-join
+# analytics queries) and the r7-changed heavy_hitter_tokens /
+# dedup_simhash; tier 3 = the unchanged r6 greens. Seven stable
 # map-only r5 ops (text_normalize, repetition_ratio, multimodal_resize,
-# multimodal_meta) defer past the cap to make room — no-row coverage
-# outranks stale-row refresh, and they lead tier 1 next round.
+# multimodal_meta, multimodal_frame_sample, pii_redact,
+# sample_quality_deciles) defer past the cap to make room — no-row
+# coverage outranks stale-row refresh, and they lead tier 1 next round.
 _PRIORITY = [
     # -- tier 1: latest fresh driver row is round 5 -----------------------
     "avg_by_key", "min_safe_intersection",
@@ -75,11 +77,11 @@ _PRIORITY = [
     "session_window_agg", "token_count", "sample_stratified",
     "pack_sequences", "doc_fingerprint", "lang_id_ngram",
     "dataset_mixture", "tfidf_top_terms", "ann_cosine_topk",
-    "ann_lsh_bucketed", "multimodal_frame_sample",
+    "ann_lsh_bucketed",
     "ann_ivf_topk", "decontaminate_ngram_overlap",
     "kmeans_embeddings",
-    "pii_redact", "dedup_keep_list", "funnel_conversion",
-    "sample_quality_deciles", "watched_balances",
+    "dedup_keep_list", "funnel_conversion",
+    "watched_balances",
     "balances_after_rollback", "tx_flatten", "utxo_state", "utxo_spent",
     "utxo_unspent",
     # -- tier 2: no driver row yet, or changed since their last row -------
@@ -91,6 +93,8 @@ _PRIORITY = [
     "dataset_mixture_temperature", "pack_efficiency_stats",
     "weighted_sample_bernoulli", "boilerplate_chunk_removal",
     "fluency_bigram", "quality_classifier_hashed",
+    "shipping_priority_topk", "regional_revenue",
+    "returned_item_losses",
     # -- tier 3: fresh green row in round 6, PLUS the deferred r5 ----------
     # entries (explode_ordinal, broadcast_lookup, semi_join_exists,
     # checkpoint_window, filter_project from the r7 plan, plus this
@@ -98,7 +102,8 @@ _PRIORITY = [
     "explode_ordinal", "broadcast_lookup", "semi_join_exists",
     "checkpoint_window", "filter_project",
     "text_normalize", "repetition_ratio", "multimodal_resize",
-    "multimodal_meta",
+    "multimodal_meta", "multimodal_frame_sample", "pii_redact",
+    "sample_quality_deciles",
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
     "dedup_keep_first", "duplicate_detect", "latest_per_key",

@@ -630,6 +630,183 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# Multi-join analytics (TPC-H Q3/Q5/Q10 shapes) — the join-reordering /
+# broadcast / top-k-over-join surface a warehouse engine must have.
+# The reference composes the same shapes from its reducer primitives
+# (Argus.Sync join + group reducers); here Catalyst plans them whole.
+# --------------------------------------------------------------------------
+
+SHIP_CUTOFF = "1998-06-15"   # Q3-style date split inside the data range
+REV_YEAR_LO = "1996-01-01"   # Q5-style one-year order window
+REV_YEAR_HI = "1997-01-01"
+
+
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered both sides of a date split,
+    revenue agg, top-10. Plan at 100 TB: the c_mktsegment filter prunes
+    customer BEFORE the orders join (predicate pushdown), both big
+    joins are key-partitioned hash joins AQE can re-plan, and the
+    top-10 is TakeOrderedAndProject (per-partition heap + driver merge
+    of 10 rows, never a global sort). Ranking ties are impossible on
+    doubles-by-luck; we rank on the exact fixed-point BIGINT revenue
+    with (o_orderdate, l_orderkey) tie-breaks so both engines agree."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(SHIP_CUTOFF).cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(SHIP_CUTOFF).cast("timestamp")
+    )
+    g = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_fx(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("_rev")
+        )
+    )
+    return (
+        g.orderBy(F.desc("_rev"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            (F.col("_rev").cast("double") / FX).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+SHIPPING_PRIORITY_TOPK_SQL = f"""
+WITH g AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT))
+              AS BIGINT) AS _rev
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '{SHIP_CUTOFF}'
+    AND l_shipdate  > TIMESTAMP '{SHIP_CUTOFF}'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, _rev::DOUBLE / 1e6 AS revenue, o_orderdate, o_orderpriority
+FROM g ORDER BY _rev DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10
+"""
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (lineitem⋈orders⋈customer⋈supplier⋈
+    nation⋈region) with the local-supply constraint c_nationkey =
+    s_nationkey, one-year order window, revenue per nation. Plan at
+    100 TB: region/nation are permanently tiny → explicit broadcast;
+    lineitem⋈orders⋈customer⋈supplier are key-partitioned hash joins
+    (supplier broadcasts at test SF by size; at scale AQE keeps it a
+    shuffle join — same plan text, different physical pick); the final
+    agg has ≤|nation| groups. Fixed-point revenue for the cross-engine
+    hash."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(REV_YEAR_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(REV_YEAR_HI).cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum(_fx(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("_rev")
+        )
+        .select("n_name", (F.col("_rev").cast("double") / FX).alias("revenue"))
+    )
+
+
+REGIONAL_REVENUE_SQL = f"""
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT))
+            AS BIGINT)::DOUBLE / 1e6 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '{REV_YEAR_LO}'
+  AND o_orderdate <  TIMESTAMP '{REV_YEAR_HI}'
+GROUP BY n_name
+"""
+
+
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top-20. Plan at 100 TB: the l_returnflag = 'R' filter prunes
+    lineitem at the scan; customer⋈orders⋈lineitem are key-partitioned
+    hash joins; nation broadcasts; TakeOrderedAndProject for the
+    top-20 on the exact BIGINT revenue with c_custkey tie-break."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    g = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_fx(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("_rev")
+        )
+    )
+    return (
+        g.orderBy(F.desc("_rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("_rev").cast("double") / FX).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+RETURNED_ITEM_LOSSES_SQL = """
+WITH g AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT))
+              AS BIGINT) AS _rev
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+SELECT c_custkey, c_name, _rev::DOUBLE / 1e6 AS revenue, c_acctbal, n_name
+FROM g ORDER BY _rev DESC, c_custkey ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_project": filter_project,
     "explode_ordinal": explode_ordinal,
@@ -659,6 +836,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_funcs": string_funcs,
     "stable_hash": stable_hash,
     "slot_arithmetic": slot_arithmetic,
+    "shipping_priority_topk": shipping_priority_topk,
+    "regional_revenue": regional_revenue,
+    "returned_item_losses": returned_item_losses,
 }
 
 ORACLES: dict[str, str] = {
@@ -690,4 +870,7 @@ ORACLES: dict[str, str] = {
     "string_funcs": STRING_FUNCS_SQL,
     "stable_hash": STABLE_HASH_SQL,
     "slot_arithmetic": SLOT_ARITHMETIC_SQL,
+    "shipping_priority_topk": SHIPPING_PRIORITY_TOPK_SQL,
+    "regional_revenue": REGIONAL_REVENUE_SQL,
+    "returned_item_losses": RETURNED_ITEM_LOSSES_SQL,
 }

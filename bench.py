@@ -94,6 +94,13 @@ HEADLINE = [
     "winnow_overlap_pairs",
     "decontaminate_containment",
     "ngram_novelty",
+    "shipping_priority_topk",
+    "regional_revenue",
+    "returned_item_losses",
+    "weighted_sample_bernoulli",
+    "boilerplate_chunk_removal",
+    "fluency_bigram",
+    "quality_classifier_hashed",
 ]
 
 

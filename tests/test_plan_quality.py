@@ -360,3 +360,28 @@ def test_curation_pipeline_no_cartesian_no_nlj(spark):
     # tree line + detail section ⇒ each physical BNLJ prints twice
     n_bnlj = plan.count("BroadcastNestedLoopJoin") // 2
     assert n_bnlj <= 1, plan
+
+
+def test_tpch_shape_joins_take_ordered_and_pushdown(spark):
+    """Q3/Q5/Q10 shapes: top-k must be TakeOrderedAndProject (per-
+    partition heap, never a global sort of the agg output), every scan
+    keeps its pushed filter, and no join seam degrades to a cartesian
+    or nested loop at any SF."""
+    from argus_spark.operators.relational import (
+        regional_revenue,
+        returned_item_losses,
+        shipping_priority_topk,
+    )
+
+    for fn, topk in (
+        (shipping_priority_topk, True),
+        (regional_revenue, False),
+        (returned_item_losses, True),
+    ):
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert has_partial_aggregation(plan), plan
+        assert pushed_filters(plan), plan
+        if topk:
+            assert "TakeOrderedAndProject" in plan, plan
