@@ -75,7 +75,7 @@ _PRIORITY = [
     "range_join_pairs", "cube_counts", "grouping_sets_value",
     "median_value_by_type", "tumbling_window_agg", "sliding_window_agg",
     "session_window_agg", "token_count", "sample_stratified",
-    "pack_sequences", "doc_fingerprint", "lang_id_ngram",
+    "pack_sequences",
     "dataset_mixture", "tfidf_top_terms", "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk", "decontaminate_ngram_overlap",
@@ -95,6 +95,7 @@ _PRIORITY = [
     "fluency_bigram", "quality_classifier_hashed",
     "shipping_priority_topk", "regional_revenue",
     "returned_item_losses",
+    "embedding_standardize", "source_token_overlap",
     # -- tier 3: fresh green row in round 6, PLUS the deferred r5 ----------
     # entries (explode_ordinal, broadcast_lookup, semi_join_exists,
     # checkpoint_window, filter_project from the r7 plan, plus this
@@ -103,7 +104,7 @@ _PRIORITY = [
     "checkpoint_window", "filter_project",
     "text_normalize", "repetition_ratio", "multimodal_resize",
     "multimodal_meta", "multimodal_frame_sample", "pii_redact",
-    "sample_quality_deciles",
+    "sample_quality_deciles", "doc_fingerprint", "lang_id_ngram",
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
     "dedup_keep_first", "duplicate_detect", "latest_per_key",

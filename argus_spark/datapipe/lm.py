@@ -50,6 +50,14 @@ scoring).
 Float rule (module-wide, see text.py): no float accumulation — exact
 integer folds, each division a single correctly-rounded IEEE op on
 exactly-representable operands (< 2^53), fixed-point BIGINT sums.
+
+Cache note: scoped-caching the bigram frame was MEASURED (sf0.1 A/B:
+2.2s plain vs 1.8s cached, ~20%) and REJECTED — unlike the dedup
+candidate frames, the bigram stream is corpus-sized (≈ one row per
+token), so at 100 TB pinning it (even spill-to-disk) costs a full
+corpus copy to save three map-side re-expansions whose input scan
+Catalyst already shares. The plain recompute is the scale-correct
+shape.
 """
 
 from __future__ import annotations

@@ -441,12 +441,95 @@ EMBEDDING_PROJECT_RP_SQL = (
 )
 
 
+ESTD_FX = float(1 << 24)  # fixed-point quantum for the per-dim moments
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization — the normalization pass a
+    pipeline runs before kmeans/quantization so no dimension dominates
+    the metric.
+
+    Exactness: the two moments are fixed-point BIGINT sums
+    (floor(x·2²⁴), floor(x²·2²⁴) — order-free, engine-identical); the
+    closing mean/var/std/z chain is a fixed sequence of correctly-
+    rounded IEEE double ops on identical operands, so both engines
+    produce bit-identical doubles. var is clamped at 0 before sqrt
+    (the floor()s can push a truly-constant dimension epsilon-negative).
+
+    Plan at 100 TB: posexplode is map-side; the stats aggregate is
+    map-side-PARTIAL onto exactly DIM=64 final keys (each partition
+    emits ≤64 partial rows, so the exchange is tiny regardless of
+    corpus size); the 64-row stats frame broadcasts back onto the
+    exploded stream and z is map-side. One scan, one 64-row exchange,
+    zero data shuffles."""
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    x = e.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    stats = (
+        x.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("val") * F.lit(ESTD_FX)).cast("long")).alias("_m"),
+            F.sum(
+                F.floor(F.col("val") * F.col("val") * F.lit(ESTD_FX)).cast("long")
+            ).alias("_s"),
+        )
+        .select(
+            "dim",
+            (F.col("_m").cast("double") / F.lit(ESTD_FX) / F.col("n")).alias("mean"),
+            F.sqrt(
+                F.greatest(
+                    F.col("_s").cast("double") / F.lit(ESTD_FX) / F.col("n")
+                    - (F.col("_m").cast("double") / F.lit(ESTD_FX) / F.col("n"))
+                    * (F.col("_m").cast("double") / F.lit(ESTD_FX) / F.col("n")),
+                    F.lit(0.0),
+                )
+            ).alias("std"),
+        )
+    )
+    return (
+        x.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            "val",
+            ((F.col("val") - F.col("mean")) / F.col("std")).alias("z"),
+        )
+    )
+
+
+EMBEDDING_STANDARDIZE_SQL = f"""
+WITH x AS (
+  SELECT vec_id, u.i - 1 AS dim, v[u.i] AS val
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+       unnest(range(1, len(v) + 1)) AS u(i)
+), stats AS (
+  SELECT dim,
+         CAST(sum(CAST(floor(val * {ESTD_FX!r}) AS BIGINT)) AS BIGINT)::DOUBLE
+           / {ESTD_FX!r} / count(*) AS mean,
+         sqrt(greatest(
+           CAST(sum(CAST(floor(val * val * {ESTD_FX!r}) AS BIGINT)) AS BIGINT)::DOUBLE
+             / {ESTD_FX!r} / count(*)
+           - (CAST(sum(CAST(floor(val * {ESTD_FX!r}) AS BIGINT)) AS BIGINT)::DOUBLE
+              / {ESTD_FX!r} / count(*))
+           * (CAST(sum(CAST(floor(val * {ESTD_FX!r}) AS BIGINT)) AS BIGINT)::DOUBLE
+              / {ESTD_FX!r} / count(*)),
+           0.0)) AS std
+  FROM x GROUP BY dim
+)
+SELECT vec_id, x.dim, val, (val - mean) / std AS z
+FROM x JOIN stats ON x.dim = stats.dim
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_project_rp": embedding_project_rp,
+    "embedding_standardize": embedding_standardize,
 }
 
 ORACLES: dict[str, str] = {
@@ -455,4 +538,5 @@ ORACLES: dict[str, str] = {
     "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "embedding_project_rp": EMBEDDING_PROJECT_RP_SQL,
+    "embedding_standardize": EMBEDDING_STANDARDIZE_SQL,
 }

@@ -785,8 +785,81 @@ HAVING count(*) * 1000 > 5 * (SELECT count(*) FROM t)
 """
 
 
+def source_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap: Jaccard similarity between the
+    distinct-token sets of every source pair — the corpus-composition
+    diagnostic that flags near-duplicate sources (a mirrored crawl, a
+    re-scraped site) before mixture weights are assigned.
+
+    Plan at 100 TB: (source, tok) distinct is ONE map-side-PARTIAL
+    aggregate on uniform composite keys; per-source vocab sizes land in
+    a |sources|-row frame that broadcasts; the pair expansion is a
+    self-equi-join ON tok whose per-token fan-out is bounded by
+    |sources|² (≤400 here) — never all-pairs over rows — and the pair
+    rollup has ≤ C(|sources|,2) output groups. Jaccard is exact small-
+    integer arithmetic with one closing IEEE division."""
+    tok = (
+        load(spark, sf_dir, "documents", widen=True)
+        .select("source", F.explode(words_col()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.lit(1))
+        .select("source", "tok")
+    )
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = tok.select(F.col("source").alias("source_a"), "tok")
+    b = tok.select(F.col("source").alias("source_b"), "tok")
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_vocab").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_vocab").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+SOURCE_TOKEN_OVERLAP_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source, unnest({words_sql()}) AS tok FROM documents)
+), sizes AS (
+  SELECT source, count(*)::BIGINT AS n_vocab FROM tok GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_shared,
+       sa.n_vocab AS n_a, sb.n_vocab AS n_b,
+       n_shared::DOUBLE / (sa.n_vocab + sb.n_vocab - n_shared)::DOUBLE AS jaccard
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
+    "source_token_overlap": source_token_overlap,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "decontaminate_containment": decontaminate_containment,
@@ -803,6 +876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "heavy_hitter_tokens": HEAVY_HITTER_TOKENS_SQL,
+    "source_token_overlap": SOURCE_TOKEN_OVERLAP_SQL,
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "winnow_overlap_pairs": WINNOW_OVERLAP_PAIRS_SQL,
     "decontaminate_containment": DECONTAMINATE_CONTAINMENT_SQL,

@@ -101,6 +101,8 @@ HEADLINE = [
     "boilerplate_chunk_removal",
     "fluency_bigram",
     "quality_classifier_hashed",
+    "embedding_standardize",
+    "source_token_overlap",
 ]
 
 

@@ -1240,3 +1240,56 @@ class TestR8OpReferenceExactness:
             assert r["weight_mass"] == mass
             assert abs(r["weight_mass"]) <= r["n_tokens"] * QC_RANGE
             assert r["keep"] == (mass > 0)
+
+
+class TestR8EmbeddingAndOverlapInvariants:
+    def test_standardize_zero_mean_unit_var_per_dim(self, spark):
+        """After z-scoring, every dimension's sample mean is ~0 and
+        sample variance ~1 (up to the fixed-point quantum and the
+        biased-variance estimator)."""
+        from collections import defaultdict
+
+        from argus_spark.datapipe.similarity import embedding_standardize
+        from tests.conftest import SF_SMOKE
+
+        rows = embedding_standardize(spark, SF_SMOKE).collect()
+        by_dim = defaultdict(list)
+        for r in rows:
+            by_dim[r["dim"]].append(r["z"])
+        assert len(by_dim) == 64
+        for dim, zs in by_dim.items():
+            m = sum(zs) / len(zs)
+            v = sum(z * z for z in zs) / len(zs)
+            assert abs(m) < 1e-4, (dim, m)
+            assert abs(v - 1.0) < 1e-3, (dim, v)
+
+    def test_source_overlap_matches_python_reference(self, spark):
+        from collections import defaultdict
+
+        from argus_spark.datapipe.text import source_token_overlap
+        from argus_spark.session import load
+        from tests.conftest import SF_SMOKE
+
+        vocab = defaultdict(set)
+        for r in (
+            load(spark, SF_SMOKE, "documents")
+            .select("source", "text")
+            .collect()
+        ):
+            vocab[r["source"]].update(w for w in r["text"].split(" ") if w)
+        got = {
+            (r["source_a"], r["source_b"]): r
+            for r in source_token_overlap(spark, SF_SMOKE).collect()
+        }
+        srcs = sorted(vocab)
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1 :]:
+                inter = len(vocab[a] & vocab[b])
+                if inter == 0:
+                    assert (a, b) not in got
+                    continue
+                r = got[(a, b)]
+                assert r["n_shared"] == inter
+                assert r["n_a"] == len(vocab[a]) and r["n_b"] == len(vocab[b])
+                assert 0.0 < r["jaccard"] <= 1.0
+        assert all(k[0] < k[1] for k in got)

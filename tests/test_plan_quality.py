@@ -385,3 +385,27 @@ def test_tpch_shape_joins_take_ordered_and_pushdown(spark):
         assert pushed_filters(plan), plan
         if topk:
             assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_embedding_standardize_broadcast_stats_no_data_shuffle(spark):
+    """embedding_standardize: the 64-key stats aggregate must be
+    partial (map-side) and the stats frame must come back as a
+    broadcast join — the exploded data stream itself never shuffles."""
+    from argus_spark.datapipe.similarity import embedding_standardize
+
+    plan = formatted_plan(embedding_standardize(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert has_broadcast_hash_join(plan), plan
+    assert not has_sort_merge_join(plan), plan
+
+
+def test_source_token_overlap_no_cartesian_bounded_fanout(spark):
+    """source_token_overlap: the pair expansion must stay an equi-join
+    on tok (per-token fan-out <= |sources|^2), never a cartesian or
+    nested loop over sources x sources x rows."""
+    from argus_spark.datapipe.text import source_token_overlap
+
+    plan = formatted_plan(source_token_overlap(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert has_partial_aggregation(plan), plan
