@@ -74,7 +74,7 @@ _PRIORITY = [
     "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
     "range_join_pairs", "cube_counts", "grouping_sets_value",
     "median_value_by_type", "tumbling_window_agg", "sliding_window_agg",
-    "session_window_agg", "token_count", "sample_stratified",
+    "session_window_agg", "sample_stratified",
     "pack_sequences",
     "dataset_mixture", "tfidf_top_terms", "ann_cosine_topk",
     "ann_lsh_bucketed",
@@ -96,6 +96,7 @@ _PRIORITY = [
     "shipping_priority_topk", "regional_revenue",
     "returned_item_losses",
     "embedding_standardize", "source_token_overlap",
+    "streaming_funnel_replay",
     # -- tier 3: fresh green row in round 6, PLUS the deferred r5 ----------
     # entries (explode_ordinal, broadcast_lookup, semi_join_exists,
     # checkpoint_window, filter_project from the r7 plan, plus this
@@ -105,6 +106,7 @@ _PRIORITY = [
     "text_normalize", "repetition_ratio", "multimodal_resize",
     "multimodal_meta", "multimodal_frame_sample", "pii_redact",
     "sample_quality_deciles", "doc_fingerprint", "lang_id_ngram",
+    "token_count",
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
     "dedup_keep_first", "duplicate_detect", "latest_per_key",

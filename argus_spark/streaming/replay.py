@@ -314,14 +314,129 @@ FROM events GROUP BY user_id
 """
 
 
+def streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ``applyInPandasWithState`` funnel tracker
+    (streaming/stateful.py — the custom per-key state machine) through
+    a REAL readStream run over the events table and return the final
+    per-user stage, oracle-checked against the chained-min-ts greedy
+    funnel in ANSI SQL. This puts the stateful-operator path — Arrow
+    state round-trips, state persistence across micro-batches, update-
+    mode emission — under the driver's hash gate, not just pytest.
+
+    Schedule: all events ordered by (us, user_id) and cut into 3
+    contiguous micro-batches, so per-user event time never regresses
+    across batches (the tracker's A1 ordered-source contract). Equal-
+    timestamp tie order CANNOT affect the result: the tracker requires
+    STRICTLY increasing time to advance, and under strict inequality
+    the greedy machine equals the chained min-ts funnel for every
+    interleaving of ties — the oracle encodes exactly that closed
+    form. The feed-write collect is the correctness frame's scaffold
+    (like the sibling replays), not the deployment shape; deployed,
+    the tracker consumes the ordered source directly.
+
+    Scale: tracker state is (stage, t_prev) per user — two longs —
+    partitioned by user_id across executors; emission is one row per
+    user per batch it appears in."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from argus_spark.operators.temporal import FUNNEL_STAGES
+    from argus_spark.streaming.stateful import funnel_tracker
+
+    out = _state_dir("argus_replay_funnel_")
+    feed = os.path.join(out, "feed")
+    res_dir = os.path.join(out, "res")
+    os.makedirs(feed, exist_ok=True)
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_type")
+        .orderBy("us", "user_id")
+        .collect()
+    )
+    n = len(ev)
+    step = (n + N_REPLAY_BATCHES - 1) // N_REPLAY_BATCHES
+    now = __import__("time").time()
+    for idx, lo in enumerate(range(0, n, step)):
+        rows = [
+            _json.dumps(
+                {"user_id": r.user_id, "us": r.us, "event_type": r.event_type}
+            )
+            for r in ev[lo : lo + step]
+        ]
+        _write_feed(feed, idx, rows, now + 10 * idx)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("us", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(res_dir)
+
+    q = (
+        funnel_tracker(stream, FUNNEL_STAGES)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(out, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # stage is monotone per user; the final state is the max emission
+    return (
+        spark.read.parquet(res_dir)
+        .groupBy("user_id")
+        .agg(F.max("stage").cast("long").alias("stage"))
+    )
+
+
+def _streaming_funnel_replay_sql() -> str:
+    from argus_spark.operators.temporal import FUNNEL_STAGES
+
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id)"
+    ]
+    for i, s in enumerate(FUNNEL_STAGES[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{i - 1} p USING (user_id) "
+            f"WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.user_id)"
+        )
+    reached = " + ".join(
+        f"(CASE WHEN s{i}.user_id IS NULL THEN 0 ELSE 1 END)"
+        for i in range(1, len(FUNNEL_STAGES) + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN s{i} ON u.user_id = s{i}.user_id"
+        for i in range(1, len(FUNNEL_STAGES) + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + ",\nu AS (SELECT DISTINCT user_id FROM events)\n"
+        + f"SELECT u.user_id, ({reached})::BIGINT AS stage FROM u {joins}"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_minhash_replay": streaming_minhash_replay,
     "streaming_first_wins_replay": streaming_first_wins_replay,
     "streaming_watermark_dedup_replay": streaming_watermark_dedup_replay,
+    "streaming_funnel_replay": streaming_funnel_replay,
 }
 
 ORACLES: dict[str, str] = {
     "streaming_minhash_replay": _streaming_minhash_replay_sql(),
     "streaming_first_wins_replay": STREAMING_FIRST_WINS_REPLAY_SQL,
     "streaming_watermark_dedup_replay": STREAMING_WATERMARK_DEDUP_REPLAY_SQL,
+    "streaming_funnel_replay": _streaming_funnel_replay_sql(),
 }
