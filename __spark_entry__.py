@@ -76,8 +76,7 @@ _PRIORITY = [
     "median_value_by_type", "tumbling_window_agg", "sliding_window_agg",
     "session_window_agg", "sample_stratified",
     "pack_sequences",
-    "dataset_mixture", "tfidf_top_terms", "ann_cosine_topk",
-    "ann_lsh_bucketed",
+    "dataset_mixture", "ann_cosine_topk",
     "ann_ivf_topk", "decontaminate_ngram_overlap",
     "kmeans_embeddings",
     "dedup_keep_list", "funnel_conversion",
@@ -97,6 +96,7 @@ _PRIORITY = [
     "returned_item_losses",
     "embedding_standardize", "source_token_overlap",
     "streaming_funnel_replay",
+    "sessionize_events", "ann_pq_adc_topk",
     # -- tier 3: fresh green row in round 6, PLUS the deferred r5 ----------
     # entries (explode_ordinal, broadcast_lookup, semi_join_exists,
     # checkpoint_window, filter_project from the r7 plan, plus this
@@ -106,7 +106,7 @@ _PRIORITY = [
     "text_normalize", "repetition_ratio", "multimodal_resize",
     "multimodal_meta", "multimodal_frame_sample", "pii_redact",
     "sample_quality_deciles", "doc_fingerprint", "lang_id_ngram",
-    "token_count",
+    "token_count", "tfidf_top_terms", "ann_lsh_bucketed",
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
     "dedup_keep_first", "duplicate_detect", "latest_per_key",

@@ -441,6 +441,166 @@ EMBEDDING_PROJECT_RP_SQL = (
 )
 
 
+# ---- product quantization (PQ-ADC) ----
+PQ_M = 4                      # subspaces
+PQ_SUB = DIM // PQ_M          # dims per subspace (16)
+PQ_K = 8                      # codewords per subspace
+PQ_TOP_K = 5
+
+
+def _l2sq(a: F.Column, b: F.Column) -> F.Column:
+    """Ordered left-fold squared L2 distance — same IEEE result as the
+    DuckDB mirror (``_l2sq_sql``)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _l2sq_sql(a: str, b: str, off: int, n: int) -> str:
+    """Squared L2 over ``n`` dims starting at 1-based offset ``off+1``
+    of both arrays, mirrored fold order."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {n + 1}), "
+        f"i -> ({a}[{off} + i] - {b}[{off} + i]) * "
+        f"({a}[{off} + i] - {b}[{off} + i]))), (acc, v) -> acc + v)"
+    )
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the memory-scale path: IVF cuts the
+    candidates, PQ cuts the bytes — together they are the standard
+    billion-vector serving stack). Codebook: PQ_K=8 codewords per
+    subspace, sampled deterministically from the corpus (vec_id in
+    [N_QUERIES, N_QUERIES+PQ_K) — the random-codebook PQ baseline; a
+    trained codebook drops in as the same one-row broadcast). Encode:
+    per subspace m, code = argmin codeword of subspace squared-L2
+    (tie → smaller codeword id). ADC scoring is expressed as the exact
+    equivalent distance-to-reconstruction ‖q − r(x)‖² where r(x)
+    concatenates the chosen codeword subvectors — one fold both
+    engines mirror bit-for-bit, instead of M partial sums whose
+    addition grouping would drift.
+
+    Plan at 100 TB: the codebook folds into ONE broadcast row, so
+    encode AND reconstruction are pure map-side expressions (at
+    deployment you store the M small code columns — 4 bytes/vector
+    here vs 256 for the raw floats); queries are a broadcast-side
+    nested loop over the corpus scan (8 rows), and the only exchange
+    carrying corpus rows is the final per-query top-k window. The
+    corpus is scanned once and never shuffled."""
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    codebook = (
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + PQ_K)
+        )
+        .select(
+            F.struct(
+                (F.col("vec_id") - F.lit(N_QUERIES)).alias("aid"),
+                F.col("v").alias("av"),
+            ).alias("a")
+        )
+        .agg(F.collect_list("a").alias("cb"))
+    )
+    corpus = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(codebook))
+    )
+
+    def _chosen(m: int) -> F.Column:
+        # min struct = (dist asc, aid asc); av rides along (aid unique
+        # ⇒ the array field never participates in the comparison)
+        return F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda a: F.struct(
+                    _l2sq(
+                        F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB),
+                        F.slice(a["av"], m * PQ_SUB + 1, PQ_SUB),
+                    ).alias("d"),
+                    a["aid"].alias("aid"),
+                    a["av"].alias("av"),
+                ),
+            )
+        )
+
+    recon = corpus.select(
+        "vec_id",
+        F.concat(
+            *[
+                F.slice(_chosen(m)["av"], m * PQ_SUB + 1, PQ_SUB)
+                for m in range(PQ_M)
+            ]
+        ).alias("r"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = recon.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        _l2sq(F.col("qv"), F.col("r")).alias("adc_dist"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PQ_TOP_K)
+        .select("q_id", "n_id", F.col("rnk").cast("long").alias("rnk"),
+                "adc_dist")
+    )
+
+
+def _ann_pq_adc_topk_sql() -> str:
+    sub_dists = ", ".join(
+        f"{_l2sq_sql('c.v', 'cb.av', m * PQ_SUB, PQ_SUB)} AS d{m}"
+        for m in range(PQ_M)
+    )
+    code_ctes = ",\n".join(
+        f"k{m} AS (SELECT vec_id, aid FROM ("
+        f"SELECT vec_id, aid, row_number() OVER ("
+        f"PARTITION BY vec_id ORDER BY d{m}, aid) AS rn FROM dists"
+        f") WHERE rn = 1)"
+        for m in range(PQ_M)
+    )
+    recon_concat = " || ".join(
+        f"a{m}.av[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}]" for m in range(PQ_M)
+    )
+    recon_joins = " ".join(
+        f"JOIN k{m} ON k{m}.vec_id = c.vec_id "
+        f"JOIN cb a{m} ON a{m}.aid = k{m}.aid"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id - {N_QUERIES} AS aid, v AS av FROM e0
+       WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}),
+corpus AS (SELECT vec_id, v FROM e0 WHERE vec_id >= {N_QUERIES}),
+dists AS (
+  SELECT c.vec_id, cb.aid, {sub_dists}
+  FROM corpus c CROSS JOIN cb
+),
+{code_ctes},
+recon AS (
+  SELECT c.vec_id, {recon_concat} AS r
+  FROM corpus c {recon_joins}
+),
+scored AS (
+  SELECT q.vec_id AS q_id, recon.vec_id AS n_id,
+         {_l2sq_sql('q.v', 'recon.r', 0, DIM)} AS adc_dist
+  FROM recon CROSS JOIN (SELECT vec_id, v FROM e0
+                         WHERE vec_id < {N_QUERIES}) q
+)
+SELECT q_id, n_id, rnk::BIGINT AS rnk, adc_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist, n_id) AS rnk
+  FROM scored
+) WHERE rnk <= {PQ_TOP_K}
+"""
+
+
 ESTD_FX = float(1 << 24)  # fixed-point quantum for the per-dim moments
 
 
@@ -530,6 +690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_project_rp": embedding_project_rp,
     "embedding_standardize": embedding_standardize,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -539,4 +700,5 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "embedding_project_rp": EMBEDDING_PROJECT_RP_SQL,
     "embedding_standardize": EMBEDDING_STANDARDIZE_SQL,
+    "ann_pq_adc_topk": _ann_pq_adc_topk_sql(),
 }

@@ -591,8 +591,86 @@ GROUP BY 1, 2
 """
 
 
+SESSION_GAP_US = 1_800_000_000  # 30 minutes in microseconds
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with explicit session IDENTITY — the
+    complement of ``session_window_agg`` (which only aggregates):
+    assign each user's events to numbered sessions (a new session
+    starts when the gap to the previous event exceeds 30 minutes),
+    then emit per-session stats. This is the op that materializes a
+    session dimension other queries can join.
+
+    Plan: ONE window exchange on user_id (huge cardinality, short
+    per-user sequences — the well-spread regime, same argument as
+    ``user_path_transitions``); the session ordinal is a running sum
+    of new-session flags inside the same window spec, so Catalyst
+    fuses both window functions into one Window node; the closing
+    per-(user, session) rollup is partial-agged. event_id breaks ts
+    ties so session boundaries are total-order deterministic."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US, 1
+        ).otherwise(
+            F.when(F.lag("us").over(w).isNull(), 1).otherwise(0)
+        ),
+    ).withColumn(
+        "session_ord",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "session_ord")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+        )
+        .select(
+            "user_id",
+            F.col("session_ord").cast("long").alias("session_ord"),
+            "n_events",
+            "start_us",
+            "end_us",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        )
+    )
+
+
+SESSIONIZE_EVENTS_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL THEN 1
+              WHEN us - lag(us) OVER w > {SESSION_GAP_US} THEN 1
+              ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), numbered AS (
+  SELECT user_id, us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_ord
+  FROM flagged
+)
+SELECT user_id, session_ord::BIGINT AS session_ord,
+       count(*)::BIGINT AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       max(us) - min(us) AS duration_us
+FROM numbered GROUP BY user_id, session_ord
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_path_transitions": user_path_transitions,
+    "sessionize_events": sessionize_events,
     "tumbling_window_agg": tumbling_window_agg,
     "sliding_window_agg": sliding_window_agg,
     "session_window_agg": session_window_agg,
@@ -609,6 +687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "user_path_transitions": USER_PATH_TRANSITIONS_SQL,
+    "sessionize_events": SESSIONIZE_EVENTS_SQL,
     "tumbling_window_agg": TUMBLING_WINDOW_AGG_SQL,
     "sliding_window_agg": SLIDING_WINDOW_AGG_SQL,
     "session_window_agg": SESSION_WINDOW_AGG_SQL,

@@ -103,6 +103,8 @@ HEADLINE = [
     "quality_classifier_hashed",
     "embedding_standardize",
     "source_token_overlap",
+    "sessionize_events",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -1293,3 +1293,92 @@ class TestR8EmbeddingAndOverlapInvariants:
                 assert r["n_a"] == len(vocab[a]) and r["n_b"] == len(vocab[b])
                 assert 0.0 < r["jaccard"] <= 1.0
         assert all(k[0] < k[1] for k in got)
+
+
+class TestR8PqAndSessionReference:
+    def test_pq_adc_matches_python_reference(self, spark):
+        """Full PQ pipeline recomputed in Python: codes, reconstruction,
+        ADC distances, and the top-k ranking must agree exactly."""
+        from argus_spark.datapipe.similarity import (
+            N_QUERIES,
+            PQ_K,
+            PQ_M,
+            PQ_SUB,
+            PQ_TOP_K,
+            ann_pq_adc_topk,
+        )
+        from argus_spark.session import load
+        from tests.conftest import SF_SMOKE
+
+        vecs = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in load(spark, SF_SMOKE, "embeddings").collect()
+        }
+        cb = {i - N_QUERIES: vecs[i] for i in range(N_QUERIES, N_QUERIES + PQ_K)}
+
+        def l2sq(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += (x - y) * (x - y)
+            return acc
+
+        recon = {}
+        for vid, v in vecs.items():
+            if vid < N_QUERIES:
+                continue
+            r = []
+            for m in range(PQ_M):
+                lo = m * PQ_SUB
+                best = min(
+                    (l2sq(v[lo : lo + PQ_SUB], cb[a][lo : lo + PQ_SUB]), a)
+                    for a in cb
+                )[1]
+                r.extend(cb[best][lo : lo + PQ_SUB])
+            recon[vid] = r
+        got = {}
+        for r in ann_pq_adc_topk(spark, SF_SMOKE).collect():
+            got.setdefault(r["q_id"], []).append((r["rnk"], r["n_id"], r["adc_dist"]))
+        for q_id in range(N_QUERIES):
+            qv = vecs[q_id]
+            want = sorted((l2sq(qv, r), n) for n, r in recon.items())[:PQ_TOP_K]
+            have = sorted(got[q_id])
+            assert [(n, d) for _, n, d in have] == [(n, d) for d, n in want]
+
+    def test_sessionize_matches_python_reference(self, spark):
+        from collections import defaultdict
+
+        from argus_spark.operators.temporal import (
+            SESSION_GAP_US,
+            sessionize_events,
+        )
+        from argus_spark.session import load
+        from tests.conftest import SF_SMOKE
+
+        import pyspark.sql.functions as F
+
+        ev = defaultdict(list)
+        for r in (
+            load(spark, SF_SMOKE, "events")
+            .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+            .collect()
+        ):
+            ev[r["user_id"]].append((r["us"], r["event_id"]))
+        want = {}
+        for uid, rows in ev.items():
+            rows.sort()
+            ord_, prev = 0, None
+            sessions = defaultdict(list)
+            for us, _eid in rows:
+                if prev is None or us - prev > SESSION_GAP_US:
+                    ord_ += 1
+                sessions[ord_].append(us)
+                prev = us
+            for o, uss in sessions.items():
+                want[(uid, o)] = (len(uss), min(uss), max(uss))
+        got = {
+            (r["user_id"], r["session_ord"]): (
+                r["n_events"], r["start_us"], r["end_us"],
+            )
+            for r in sessionize_events(spark, SF_SMOKE).collect()
+        }
+        assert got == want

@@ -409,3 +409,27 @@ def test_source_token_overlap_no_cartesian_bounded_fanout(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert has_partial_aggregation(plan), plan
+
+
+def test_ann_pq_adc_single_shuffle_no_cartesian(spark):
+    """ann_pq_adc_topk: codebook encode + reconstruction must be pure
+    map-side behind broadcasts — the ONLY shuffle is the final
+    per-query top-k window. The two BroadcastNestedLoopJoins are the
+    one-row codebook and the 8-row query set (intended broadcast
+    shapes), never a corpus-sized side."""
+    from argus_spark.datapipe.similarity import ann_pq_adc_topk
+
+    plan = formatted_plan(ann_pq_adc_topk(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert n_shuffle_exchanges(plan) == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") // 2 <= 2, plan
+
+
+def test_sessionize_single_window_exchange(spark):
+    """sessionize_events: the lag flag and the running session ordinal
+    share one user_id window partitioning — exactly one shuffle."""
+    from argus_spark.operators.temporal import sessionize_events
+
+    plan = formatted_plan(sessionize_events(spark, SF_SMOKE))
+    assert n_shuffle_exchanges(plan) == 1, plan
+    assert has_partial_aggregation(plan), plan
