@@ -72,7 +72,7 @@ _PRIORITY = [
     # -- tier 1: latest fresh driver row is round 5 -----------------------
     "avg_by_key", "min_safe_intersection",
     "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
-    "range_join_pairs", "cube_counts", "grouping_sets_value",
+    "range_join_pairs",
     "median_value_by_type", "tumbling_window_agg", "sliding_window_agg",
     "session_window_agg", "sample_stratified",
     "pack_sequences",
@@ -97,6 +97,7 @@ _PRIORITY = [
     "embedding_standardize", "source_token_overlap",
     "streaming_funnel_replay",
     "sessionize_events", "ann_pq_adc_topk",
+    "skew_detect_keys", "user_state_diff",
     # -- tier 3: fresh green row in round 6, PLUS the deferred r5 ----------
     # entries (explode_ordinal, broadcast_lookup, semi_join_exists,
     # checkpoint_window, filter_project from the r7 plan, plus this
@@ -107,6 +108,7 @@ _PRIORITY = [
     "multimodal_meta", "multimodal_frame_sample", "pii_redact",
     "sample_quality_deciles", "doc_fingerprint", "lang_id_ngram",
     "token_count", "tfidf_top_terms", "ann_lsh_bucketed",
+    "cube_counts", "grouping_sets_value",
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
     "dedup_keep_first", "duplicate_detect", "latest_per_key",

@@ -151,12 +151,70 @@ GROUP BY e.event_type
 """
 
 
+SKEW_P = 32  # reducer parallelism the fair-share test is sized against
+
+
+def skew_detect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic — the planning step BEFORE the two mitigations
+    above: per-key row counts on a prospective shuffle key, flagging
+    every key whose share exceeds one reducer's fair share at
+    parallelism P (count·P > n) and recommending the salt factor
+    ceil(count·P / n) that spreads it back to fair-share-sized slices.
+    Run it on a join/agg key before a big job; feed the flagged keys
+    to ``salted_group_sum`` / ``salted_broadcast_join``.
+
+    All decisions are integer rationals (count·P vs n, ceil via
+    (a + b − 1) div b) — no float thresholds to drift cross-engine.
+    Plan: one map-side-PARTIAL count per key + a one-row total
+    broadcast back onto the (tiny) per-key frame; at 100 TB the only
+    corpus-sized exchange is the partial-agged key count."""
+    e = load(spark, sf_dir, "events")
+    per_key = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = per_key.agg(F.sum("n_rows").cast("long").alias("n_total"))
+    c, n = F.col("n_rows"), F.col("n_total")
+    return (
+        per_key.crossJoin(F.broadcast(tot))  # one-row totals frame
+        .select(
+            F.col("event_type").alias("key"),
+            "n_rows",
+            "n_total",
+            F.expr(f"n_rows * 1000 div n_total").alias("share_permille"),
+            (c * SKEW_P > n).alias("is_skewed"),
+            F.when(
+                c * SKEW_P > n,
+                F.expr(f"(n_rows * {SKEW_P} + n_total - 1) div n_total"),
+            )
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("salt_factor"),
+        )
+    )
+
+
+SKEW_DETECT_KEYS_SQL = f"""
+WITH per_key AS (
+  SELECT event_type AS key, count(*)::BIGINT AS n_rows FROM events GROUP BY 1
+), tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM per_key)
+SELECT key, n_rows, n_total,
+       n_rows * 1000 // n_total AS share_permille,
+       n_rows * {SKEW_P} > n_total AS is_skewed,
+       CASE WHEN n_rows * {SKEW_P} > n_total
+            THEN (n_rows * {SKEW_P} + n_total - 1) // n_total
+            ELSE 1 END::BIGINT AS salt_factor
+FROM per_key CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_group_sum": skew_salted_group_sum,
     "skew_salted_join": skew_salted_join,
+    "skew_detect_keys": skew_detect_keys,
 }
 
 ORACLES: dict[str, str] = {
     "skew_salted_group_sum": SKEW_SALTED_GROUP_SUM_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
+    "skew_detect_keys": SKEW_DETECT_KEYS_SQL,
 }

@@ -668,9 +668,81 @@ FROM numbered GROUP BY user_id, session_ord
 """
 
 
+DIFF_T1 = "2024-01-15"  # snapshot A cutoff (events span 2024-01-01..31)
+
+
+def user_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: compare each user's derived state (the
+    latest event_type, (ts, event_id)-argmax) between snapshot A
+    (events before DIFF_T1) and snapshot B (all events), classifying
+    every user as added (appears only in B), changed (state differs),
+    or unchanged — the audit an incremental indexer runs to prove a
+    delta load against a full rebuild. Append-only feed ⇒ no removed
+    class.
+
+    Plan: each snapshot is a latest-per-key (B28 argmax) — ONE
+    user-keyed window exchange over its filtered scan (the A-side
+    filter pushes to the parquet scan); the diff is a full-outer
+    equi-join on user_id, co-partitioned with the windows, so at
+    100 TB the whole op is two filtered scans + shuffles on the same
+    uniform key."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def latest(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias(alias))
+        )
+
+    a = latest(
+        ev.filter(F.col("ts") < F.lit(DIFF_T1).cast("timestamp")), "state_a"
+    )
+    b = latest(ev, "state_b")
+    return b.join(a, "user_id", "full_outer").select(
+        "user_id",
+        "state_a",
+        "state_b",
+        F.when(F.col("state_a").isNull(), F.lit("added"))
+        .when(F.col("state_a") != F.col("state_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+
+
+USER_STATE_DIFF_SQL = f"""
+WITH a AS (
+  SELECT user_id, event_type AS state_a FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{DIFF_T1}'
+  ) WHERE rn = 1
+), b AS (
+  SELECT user_id, event_type AS state_b FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT user_id, state_a, state_b,
+       CASE WHEN state_a IS NULL THEN 'added'
+            WHEN state_a <> state_b THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM b FULL OUTER JOIN a USING (user_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_path_transitions": user_path_transitions,
     "sessionize_events": sessionize_events,
+    "user_state_diff": user_state_diff,
     "tumbling_window_agg": tumbling_window_agg,
     "sliding_window_agg": sliding_window_agg,
     "session_window_agg": session_window_agg,
@@ -688,6 +760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "user_path_transitions": USER_PATH_TRANSITIONS_SQL,
     "sessionize_events": SESSIONIZE_EVENTS_SQL,
+    "user_state_diff": USER_STATE_DIFF_SQL,
     "tumbling_window_agg": TUMBLING_WINDOW_AGG_SQL,
     "sliding_window_agg": SLIDING_WINDOW_AGG_SQL,
     "session_window_agg": SESSION_WINDOW_AGG_SQL,

@@ -105,6 +105,8 @@ HEADLINE = [
     "source_token_overlap",
     "sessionize_events",
     "ann_pq_adc_topk",
+    "skew_detect_keys",
+    "user_state_diff",
 ]
 
 

@@ -1382,3 +1382,61 @@ class TestR8PqAndSessionReference:
             for r in sessionize_events(spark, SF_SMOKE).collect()
         }
         assert got == want
+
+
+class TestR8DiagnosticOps:
+    def test_skew_detect_matches_python_reference(self, spark):
+        from collections import Counter
+
+        from argus_spark.operators.skew import SKEW_P, skew_detect_keys
+        from argus_spark.session import load
+        from tests.conftest import SF_SMOKE
+
+        counts = Counter(
+            r["event_type"]
+            for r in load(spark, SF_SMOKE, "events")
+            .select("event_type")
+            .collect()
+        )
+        n = sum(counts.values())
+        got = {r["key"]: r for r in skew_detect_keys(spark, SF_SMOKE).collect()}
+        assert set(got) == set(counts)
+        for k, c in counts.items():
+            r = got[k]
+            assert r["n_rows"] == c and r["n_total"] == n
+            assert r["share_permille"] == c * 1000 // n
+            assert r["is_skewed"] == (c * SKEW_P > n)
+            want_salt = (c * SKEW_P + n - 1) // n if c * SKEW_P > n else 1
+            assert r["salt_factor"] == want_salt
+        # 5 event types over the whole table: every key must be hot
+        assert all(r["is_skewed"] for r in got.values())
+
+    def test_user_state_diff_classes_and_consistency(self, spark):
+        import pyspark.sql.functions as F
+
+        from argus_spark.operators.temporal import DIFF_T1, user_state_diff
+        from argus_spark.session import load
+        from tests.conftest import SF_SMOKE
+
+        rows = {r["user_id"]: r for r in user_state_diff(spark, SF_SMOKE).collect()}
+        ev = load(spark, SF_SMOKE, "events")
+        all_users = {r["user_id"] for r in ev.select("user_id").distinct().collect()}
+        early_users = {
+            r["user_id"]
+            for r in ev.filter(F.col("ts") < F.lit(DIFF_T1).cast("timestamp"))
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        assert set(rows) == all_users
+        for uid, r in rows.items():
+            assert r["state_b"] is not None
+            if uid not in early_users:
+                assert r["change"] == "added" and r["state_a"] is None
+            elif r["state_a"] == r["state_b"]:
+                assert r["change"] == "unchanged"
+            else:
+                assert r["change"] == "changed"
+        # the fixture must exercise at least changed + unchanged
+        classes = {r["change"] for r in rows.values()}
+        assert {"changed", "unchanged"} <= classes
