@@ -612,11 +612,19 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("us")
     )
+    return sessionize_over(e)
+
+
+def sessionize_over(e: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Core of ``sessionize_events`` over any (user_id, event_id, us)
+    frame — separated (the ``funnel_over`` pattern) so property tests
+    and callers with their own event sources drive the identical
+    plan."""
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     flagged = e.withColumn(
         "new_session",
         F.when(
-            (F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US, 1
+            (F.col("us") - F.lag("us").over(w)) > gap_us, 1
         ).otherwise(
             F.when(F.lag("us").over(w).isNull(), 1).otherwise(0)
         ),

@@ -1440,3 +1440,60 @@ class TestR8DiagnosticOps:
         # the fixture must exercise at least changed + unchanged
         classes = {r["change"] for r in rows.values()}
         assert {"changed", "unchanged"} <= classes
+
+
+class TestSessionizeProperty:
+    def test_random_event_streams_match_sequential_reference(self, spark):
+        """Hypothesis: for arbitrary (user, us, event_id) sets —
+        duplicate timestamps, gap exactly at the boundary, ties broken
+        by event_id — distributed sessionization equals the sequential
+        greedy scan."""
+        from collections import defaultdict
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from argus_spark.operators.temporal import sessionize_over
+
+        GAP = 10  # us — tiny gap so random offsets straddle it often
+        event = st.tuples(
+            st.integers(min_value=0, max_value=4),    # user
+            st.integers(min_value=0, max_value=60),   # us
+        )
+
+        @settings(
+            max_examples=12, deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(st.lists(event, min_size=0, max_size=40))
+        def check(events):
+            rows = [(u, i, us) for i, (u, us) in enumerate(events)]
+            by_user = defaultdict(list)
+            for u, eid, us in rows:
+                by_user[u].append((us, eid))
+            want = {}
+            for u, evs in by_user.items():
+                evs.sort()
+                ord_, prev = 0, None
+                sess = defaultdict(list)
+                for us, _eid in evs:
+                    if prev is None or us - prev > GAP:
+                        ord_ += 1
+                    sess[ord_].append(us)
+                    prev = us
+                for o, uss in sess.items():
+                    want[(u, o)] = (len(uss), min(uss), max(uss),
+                                    max(uss) - min(uss))
+            df = spark.createDataFrame(
+                rows, "user_id long, event_id long, us long"
+            )
+            got = {
+                (r["user_id"], r["session_ord"]): (
+                    r["n_events"], r["start_us"], r["end_us"],
+                    r["duration_us"],
+                )
+                for r in sessionize_over(df, gap_us=GAP).collect()
+            }
+            assert got == want, (got, want, rows)
+
+        check()
