@@ -863,6 +863,76 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CSD_FX = 1 << 20  # fixed-point quantum for the mean-jaccard mass
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair duplication intensity: fold the verified near-dup
+    pairs (``dedup_ngram_jaccard``, τ=0.9) into a |sources|×|sources|
+    matrix of pair counts + mean Jaccard — the audit artifact that
+    shows WHICH sources duplicate each other (a mirrored crawl shows
+    up as one hot off-diagonal cell; within-source boilerplate as a
+    hot diagonal). Unordered source pairs are canonicalized
+    least/greatest so each cell appears once.
+
+    Plan: the pair frame is skinny (already banded+verified); two
+    equi-joins attach sources, then a partial-agged rollup onto
+    ≤ |sources|² cells. Mean Jaccard goes through the house fixed
+    point (floor(j·2²⁰) BIGINT mass → one closing division) so the
+    matrix is bit-exact cross-engine."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.floor(F.col("jaccard") * F.lit(float(CSD_FX)))
+            .cast("long")
+            .alias("jfp"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("jfp").cast("long").alias("_jm"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (
+                F.col("_jm").cast("double")
+                / F.lit(float(CSD_FX))
+                / F.col("n_pairs").cast("double")
+            ).alias("mean_jaccard"),
+        )
+    )
+
+
+CROSS_SOURCE_DUP_MATRIX_SQL = f"""
+WITH pairs AS ({DEDUP_NGRAM_JACCARD_SQL}),
+j AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b,
+         CAST(floor(jaccard * {float(CSD_FX)!r}) AS BIGINT) AS jfp
+  FROM pairs
+  JOIN documents sa ON pairs.doc_a = sa.doc_id
+  JOIN documents sb ON pairs.doc_b = sb.doc_id
+)
+SELECT source_a, source_b,
+       count(*)::BIGINT AS n_pairs,
+       CAST(sum(jfp) AS BIGINT)::DOUBLE / {float(CSD_FX)!r}
+         / count(*)::BIGINT::DOUBLE AS mean_jaccard
+FROM j GROUP BY source_a, source_b
+"""
+
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_JACCARD_SQL})
@@ -1194,6 +1264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_keep_list": dedup_keep_list,
     "decontaminate_minhash": decontaminate_minhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1207,6 +1278,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "cross_source_dup_matrix": CROSS_SOURCE_DUP_MATRIX_SQL,
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
     "decontaminate_minhash": DECONTAMINATE_MINHASH_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,

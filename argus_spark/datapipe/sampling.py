@@ -288,6 +288,51 @@ FROM pos
 """
 
 
+def export_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-export WRITE path: materialize the
+    ``pack_sequences`` layout as shard-partitioned parquet (one
+    directory per shard — the file layout a training loader consumes),
+    then derive the per-shard manifest FROM THE WRITTEN FILES, so the
+    oracle hash proves the round-trip (partitioned write → partition
+    discovery → read-back) and not just the in-memory plan. Eager by
+    construction (the write runs when the query is built — the
+    streaming-replay precedent); the returned frame is a lazy read of
+    the written dataset.
+
+    Scale: the write is partitioned by the same shard key the packing
+    shuffle already established — no extra exchange; the manifest agg
+    has N_SHARDS output groups. shard is re-cast to BIGINT because
+    partition-column discovery narrows it to INT on read."""
+    import atexit
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="argus_packed_shards_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    pack_sequences(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(out)
+    written = spark.read.parquet(out)
+    return (
+        written.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("seq_id").cast("long").alias("n_seqs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+EXPORT_PACKED_SHARDS_SQL = f"""
+WITH packed AS ({PACK_SEQUENCES_SQL})
+SELECT shard::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT seq_id)::BIGINT AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM packed GROUP BY shard
+"""
+
+
 # ---------------- quality-stratified sampling ----------------
 
 QD_N = 10
@@ -556,6 +601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_quality_deciles": sample_quality_deciles,
     "pack_sequences": pack_sequences,
     "pack_efficiency_stats": pack_efficiency_stats,
+    "export_packed_shards": export_packed_shards,
 }
 
 ORACLES: dict[str, str] = {
@@ -567,4 +613,5 @@ ORACLES: dict[str, str] = {
     "sample_quality_deciles": SAMPLE_QUALITY_DECILES_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "pack_efficiency_stats": PACK_EFFICIENCY_STATS_SQL,
+    "export_packed_shards": EXPORT_PACKED_SHARDS_SQL,
 }

@@ -107,6 +107,8 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "skew_detect_keys",
     "user_state_diff",
+    "cross_source_dup_matrix",
+    "export_packed_shards",
 ]
 
 
