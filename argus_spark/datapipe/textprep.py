@@ -481,8 +481,100 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# ---------------- corpus-relative length outlier gate ----------------
+
+LOF_LO_PERMILLE = 10    # drop below the 1st percentile…
+LOF_HI_PERMILLE = 990   # …and above the 99th
+
+
+def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative length gate: flag documents whose token count
+    falls outside the [p1, p99] rank band — the truncation/concat-glitch
+    cut that absolute thresholds (text_quality's ratios) can't express
+    because it moves with the corpus.
+
+    Exact rank percentiles without a global sort: token counts are
+    integers with a SMALL distinct domain, so the cumulative
+    distribution is computed on the per-value count frame (≤ a few
+    hundred rows — the window over it is free at any corpus size), the
+    two thresholds collapse to a one-row broadcast, and the verdict is
+    a map-side comparison. A doc is kept iff at least one doc of its
+    length sits inside the open rank interval (floor(n·p1‰), defined by
+    cum > lo and cum−cnt < hi) — the standard inclusive-band rank rule,
+    stated identically in both engines with integer arithmetic only."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", "source", F.size(words_col()).cast("long").alias("n_tokens")
+    )
+    per_len = d.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_len.select(
+        "n_tokens", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    tot = cum.agg(F.max("cum").alias("n_total"))
+    bounds = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.min(
+                F.when(
+                    F.col("cum") * 1000 > F.col("n_total") * LOF_LO_PERMILLE,
+                    F.col("n_tokens"),
+                )
+            ).alias("lo_len"),
+            F.max(
+                F.when(
+                    (F.col("cum") - F.col("cnt")) * 1000
+                    < F.col("n_total") * LOF_HI_PERMILLE,
+                    F.col("n_tokens"),
+                )
+            ).alias("hi_len"),
+        )
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))  # one-row thresholds frame
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "lo_len",
+            "hi_len",
+            (
+                (F.col("n_tokens") >= F.col("lo_len"))
+                & (F.col("n_tokens") <= F.col("hi_len"))
+            ).alias("keep"),
+        )
+    )
+
+
+LENGTH_OUTLIER_FILTER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len({words_sql()})::BIGINT AS n_tokens FROM documents
+), per_len AS (
+  SELECT n_tokens, count(*)::BIGINT AS cnt FROM d GROUP BY n_tokens
+), cum AS (
+  SELECT n_tokens, cnt,
+         sum(cnt) OVER (ORDER BY n_tokens ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_len
+), tot AS (SELECT max(cum) AS n_total FROM cum),
+bounds AS (
+  SELECT min(CASE WHEN cum * 1000 > n_total * {LOF_LO_PERMILLE}
+                  THEN n_tokens END) AS lo_len,
+         max(CASE WHEN (cum - cnt) * 1000 < n_total * {LOF_HI_PERMILLE}
+                  THEN n_tokens END) AS hi_len
+  FROM cum CROSS JOIN tot
+)
+SELECT doc_id, source, n_tokens, lo_len, hi_len,
+       (n_tokens >= lo_len AND n_tokens <= hi_len) AS keep
+FROM d CROSS JOIN bounds
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": chunk_documents,
+    "length_outlier_filter": length_outlier_filter,
     "boilerplate_chunk_removal": boilerplate_chunk_removal,
     "curate_quality_topk": curate_quality_topk,
     # registered entry runs the synthetic-fixture mode so the oracle's
@@ -495,6 +587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "length_outlier_filter": LENGTH_OUTLIER_FILTER_SQL,
     "boilerplate_chunk_removal": BOILERPLATE_CHUNK_REMOVAL_SQL,
     "curate_quality_topk": CURATE_QUALITY_TOPK_SQL,
     "pii_redact": PII_REDACT_SQL,

@@ -109,6 +109,7 @@ HEADLINE = [
     "user_state_diff",
     "cross_source_dup_matrix",
     "export_packed_shards",
+    "length_outlier_filter",
 ]
 
 

@@ -1497,3 +1497,43 @@ class TestSessionizeProperty:
             assert got == want, (got, want, rows)
 
         check()
+
+
+class TestLengthOutlierReference:
+    def test_rank_band_matches_python_reference(self, spark):
+        from argus_spark.datapipe.textprep import (
+            LOF_HI_PERMILLE,
+            LOF_LO_PERMILLE,
+            length_outlier_filter,
+        )
+        from argus_spark.session import load
+        from tests.conftest import SF_SMOKE
+
+        lens = {
+            r["doc_id"]: len([w for w in r["text"].split(" ") if w])
+            for r in load(spark, SF_SMOKE, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        n = len(lens)
+        per = {}
+        for v in lens.values():
+            per[v] = per.get(v, 0) + 1
+        cum, run = {}, 0
+        for v in sorted(per):
+            run += per[v]
+            cum[v] = run
+        lo = min(v for v in per if cum[v] * 1000 > n * LOF_LO_PERMILLE)
+        hi = max(
+            v for v in per if (cum[v] - per[v]) * 1000 < n * LOF_HI_PERMILLE
+        )
+        got = {r["doc_id"]: r for r in length_outlier_filter(spark, SF_SMOKE).collect()}
+        assert set(got) == set(lens)
+        for doc_id, r in got.items():
+            assert r["n_tokens"] == lens[doc_id]
+            assert (r["lo_len"], r["hi_len"]) == (lo, hi)
+            assert r["keep"] == (lo <= lens[doc_id] <= hi)
+        kept = sum(1 for r in got.values() if r["keep"])
+        # the band must really cut both tails, and keep the bulk
+        assert 0 < kept < n
+        assert kept * 1000 >= n * (LOF_HI_PERMILLE - LOF_LO_PERMILLE - 30)
