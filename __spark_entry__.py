@@ -72,8 +72,7 @@ _PRIORITY = [
     # -- tier 1: latest fresh driver row is round 5 -----------------------
     "avg_by_key", "min_safe_intersection",
     "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
-    "range_join_pairs",
-    "session_window_agg", "sample_stratified",
+    "range_join_pairs", "sample_stratified",
     "pack_sequences",
     "dataset_mixture", "ann_cosine_topk",
     "ann_ivf_topk", "decontaminate_ngram_overlap",
@@ -98,7 +97,7 @@ _PRIORITY = [
     "sessionize_events", "ann_pq_adc_topk",
     "skew_detect_keys", "user_state_diff",
     "export_packed_shards", "cross_source_dup_matrix",
-    "length_outlier_filter",
+    "length_outlier_filter", "source_centroid_similarity",
     # -- tier 3: fresh green row in round 6, PLUS the deferred r5 ----------
     # entries (explode_ordinal, broadcast_lookup, semi_join_exists,
     # checkpoint_window, filter_project from the r7 plan, plus this
@@ -110,7 +109,7 @@ _PRIORITY = [
     "sample_quality_deciles", "doc_fingerprint", "lang_id_ngram",
     "token_count", "tfidf_top_terms", "ann_lsh_bucketed",
     "cube_counts", "grouping_sets_value", "median_value_by_type",
-    "sliding_window_agg", "tumbling_window_agg",
+    "sliding_window_agg", "tumbling_window_agg", "session_window_agg",
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
     "dedup_keep_first", "duplicate_detect", "latest_per_key",

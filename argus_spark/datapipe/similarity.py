@@ -683,6 +683,108 @@ FROM x JOIN stats ON x.dim = stats.dim
 """
 
 
+def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic source map: per-source mean embedding (the domain
+    centroid), then cosine similarity between every source pair — the
+    embedding-space complement of ``text.source_token_overlap``
+    (lexical). Two sources with near-1 cosine are candidates for
+    merged mixture weights; far-apart sources justify separate quotas.
+
+    Determinism: per-(source, dim) means use the fixed-point moment
+    discipline (floor(x·2²⁴) BIGINT sums); pair dot products and norms
+    are again fixed-point sums over the TINY centroid frame
+    (|sources|·DIM rows), so no float accumulation anywhere — the one
+    sqrt/division closing chain is correctly-rounded IEEE on identical
+    operands.
+
+    Plan at 100 TB: one id equi-join attaches sources to vectors, one
+    partial-agged exchange onto |sources|·DIM keys; everything after
+    operates on ≤ a-few-thousand-row frames (broadcast joins, free)."""
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
+        F.col("vec_id").alias("doc_id"), _as_double("embedding").alias("v")
+    )
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    x = e.join(src, "doc_id").select(
+        "source", F.posexplode("v").alias("dim", "val")
+    )
+    cent = (
+        x.groupBy("source", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("val") * F.lit(ESTD_FX)).cast("long")).alias("_m"),
+        )
+        .select(
+            "source",
+            "dim",
+            (F.col("_m").cast("double") / F.lit(ESTD_FX) / F.col("n")).alias("c"),
+        )
+    )
+    a = cent.select(
+        F.col("source").alias("source_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("source").alias("source_b"), "dim", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.floor(F.col("ca") * F.col("cb") * F.lit(ESTD_FX)).cast("long")
+            ).alias("dot_fp")
+        )
+    )
+    norms = dots.filter(F.col("source_a") == F.col("source_b")).select(
+        F.col("source_a").alias("s"), F.col("dot_fp").alias("nrm_fp")
+    )
+    na = norms.select(F.col("s").alias("source_a"), F.col("nrm_fp").alias("na"))
+    nb = norms.select(F.col("s").alias("source_b"), F.col("nrm_fp").alias("nb"))
+    return (
+        dots.filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.col("dot_fp").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("cos_sim"),
+        )
+    )
+
+
+SOURCE_CENTROID_SIMILARITY_SQL = f"""
+WITH e AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+), x AS (
+  SELECT d.source, u.i - 1 AS dim, e.v[u.i] AS val
+  FROM e JOIN documents d USING (doc_id),
+       unnest(range(1, len(e.v) + 1)) AS u(i)
+), cent AS (
+  SELECT source, dim,
+         CAST(sum(CAST(floor(val * {ESTD_FX!r}) AS BIGINT)) AS BIGINT)::DOUBLE
+           / {ESTD_FX!r} / count(*) AS c
+  FROM x GROUP BY source, dim
+), dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(CAST(floor(a.c * b.c * {ESTD_FX!r}) AS BIGINT)) AS BIGINT)
+           AS dot_fp
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.source <= b.source
+  GROUP BY a.source, b.source
+), norms AS (
+  SELECT source_a AS s, dot_fp AS nrm_fp FROM dots WHERE source_a = source_b
+)
+SELECT source_a, source_b,
+       dot_fp::DOUBLE / sqrt(na.nrm_fp::DOUBLE * nb.nrm_fp::DOUBLE) AS cos_sim
+FROM dots
+JOIN norms na ON na.s = source_a
+JOIN norms nb ON nb.s = source_b
+WHERE source_a < source_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -691,6 +793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_project_rp": embedding_project_rp,
     "embedding_standardize": embedding_standardize,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "source_centroid_similarity": source_centroid_similarity,
 }
 
 ORACLES: dict[str, str] = {
@@ -701,4 +804,5 @@ ORACLES: dict[str, str] = {
     "embedding_project_rp": EMBEDDING_PROJECT_RP_SQL,
     "embedding_standardize": EMBEDDING_STANDARDIZE_SQL,
     "ann_pq_adc_topk": _ann_pq_adc_topk_sql(),
+    "source_centroid_similarity": SOURCE_CENTROID_SIMILARITY_SQL,
 }

@@ -110,6 +110,7 @@ HEADLINE = [
     "cross_source_dup_matrix",
     "export_packed_shards",
     "length_outlier_filter",
+    "source_centroid_similarity",
 ]
 
 
