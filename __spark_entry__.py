@@ -55,19 +55,18 @@ def _modules():
 #
 # Round-8 rotation (the round-7 driver pass never ran, so the r7
 # window was never consumed — staleness is still measured against
-# r6/r5 rows): tier 1 = the r5-vintage queries, unchanged from the r7
-# plan; tier 2 = everything with NO driver row at all — the r7-built
-# queries (streaming replays, curation_pipeline, containment /
-# winnowing / novelty, temperature mixture, pack stats) plus this
-# round's new operators (weighted_sample_bernoulli,
-# boilerplate_chunk_removal, fluency_bigram,
-# quality_classifier_hashed, the three TPC-H-shape multi-join
-# analytics queries) and the r7-changed heavy_hitter_tokens /
-# dedup_simhash; tier 3 = the unchanged r6 greens. Seven stable
-# map-only r5 ops (text_normalize, repetition_ratio, multimodal_resize,
-# multimodal_meta, multimodal_frame_sample, pii_redact,
-# sample_quality_deciles) defer past the cap to make room — no-row
-# coverage outranks stale-row refresh, and they lead tier 1 next round.
+# r6/r5 rows): tier 2 holds everything with NO driver row at all — the
+# 11 r7-built/changed queries (streaming replays, curation_pipeline,
+# containment/winnowing/novelty, temperature mixture, pack stats,
+# heavy_hitter_tokens, dedup_simhash) plus the 18 r8 operators (lm
+# scoring, weighted/boilerplate prep, TPC-H-shape joins, embedding
+# standardize/PQ/centroids, source overlap, funnel replay,
+# sessionize, skew detect, state diff, shard export, dup matrix,
+# length gate). 29 no-row queries + 21 r5-vintage tier-1 slots fill
+# the 50 exactly; the remaining r5-vintage stable ops (map-only
+# text/multimodal/window/groupingset entries, listed at the head of
+# tier 3) defer past the cap — no-row coverage outranks stale-row
+# refresh — and lead tier 1 next round.
 _PRIORITY = [
     # -- tier 1: latest fresh driver row is round 5 -----------------------
     "avg_by_key", "min_safe_intersection",
@@ -99,9 +98,8 @@ _PRIORITY = [
     "export_packed_shards", "cross_source_dup_matrix",
     "length_outlier_filter", "source_centroid_similarity",
     # -- tier 3: fresh green row in round 6, PLUS the deferred r5 ----------
-    # entries (explode_ordinal, broadcast_lookup, semi_join_exists,
-    # checkpoint_window, filter_project from the r7 plan, plus this
-    # round's four deferrals) leading so they top tier 1 next round.
+    # entries (the 23 stable ops below, through session_window_agg)
+    # leading so they top tier 1 next round.
     "explode_ordinal", "broadcast_lookup", "semi_join_exists",
     "checkpoint_window", "filter_project",
     "text_normalize", "repetition_ratio", "multimodal_resize",
