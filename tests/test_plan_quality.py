@@ -433,3 +433,40 @@ def test_sessionize_single_window_exchange(spark):
     plan = formatted_plan(sessionize_events(spark, SF_SMOKE))
     assert n_shuffle_exchanges(plan) == 1, plan
     assert has_partial_aggregation(plan), plan
+
+
+def test_boilerplate_broadcasts_flag_table(spark):
+    """boilerplate_chunk_removal: the df >= MINDF flag table must come
+    back as a BROADCAST join onto the chunk stream (true boilerplate
+    is rare), and the df aggregate must be partial."""
+    from argus_spark.datapipe.textprep import boilerplate_chunk_removal
+
+    plan = formatted_plan(boilerplate_chunk_removal(spark, SF_SMOKE))
+    assert has_broadcast_hash_join(plan), plan
+    assert has_partial_aggregation(plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fluency_bigram_equi_join_probe_no_cartesian(spark):
+    """fluency_bigram: the c2 model probe must stay an equi-join on
+    (prev, cur) — never a cartesian; the only BroadcastNestedLoopJoin
+    allowed is the one-row vocabulary-size frame."""
+    from argus_spark.datapipe.lm import fluency_bigram
+
+    plan = formatted_plan(fluency_bigram(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") // 2 <= 1, plan
+    assert has_partial_aggregation(plan), plan
+
+
+def test_weighted_bernoulli_map_side_zero_data_shuffle(spark):
+    """weighted_sample_bernoulli: one tiny totals aggregate broadcast
+    back, then a pure map-side filter — the document stream itself
+    never shuffles."""
+    from argus_spark.datapipe.sampling import weighted_sample_bernoulli
+
+    plan = formatted_plan(weighted_sample_bernoulli(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    # the only exchanges allowed are the one-row totals aggregate's
+    # (partial -> final over a single row), never a doc-keyed shuffle
+    assert n_shuffle_exchanges(plan) <= 1, plan
