@@ -72,7 +72,6 @@ _PRIORITY = [
     "avg_by_key", "min_safe_intersection",
     "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
     "range_join_pairs", "sample_stratified",
-    "pack_sequences",
     "dataset_mixture", "ann_cosine_topk",
     "ann_ivf_topk", "decontaminate_ngram_overlap",
     "kmeans_embeddings",
@@ -97,6 +96,7 @@ _PRIORITY = [
     "skew_detect_keys", "user_state_diff",
     "export_packed_shards", "cross_source_dup_matrix",
     "length_outlier_filter", "source_centroid_similarity",
+    "top_terms_by_source",
     # -- tier 3: fresh green row in round 6, PLUS the deferred r5 ----------
     # entries (the 23 stable ops below, through session_window_agg)
     # leading so they top tier 1 next round.
@@ -108,6 +108,7 @@ _PRIORITY = [
     "token_count", "tfidf_top_terms", "ann_lsh_bucketed",
     "cube_counts", "grouping_sets_value", "median_value_by_type",
     "sliding_window_agg", "tumbling_window_agg", "session_window_agg",
+    "pack_sequences",
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
     "dedup_keep_first", "duplicate_detect", "latest_per_key",

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from argus_spark.datapipe.hashing import h64, h64_sql, words_col, words_sql
@@ -857,9 +857,92 @@ JOIN sizes sb ON sb.source = source_b
 """
 
 
+TTS_TOP_K = 5
+TTS_MIN_COUNT = 5  # rare-token noise floor
+
+
+def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive terms: the top-K tokens by rate ratio
+    (within-source rate ÷ corpus rate) — the "what is this source
+    about" line of a dataset card, complementing the per-DOC
+    ``tfidf_top_terms``. Tokens under TTS_MIN_COUNT occurrences in the
+    source are dropped (rare-token ratios are noise).
+
+    Determinism: the ratio c_s(t)·N / (N_s·c(t)) is a division of two
+    exact BIGINT products (< 2⁵³ here ⇒ the double is correctly
+    rounded and engine-identical; at 100 TB move the products to
+    DECIMAL(38,0) — the wbern precedent); the ranking order
+    (ratio DESC, tok ASC) is total either way.
+
+    Plan: ONE map-side-PARTIAL (source, tok) count; corpus counts and
+    source totals are re-aggregations of that small frame; the one-row
+    corpus total and the |sources|-row totals broadcast; the final
+    per-source top-K is a window over ≤ |sources|·|vocab| rows."""
+    st = (
+        load(spark, sf_dir, "documents", widen=True)
+        .select("source", F.explode(words_col()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+    )
+    src_tot = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    tok_tot = st.groupBy("tok").agg(F.sum("c_st").cast("long").alias("c_t"))
+    corpus_tot = st.agg(F.sum("c_st").cast("long").alias("n"))
+    scored = (
+        st.filter(F.col("c_st") >= TTS_MIN_COUNT)
+        .join(F.broadcast(src_tot), "source")
+        .join(tok_tot, "tok")
+        .crossJoin(F.broadcast(corpus_tot))  # one-row corpus total
+        .withColumn(
+            "rate_ratio",
+            (F.col("c_st") * F.col("n")).cast("double")
+            / (F.col("n_s") * F.col("c_t")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("rate_ratio"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TTS_TOP_K)
+        .select(
+            "source",
+            "tok",
+            F.col("c_st").alias("n_in_source"),
+            "rate_ratio",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+TOP_TERMS_BY_SOURCE_SQL = f"""
+WITH st AS (
+  SELECT source, tok, count(*)::BIGINT AS c_st
+  FROM (SELECT source, unnest({words_sql()}) AS tok FROM documents)
+  GROUP BY source, tok
+), src_tot AS (
+  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source
+), tok_tot AS (
+  SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok
+), corpus_tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM st),
+scored AS (
+  SELECT st.source, st.tok, st.c_st,
+         (st.c_st * n)::DOUBLE / (n_s * c_t)::DOUBLE AS rate_ratio
+  FROM st
+  JOIN src_tot USING (source) JOIN tok_tot USING (tok) CROSS JOIN corpus_tot
+  WHERE st.c_st >= {TTS_MIN_COUNT}
+)
+SELECT source, tok, c_st AS n_in_source, rate_ratio, rk::BIGINT AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY rate_ratio DESC, tok ASC) AS rk
+  FROM scored
+) WHERE rk <= {TTS_TOP_K}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "source_token_overlap": source_token_overlap,
+    "top_terms_by_source": top_terms_by_source,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "decontaminate_containment": decontaminate_containment,
@@ -877,6 +960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "heavy_hitter_tokens": HEAVY_HITTER_TOKENS_SQL,
     "source_token_overlap": SOURCE_TOKEN_OVERLAP_SQL,
+    "top_terms_by_source": TOP_TERMS_BY_SOURCE_SQL,
     "winnow_fingerprints": WINNOW_FINGERPRINTS_SQL,
     "winnow_overlap_pairs": WINNOW_OVERLAP_PAIRS_SQL,
     "decontaminate_containment": DECONTAMINATE_CONTAINMENT_SQL,

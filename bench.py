@@ -111,6 +111,7 @@ HEADLINE = [
     "export_packed_shards",
     "length_outlier_filter",
     "source_centroid_similarity",
+    "top_terms_by_source",
 ]
 
 
