@@ -100,9 +100,12 @@ def fluency_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
     )
-    # model tables: c2 over (prev,cur) — equi-join probe, NOT broadcast
-    # (bigram cardinality can exceed broadcast at corpus scale); c1 over
-    # prev — vocabulary-sized, broadcast; V — one row, broadcast.
+    # model tables: c2 over (prev,cur) and c1 over prev are both
+    # corpus-vocabulary-shaped — equi-join probes with NO forced
+    # broadcast (at 100 TB the distinct-unigram table also outgrows the
+    # driver; AQE picks broadcast at test scale on its own and degrades
+    # to a shuffle join when the stats say otherwise). Only the one-row
+    # V frame is hinted.
     c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
     c1 = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (
@@ -111,7 +114,7 @@ def fluency_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         big.join(c2, ["prev", "cur"])
-        .join(F.broadcast(c1), "prev")
+        .join(c1, "prev")
         .crossJoin(F.broadcast(vocab))  # one-row V frame
         .withColumn(
             "p",

@@ -288,6 +288,25 @@ FROM pos
 """
 
 
+_PACKED_DIRS: dict[str, str] = {}
+
+
+def _packed_out_dir(sf_dir: str) -> str:
+    """Per-process output dir for the shard export, keyed by sf_dir:
+    created once, registered for exit cleanup once, overwritten in
+    place by every subsequent construction (ADVICE r8: the former
+    fresh-mkdtemp-per-call leaked one dataset copy per repeat)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if sf_dir not in _PACKED_DIRS:
+        d = tempfile.mkdtemp(prefix="argus_packed_shards_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _PACKED_DIRS[sf_dir] = d
+    return _PACKED_DIRS[sf_dir]
+
+
 def export_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-export WRITE path: materialize the
     ``pack_sequences`` layout as shard-partitioned parquet (one
@@ -302,13 +321,12 @@ def export_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the write is partitioned by the same shard key the packing
     shuffle already established — no extra exchange; the manifest agg
     has N_SHARDS output groups. shard is re-cast to BIGINT because
-    partition-column discovery narrows it to INT on read."""
-    import atexit
-    import shutil
-    import tempfile
+    partition-column discovery narrows it to INT on read.
 
-    out = tempfile.mkdtemp(prefix="argus_packed_shards_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    The output dir is ONE per (process, sf_dir), overwritten in place
+    on re-construction — bench's warm+timed repeats and long harness
+    sessions must not accumulate a packed-dataset copy per call."""
+    out = _packed_out_dir(sf_dir)
     pack_sequences(spark, sf_dir).write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(out)

@@ -648,13 +648,17 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("std"),
         )
     )
+    # std == 0 (a truly constant dimension, which the floor() clamp can
+    # produce) ⇒ z := 0.0, not a NULL/NaN division — mirrored in the SQL
     return (
         x.join(F.broadcast(stats), "dim")
         .select(
             "vec_id",
             "dim",
             "val",
-            ((F.col("val") - F.col("mean")) / F.col("std")).alias("z"),
+            F.when(F.col("std") == 0.0, F.lit(0.0))
+            .otherwise((F.col("val") - F.col("mean")) / F.col("std"))
+            .alias("z"),
         )
     )
 
@@ -678,7 +682,8 @@ WITH x AS (
            0.0)) AS std
   FROM x GROUP BY dim
 )
-SELECT vec_id, x.dim, val, (val - mean) / std AS z
+SELECT vec_id, x.dim, val,
+       CASE WHEN std = 0 THEN 0.0 ELSE (val - mean) / std END AS z
 FROM x JOIN stats ON x.dim = stats.dim
 """
 

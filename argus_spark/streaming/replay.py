@@ -195,38 +195,16 @@ FROM events GROUP BY user_id
 """
 
 
-def streaming_watermark_dedup_replay(
-    spark: SparkSession, sf_dir: str
+WM_LATE_SENTINEL = "u_late_sentinel"
+
+
+def _watermark_replay_run(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """Drive Spark's OWN bounded-state streaming dedup
-    (``dedup_within_watermark`` → ``dropDuplicatesWithinWatermark``)
-    through a REAL stream — readStream file source, event-time
-    watermark, 4 deterministic micro-batches under
-    ``Trigger.AvailableNow`` + ``maxFilesPerTrigger=1`` — and return
-    the committed survivors. Unlike the two sink replays above (which
-    call foreachBatch bodies directly), this exercises the full
-    Structured Streaming path: source listing order, per-batch
-    watermark advance, operator state, and late-data filtering.
-
-    Schedule (delay = 10 min): batches 0/1/2 carry one row per user
-    with an event whose event_id % 3 == k, at event times base+0/5/10
-    minutes — every duplicate arrives WITHIN the delay, so the
-    contract is exactly first-occurrence-wins. Batch 3 carries one
-    LATE sentinel row 10 minutes below the watermark (after batch 2
-    the watermark is base+0), which the engine must drop — the
-    documented late-data rule, checked by the sentinel's absence from
-    the oracle result. Determinism notes, both load-bearing: feed
-    files get strictly increasing mtimes (``os.utime``) because the
-    file source orders by timestamp and same-ms files measured
-    arriving in listing order, i.e. nondeterministically; and the
-    schedule deliberately never depends on STATE EVICTION timing —
-    probing showed the state sweep lags the watermark by one batch
-    (a re-occurrence after nominal expiry is still deduplicated), an
-    internal the oracle must not encode.
-
-    Scale: state is one (key, expiry) entry per live key, bounded by
-    the watermark horizon — the built-in bounded-lookback tool the
-    module docstring contrasts with the unbounded sink designs."""
+    """One full readStream run of ``dedup_within_watermark`` over the
+    scripted 4-file feed; returns the raw committed rows (user_id, ts,
+    batch). Factored out so the query wrapper can leak-check/retry and
+    pytest can replay the SAME feed under perturbed batching."""
     import json as _json
     import time as _time
 
@@ -257,27 +235,51 @@ def streaming_watermark_dedup_replay(
             for u in sorted(users)
         ]
         _write_feed(feed, k, rows, now + 10 * k)
-    # batch 3: one late sentinel below the watermark (base+0 after
-    # batch 2's base+10min max) — must be dropped by the engine
+        if k == 0:
+            batch0_users = users
+    # file 3: FILLER — a re-delivery of file 0's rows (all duplicates
+    # within the horizon, so it never adds a committed row). Its job is
+    # spacing: the engine drops a late row only once a batch containing
+    # the +10 rows has COMPLETED (the drop rule is expiry ≤ current
+    # watermark, probed empirically), so the sentinel must sit ≥2 files
+    # after file 2 for the result to survive a 2-file bundling.
     _write_feed(
         feed,
         N_REPLAY_BATCHES,
         [
             _json.dumps(
                 {
-                    "user_id": "u_late_sentinel",
-                    "ts": "2023-12-31 23:50:00",
+                    "user_id": u,
+                    "ts": "2024-01-01 00:00:00",
                     "batch": N_REPLAY_BATCHES,
                 }
             )
+            for u in sorted(batch0_users)
         ],
         now + 10 * N_REPLAY_BATCHES,
+    )
+    # file 4: one late sentinel 10 min below the fully-advanced
+    # watermark (base+0) — must be dropped by the engine as long as
+    # file 2 was processed in an earlier micro-batch
+    _write_feed(
+        feed,
+        N_REPLAY_BATCHES + 1,
+        [
+            _json.dumps(
+                {
+                    "user_id": WM_LATE_SENTINEL,
+                    "ts": "2023-12-31 23:50:00",
+                    "batch": N_REPLAY_BATCHES + 1,
+                }
+            )
+        ],
+        now + 10 * (N_REPLAY_BATCHES + 1),
     )
     from argus_spark.streaming.dedup import dedup_within_watermark
 
     stream = (
         spark.readStream.schema("user_id string, ts timestamp, batch long")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(feed)
     )
     dd = dedup_within_watermark(stream, ["user_id"], "ts", "10 minutes")
@@ -295,6 +297,66 @@ def streaming_watermark_dedup_replay(
     return spark.read.parquet(res_dir).select("user_id", "ts", "batch")
 
 
+def streaming_watermark_dedup_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive Spark's OWN bounded-state streaming dedup
+    (``dedup_within_watermark`` → ``dropDuplicatesWithinWatermark``)
+    through a REAL stream — readStream file source, event-time
+    watermark, ``Trigger.AvailableNow`` + ``maxFilesPerTrigger=1`` —
+    and return the committed survivors. Unlike the two sink replays
+    above (which call foreachBatch bodies directly), this exercises
+    the full Structured Streaming path: source listing order,
+    per-batch watermark advance, operator state, and late-data
+    filtering.
+
+    Schedule (delay = 10 min): files 0/1/2 carry one row per user
+    with an event whose event_id % 3 == k, at event times base+0/5/10
+    minutes — every duplicate arrives WITHIN the delay, so the
+    contract is exactly first-occurrence-wins. File 3 is a filler
+    re-delivery (pure duplicates — spacing, see the run helper), and
+    file 4 carries one LATE sentinel row below the watermark, which
+    the engine must drop — the documented late-data rule, checked by
+    the sentinel's absence from the oracle result.
+
+    BATCHING-INVARIANT OUTPUT (the r8 red-row fix): the result is
+    ``(user_id, n_emitted)``, n_emitted = committed rows per key.
+    The r8 driver row failed on hash only — under load the engine's
+    file→micro-batch assignment deviated from the assumed 1:1 mapping
+    (mtime tie or AvailableNow bundling), silently reassigning which
+    duplicate's (ts, batch) won. Those columns are engine-choice, so
+    they no longer appear in the result: for EVERY legal batching of
+    the feed, each user commits exactly one row (all duplicates fall
+    within the 10-minute horizon and the schedule never evicts state
+    — max watermark = base+0 < every expiry), so any first-wins
+    outcome hashes identically. The one batching that changes the
+    RESULT SET — the whole feed bundled into a single first
+    micro-batch, where the sentinel beats the yet-unadvanced
+    watermark — is detected by the sentinel leaking into the
+    committed table, and the run is rebuilt from scratch (fresh feed
+    + checkpoint) rather than recorded. mtimes are still strictly
+    increasing (``os.utime``) so the file source's timestamp order is
+    well-defined.
+
+    Scale: state is one (key, expiry) entry per live key, bounded by
+    the watermark horizon — the built-in bounded-lookback tool the
+    module docstring contrasts with the unbounded sink designs."""
+    for _attempt in range(3):
+        res = _watermark_replay_run(spark, sf_dir)
+        leaked = (
+            res.filter(F.col("user_id") == WM_LATE_SENTINEL).limit(1).count()
+            > 0
+        )
+        if not leaked:
+            return res.groupBy("user_id").agg(
+                F.count("*").cast("long").alias("n_emitted")
+            )
+    raise RuntimeError(
+        "watermark replay: engine bundled the whole feed into one "
+        "micro-batch on 3 consecutive runs (late sentinel never dropped)"
+    )
+
+
 def _write_feed(feed: str, seq: int, rows: list[str], mtime: float) -> None:
     p = os.path.join(feed, f"{seq:05d}.json")
     tmp = p + ".tmp"
@@ -304,13 +366,8 @@ def _write_feed(feed: str, seq: int, rows: list[str], mtime: float) -> None:
     os.utime(p, (mtime, mtime))
 
 
-STREAMING_WATERMARK_DEDUP_REPLAY_SQL = f"""
-SELECT user_id,
-       (TIMESTAMP '2024-01-01 00:00:00'
-        + to_minutes(5 * min(event_id % {N_REPLAY_BATCHES})))::TIMESTAMP
-         AS ts,
-       min(event_id % {N_REPLAY_BATCHES})::BIGINT AS batch
-FROM events GROUP BY user_id
+STREAMING_WATERMARK_DEDUP_REPLAY_SQL = """
+SELECT DISTINCT user_id, 1::BIGINT AS n_emitted FROM events
 """
 
 

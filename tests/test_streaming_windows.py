@@ -214,6 +214,34 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert rows == [(1, 1.0), (2, 3.0)], rows
 
 
+def test_watermark_replay_batching_invariant(spark):
+    """The r8 red-row regression test: the watermark-dedup replay's
+    RESULT must not depend on the engine's file→micro-batch
+    assignment. Replay the same scripted feed under the contract
+    batching (1 file/trigger) and a deliberately perturbed one
+    (2 files/trigger — files 0+1 bundle, so a different duplicate
+    wins; the sentinel bundles with the filler file, and the +10
+    batch has completed so the watermark already covers it), and
+    assert the batching-invariant aggregate is identical: every user
+    exactly once, sentinel absent."""
+    from argus_spark.streaming.replay import (
+        WM_LATE_SENTINEL,
+        _watermark_replay_run,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def agg(mfpt):
+        res = _watermark_replay_run(spark, sf, max_files_per_trigger=mfpt)
+        rows = res.groupBy("user_id").count().collect()
+        return {r.user_id: r["count"] for r in rows}
+
+    contract, perturbed = agg(1), agg(2)
+    assert contract == perturbed
+    assert WM_LATE_SENTINEL not in contract
+    assert set(contract.values()) == {1}
+
+
 def test_streaming_funnel_converges_to_batch_funnel(spark, tmp_path):
     """funnel_tracker (applyInPandasWithState) drained over the real
     events table — ordered feed, 3 micro-batches — must reproduce the
