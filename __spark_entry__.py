@@ -25,6 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
+    from argus_spark.lifecycle import replay_queries
     from argus_spark.operators import relational, skew, temporal, utxo
 
     mods = []
@@ -34,7 +35,7 @@ def _modules():
         mods.append(dp_registry)
     except ImportError:
         pass
-    mods.extend([relational, skew, temporal, utxo])
+    mods.extend([relational, skew, temporal, utxo, replay_queries])
     return mods
 
 
@@ -53,53 +54,31 @@ def _modules():
 # older than one round. Keys absent from this list (future operators)
 # are appended in module order after the listed ones.
 #
-# Round-8 rotation (the round-7 driver pass never ran, so the r7
-# window was never consumed — staleness is still measured against
-# r6/r5 rows): tier 2 holds everything with NO driver row at all — the
-# 11 r7-built/changed queries (streaming replays, curation_pipeline,
-# containment/winnowing/novelty, temperature mixture, pack stats,
-# heavy_hitter_tokens, dedup_simhash) plus the 18 r8 operators (lm
-# scoring, weighted/boilerplate prep, TPC-H-shape joins, embedding
-# standardize/PQ/centroids, source overlap, funnel replay,
-# sessionize, skew detect, state diff, shard export, dup matrix,
-# length gate). 29 no-row queries + 21 r5-vintage tier-1 slots fill
-# the 50 exactly; the remaining r5-vintage stable ops (map-only
-# text/multimodal/window/groupingset entries, listed at the head of
-# tier 3) defer past the cap — no-row coverage outranks stale-row
-# refresh — and lead tier 1 next round.
+# Round-9 rotation. The 122/50 registry/window ratio forces a
+# two-round refresh cadence: every registered query gets a fresh
+# driver row at least every OTHER round (new/changed queries always
+# jump the queue). This round's window (7 + 24 + 19 = 50):
+#   tier 2 FIRST (7): the r8 red row (streaming_watermark_dedup_replay,
+#     rewritten batching-invariant this round) + the 3 new r9 operators
+#     (multimodal_phash_dedup, lifecycle_reorg_replay,
+#     lifecycle_crash_replay) + the 3 queries whose code changed this
+#     round (embedding_standardize std==0 guard, export_packed_shards
+#     dir reuse, fluency_bigram hint drop) — no-row/changed coverage
+#     outranks stale-row refresh;
+#   tier 1 (24): the r5-vintage map-only text/multimodal/window/
+#     groupingset family deferred since r6 — their last driver row is
+#     three rounds old, the oldest evidence in the registry;
+#   tier 3 head (19): the oldest r6-vintage rows, list order.
+# Deferred past the cap: 29 r6-vintage (refresh in r10, leading the
+# next window) and the 45 r8-fresh rows (one round old, within
+# cadence).
 _PRIORITY = [
-    # -- tier 1: latest fresh driver row is round 5 -----------------------
-    "avg_by_key", "min_safe_intersection",
-    "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
-    "range_join_pairs", "sample_stratified",
-    "dataset_mixture", "ann_cosine_topk",
-    "ann_ivf_topk", "decontaminate_ngram_overlap",
-    "kmeans_embeddings",
-    "dedup_keep_list", "funnel_conversion",
-    "watched_balances",
-    "balances_after_rollback", "tx_flatten", "utxo_state", "utxo_spent",
-    "utxo_unspent",
-    # -- tier 2: no driver row yet, or changed since their last row -------
-    "heavy_hitter_tokens",
-    "streaming_minhash_replay", "streaming_first_wins_replay",
-    "curation_pipeline", "dedup_simhash",
-    "winnow_overlap_pairs", "decontaminate_containment",
-    "ngram_novelty", "streaming_watermark_dedup_replay",
-    "dataset_mixture_temperature", "pack_efficiency_stats",
-    "weighted_sample_bernoulli", "boilerplate_chunk_removal",
-    "fluency_bigram", "quality_classifier_hashed",
-    "shipping_priority_topk", "regional_revenue",
-    "returned_item_losses",
-    "embedding_standardize", "source_token_overlap",
-    "streaming_funnel_replay",
-    "sessionize_events", "ann_pq_adc_topk",
-    "skew_detect_keys", "user_state_diff",
-    "export_packed_shards", "cross_source_dup_matrix",
-    "length_outlier_filter", "source_centroid_similarity",
-    "top_terms_by_source",
-    # -- tier 3: fresh green row in round 6, PLUS the deferred r5 ----------
-    # entries (the 23 stable ops below, through session_window_agg)
-    # leading so they top tier 1 next round.
+    # -- tier 2: red/rewritten, new this round, or changed this round ----
+    "streaming_watermark_dedup_replay",
+    "multimodal_phash_dedup",
+    "lifecycle_reorg_replay", "lifecycle_crash_replay",
+    "embedding_standardize", "export_packed_shards", "fluency_bigram",
+    # -- tier 1: latest fresh driver row is round 5 (three rounds old) ---
     "explode_ordinal", "broadcast_lookup", "semi_join_exists",
     "checkpoint_window", "filter_project",
     "text_normalize", "repetition_ratio", "multimodal_resize",
@@ -109,12 +88,16 @@ _PRIORITY = [
     "cube_counts", "grouping_sets_value", "median_value_by_type",
     "sliding_window_agg", "tumbling_window_agg", "session_window_agg",
     "pack_sequences",
+    # -- tier 3 head: oldest r6-vintage rows (19 fit the window) ---------
     "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
     "dedup_keep_first", "duplicate_detect", "latest_per_key",
     "topk_serving", "set_intersect", "set_except", "running_sum_frame",
     "rollup_counts", "pivot_status", "hex_canonical", "prefix_display",
-    "string_funcs", "stable_hash", "dedup_exact", "dedup_ngram_jaccard",
+    "string_funcs",
+    # ---- 50-slot window boundary ----------------------------------------
+    # -- deferred r6-vintage (lead the r10 window) ------------------------
+    "stable_hash", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "approx_distinct_users",
     "dedup_embedding_cosine", "dedup_clusters", "chunk_documents",
     "ngram_counts", "text_diversity", "approx_quantiles_value",
@@ -126,6 +109,34 @@ _PRIORITY = [
     "winnow_fingerprints",
     "multimodal_payload_dedup", "corpus_stats_by_source",
     "text_quality", "agg_min_max",
+    # -- r8-fresh rows (one round old, within the two-round cadence) -----
+    "avg_by_key", "min_safe_intersection",
+    "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
+    "range_join_pairs", "sample_stratified",
+    "dataset_mixture", "ann_cosine_topk",
+    "ann_ivf_topk", "decontaminate_ngram_overlap",
+    "kmeans_embeddings",
+    "dedup_keep_list", "funnel_conversion",
+    "watched_balances",
+    "balances_after_rollback", "tx_flatten", "utxo_state", "utxo_spent",
+    "utxo_unspent",
+    "heavy_hitter_tokens",
+    "streaming_minhash_replay", "streaming_first_wins_replay",
+    "curation_pipeline", "dedup_simhash",
+    "winnow_overlap_pairs", "decontaminate_containment",
+    "ngram_novelty",
+    "dataset_mixture_temperature", "pack_efficiency_stats",
+    "weighted_sample_bernoulli", "boilerplate_chunk_removal",
+    "quality_classifier_hashed",
+    "shipping_priority_topk", "regional_revenue",
+    "returned_item_losses",
+    "source_token_overlap",
+    "streaming_funnel_replay",
+    "sessionize_events", "ann_pq_adc_topk",
+    "skew_detect_keys", "user_state_diff",
+    "cross_source_dup_matrix",
+    "length_outlier_filter", "source_centroid_similarity",
+    "top_terms_by_source",
 ]
 
 

@@ -293,11 +293,175 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Perceptual-hash near-dup (the non-exact media dedup mode)
+# --------------------------------------------------------------------------
+
+PH_SEED = "ph"
+PH_HAMMING = 6  # near-dup acceptance: Hamming ≤ 6 of 48 signature bits
+
+
+def phash_signature(payload: bytes) -> int:
+    """pHash-style 48-bit perceptual signature of a decoded media
+    payload: SimHash sign-votes over the payload's overlapping char
+    bigrams (a real pipeline swaps the feature extractor for DCT
+    blocks of decoded pixels — only this function changes; the
+    signature width, banding, and verify join stay). Bit/fold
+    semantics are EXACTLY datapipe.dedup's ``_simhash_col`` (h % 2p
+    ≥ p bit test, sign of the ±1 vote sum, MSB-first fold), and the
+    feature hash is the shared seeded-md5 ``h64``, so the DuckDB
+    oracle reproduces it with the same list idioms."""
+    import hashlib
+
+    from argus_spark.datapipe.dedup import SH_BITS
+
+    s = payload.decode("utf-8")
+    feats = [s[i : i + 2] for i in range(len(s) - 1)]
+    hs = [
+        int(hashlib.md5(f"{PH_SEED}|{f}".encode()).hexdigest()[:15], 16)
+        for f in feats
+    ]
+    sig = 0
+    for j in range(SH_BITS):
+        p = 1 << j
+        vote = sum(1 if (h % (p * 2)) >= p else -1 for h in hs)
+        if vote > 0:
+            sig |= p
+    return sig
+
+
+def _phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "phash": pd.Series(
+                    [
+                        phash_signature(bytes(b)[HEADER_LEN:])
+                        for b in pdf["blob"]
+                    ],
+                    dtype="int64",
+                ),
+            }
+        )
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media NEAR-dup — the non-exact counterpart of
+    ``multimodal_payload_dedup``: re-encodes/slight edits of the same
+    media land at small Hamming distance, not equal digests. The
+    signature runs inside the Arrow ``mapInPandas`` decode pass (where
+    a real pipeline hashes decoded pixels); candidates come from the
+    SAME chunk-banded Hamming machinery as ``dedup_simhash`` (4 ×
+    12-bit chunks — pigeonhole recall for H ≤ 3, recall-biased band
+    filter up to the τ = 6 verify).
+
+    Identical payloads are collapsed to one signature-group row FIRST
+    (min-doc_id representative + copy count), so an m-copy cluster
+    costs one join row, not m² pairs — at 100 TB exact-dedup-then-
+    near-dup-on-representatives is the only shape that survives; the
+    pair join runs over distinct signatures only.
+
+    Output: (rep_a, rep_b, hamming, n_a, n_b) — representative pairs
+    with group sizes, rep_a < rep_b."""
+    from argus_spark.datapipe.dedup import SH_CHUNK_BITS, SH_CHUNKS
+
+    d = load(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", "n_chars", "text"
+    )
+    blobs = d.mapInPandas(_encode_batches, schema=_BLOB_SCHEMA)
+    ph = blobs.mapInPandas(_phash_batches, schema="doc_id long, phash long")
+    groups = ph.groupBy("phash").agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cb = SH_CHUNK_BITS
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                (
+                    (F.col("phash") % F.lit(1 << (cb * (c + 1))))
+                    / F.lit(1 << (cb * c))
+                )
+                .cast("long")
+                .alias("chunk"),
+            )
+            for c in range(SH_CHUNKS)
+        ]
+    )
+    e = groups.select(
+        "rep", "phash", "n", F.explode(chunks).alias("k")
+    ).select(
+        "rep", "phash", "n",
+        F.col("k.c").alias("c"), F.col("k.chunk").alias("chunk"),
+    )
+    a, x = e.alias("a"), e.alias("x")
+    return (
+        a.join(x, ["c", "chunk"], "inner")
+        .filter(F.col("a.rep") < F.col("x.rep"))
+        .select(
+            F.col("a.rep").alias("rep_a"),
+            F.col("x.rep").alias("rep_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("x.phash")))
+            .cast("long")
+            .alias("hamming"),
+            F.col("a.n").alias("n_a"),
+            F.col("x.n").alias("n_b"),
+        )
+        .filter(F.col("hamming") <= PH_HAMMING)
+        .distinct()
+    )
+
+
+def _phash_dedup_sql() -> str:
+    from argus_spark.datapipe.dedup import (
+        SH_CHUNK_BITS,
+        SH_CHUNKS,
+        _simhash_sql_expr,
+    )
+    from argus_spark.datapipe.hashing import h64_sql
+
+    cb = SH_CHUNK_BITS
+    chunk_selects = "\nUNION ALL\n".join(
+        f"SELECT rep, phash, n, {c} AS c, "
+        f"(phash % {1 << (cb * (c + 1))}) // {1 << (cb * c)} AS chunk "
+        "FROM groups"
+        for c in range(SH_CHUNKS)
+    )
+    return f"""
+WITH pay AS (
+  SELECT doc_id, substr(text, 1, 16) AS s FROM documents
+), feats AS (
+  SELECT doc_id,
+         list_transform(range(1, length(s)), i -> substr(s, i, 2)) AS bg
+  FROM pay
+), hh AS (
+  SELECT doc_id, list_transform(bg, x -> {h64_sql('x', PH_SEED)}) AS hs
+  FROM feats
+), ph AS (
+  SELECT doc_id, {_simhash_sql_expr()} AS phash FROM hh
+), groups AS (
+  SELECT phash, min(doc_id) AS rep, count(*)::BIGINT AS n
+  FROM ph GROUP BY phash
+), chunks AS (
+{chunk_selects}
+)
+SELECT DISTINCT a.rep AS rep_a, x.rep AS rep_b,
+       bit_count(xor(a.phash, x.phash))::BIGINT AS hamming,
+       a.n AS n_a, x.n AS n_b
+FROM chunks a JOIN chunks x ON a.c = x.c AND a.chunk = x.chunk
+WHERE a.rep < x.rep
+  AND bit_count(xor(a.phash, x.phash)) <= {PH_HAMMING}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": multimodal_meta,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_payload_dedup": multimodal_payload_dedup,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -305,4 +469,5 @@ ORACLES: dict[str, str] = {
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SAMPLE_SQL,
     "multimodal_payload_dedup": MULTIMODAL_PAYLOAD_DEDUP_SQL,
+    "multimodal_phash_dedup": _phash_dedup_sql(),
 }

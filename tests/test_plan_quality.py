@@ -470,3 +470,15 @@ def test_weighted_bernoulli_map_side_zero_data_shuffle(spark):
     # the only exchanges allowed are the one-row totals aggregate's
     # (partial -> final over a single row), never a doc-keyed shuffle
     assert n_shuffle_exchanges(plan) <= 1, plan
+
+
+def test_phash_dedup_banded_equi_join_no_cartesian(spark):
+    """multimodal_phash_dedup: signatures collapse to distinct groups
+    before the pair join, and candidates come from the chunk-band
+    equi-join — never a cartesian/nested-loop over documents."""
+    from argus_spark.datapipe.multimodal import multimodal_phash_dedup
+
+    plan = formatted_plan(multimodal_phash_dedup(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert has_partial_aggregation(plan), plan  # signature-group collapse
