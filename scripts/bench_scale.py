@@ -53,6 +53,18 @@ OPS = [
     "dedup_semantic",
 ]
 
+# Ops that read the star-schema/events tables — their scale points come
+# from gen_star_point (m× key-offset replication of the sf0.1 facts,
+# constant dims) instead of the synthetic document corpus.
+STAR_OPS = [
+    "shipping_priority_topk",
+    "regional_revenue",
+    "returned_item_losses",
+    "sessionize_events",
+    "user_state_diff",
+    "cross_source_dup_matrix",  # documents-based, but measured with this batch
+]
+
 
 def _fit_exponent(ms: list[int], ts: list[float]) -> float:
     """Least-squares slope of log(t) on log(m) over the largest 3 points."""
@@ -72,7 +84,7 @@ def main() -> None:
     mults = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "1,2,5,10").split(",")]
     ops = sys.argv[3:] or OPS
 
-    from scripts.gen_scale import gen_point
+    from scripts.gen_scale import gen_point, gen_star_point
 
     import __spark_entry__ as e
     from argus_spark.session import get_spark
@@ -80,10 +92,13 @@ def main() -> None:
     spark = get_spark("argus_bench_scale")
     qs = e.queries()
 
+    need_star = any(op in STAR_OPS for op in ops)
     dirs = {}
     for m in mults:
         t0 = time.perf_counter()
         dirs[m] = gen_point(root, m)
+        if need_star:
+            gen_star_point(root, m)
         dt = time.perf_counter() - t0
         if dt > 0.1:
             print(f"# generated x{m} in {dt:.1f}s", file=sys.stderr)
@@ -127,7 +142,36 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_SCALE.md",
     )
-    with open(out_md, "w") as f:
+    # A subset run (explicit ops on the command line) APPENDS a section
+    # so earlier rounds' tables survive; a full default run rewrites.
+    append = bool(sys.argv[3:]) and os.path.exists(out_md)
+    with open(out_md, "a" if append else "w") as f:
+        if append:
+            f.write(
+                f"\n## Additional run — ops {ops}, points m ∈ {mults}\n\n"
+                "Star-schema/events ops measured on gen_star_point "
+                "(m× key-offset replication of the sf0.1 facts: join "
+                "fan-outs and selectivities constant, dims unscaled).\n\n"
+                "| operator | "
+                + " | ".join(f"x{m} wall s" for m in mults)
+                + " | " + " | ".join(f"x{m} rows" for m in mults)
+                + " | time_exp | rows_exp |\n"
+                + "|---" * (2 * len(mults) + 3) + "|\n"
+            )
+            for op, r in results.items():
+                cells = [f"{r['points'][m]['wall']}" for m in mults] + [
+                    f"{r['points'][m]['rows']}" for m in mults
+                ]
+                f.write(
+                    f"| {op} | " + " | ".join(cells)
+                    + f" | **{r['time_exponent']}** | {r['rows_exponent']} |\n"
+                )
+            print(json.dumps({"metric": "scale_exponents", "mults": mults,
+                              "ops": {k: {"time_exponent": v["time_exponent"],
+                                          "rows_exponent": v["rows_exponent"]}
+                                      for k, v in results.items()}}))
+            spark.stop()
+            return
         f.write(
             "# BENCH_SCALE — empirical scaling exponents (dedup/ANN family)\n\n"
             f"Scale family: scripts/gen_scale.py (block-bounded near-dup "

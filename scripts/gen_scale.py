@@ -138,6 +138,76 @@ def gen_point(root: str, mult: int, base_docs: int = 5000, base_vecs: int = 2000
     return out
 
 
+STAR_SRC = "/root/testdata/sf0.1"
+_STAR_FACTS = ["orders", "lineitem", "customer", "events"]
+_STAR_DIMS = ["supplier", "nation", "region", "part"]
+
+
+def gen_star_point(root: str, mult: int, src: str = STAR_SRC) -> str:
+    """Scaled star-schema + events family for the join/sessionization
+    exponent runs (r8 verdict item 6): facts (orders, lineitem,
+    customer, events) replicate m× with KEY OFFSETS — per-key
+    fan-outs, join selectivities, and date/type distributions stay
+    constant, so wall growth measures the engine's scaling, not a
+    drifting workload. Replicating users (not events-per-user) is the
+    right 100 TB model for sessionization: per-user session structure
+    stays fixed while user cardinality grows. Dims copy through
+    unscaled — constant-size at any corpus scale, exactly why the
+    TPC-H-shape plans broadcast them. Idempotent per (root, mult)."""
+    out = os.path.join(root, f"x{mult}")
+    if all(
+        os.path.exists(os.path.join(out, f"{t}.parquet"))
+        for t in _STAR_FACTS + _STAR_DIMS
+    ):
+        return out
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    o_off = con.sql(
+        f"SELECT max(o_orderkey) + 1 FROM '{src}/orders.parquet'"
+    ).fetchone()[0]
+    c_off = con.sql(
+        f"SELECT max(c_custkey) + 1 FROM '{src}/customer.parquet'"
+    ).fetchone()[0]
+    e_off, u_off = con.sql(
+        f"SELECT max(event_id) + 1, max(user_id) + 1 FROM '{src}/events.parquet'"
+    ).fetchone()
+    k = f"(SELECT unnest(range({mult}))::BIGINT AS k) k"
+    selects = {
+        "orders": (
+            f"SELECT o_orderkey + k.k * {o_off} AS o_orderkey, "
+            f"o_custkey + k.k * {c_off} AS o_custkey, o_orderstatus, "
+            f"o_totalprice, o_orderdate, o_orderpriority "
+            f"FROM '{src}/orders.parquet', {k}"
+        ),
+        "lineitem": (
+            f"SELECT l_orderkey + k.k * {o_off} AS l_orderkey, l_partkey, "
+            f"l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+            f"l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+            f"FROM '{src}/lineitem.parquet', {k}"
+        ),
+        "customer": (
+            f"SELECT c_custkey + k.k * {c_off} AS c_custkey, c_name, "
+            f"c_nationkey, c_acctbal, c_mktsegment "
+            f"FROM '{src}/customer.parquet', {k}"
+        ),
+        "events": (
+            f"SELECT event_id + k.k * {e_off} AS event_id, ts, "
+            f"user_id + k.k * {u_off} AS user_id, event_type, value, props "
+            f"FROM '{src}/events.parquet', {k}"
+        ),
+    }
+    for t in _STAR_DIMS:
+        selects[t] = f"SELECT * FROM '{src}/{t}.parquet'"
+    for t, q in selects.items():
+        con.execute(
+            f"COPY ({q}) TO '{os.path.join(out, t)}.parquet' "
+            "(FORMAT PARQUET, ROW_GROUP_SIZE 100000)"
+        )
+    return out
+
+
 if __name__ == "__main__":
     import sys
 
