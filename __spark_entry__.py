@@ -54,29 +54,32 @@ def _modules():
 # older than one round. Keys absent from this list (future operators)
 # are appended in module order after the listed ones.
 #
-# Round-9 rotation. The 122/50 registry/window ratio forces a
+# Round-9 rotation. The 127/50 registry/window ratio forces a
 # two-round refresh cadence: every registered query gets a fresh
 # driver row at least every OTHER round (new/changed queries always
-# jump the queue). This round's window (7 + 24 + 19 = 50):
-#   tier 2 FIRST (7): the r8 red row (streaming_watermark_dedup_replay,
-#     rewritten batching-invariant this round) + the 3 new r9 operators
-#     (multimodal_phash_dedup, lifecycle_reorg_replay,
-#     lifecycle_crash_replay) + the 3 queries whose code changed this
-#     round (embedding_standardize std==0 guard, export_packed_shards
-#     dir reuse, fluency_bigram hint drop) — no-row/changed coverage
-#     outranks stale-row refresh;
+# jump the queue). This round's window (9 + 24 + 17 = 50):
+#   tier 2 FIRST (9): the r8 red row (streaming_watermark_dedup_replay,
+#     rewritten batching-invariant this round) + the 5 new r9 operators
+#     (multimodal_phash_dedup, lifecycle_reorg_replay + its SQL-txn
+#     backend twin, lifecycle_crash_replay,
+#     streaming_sessionize_replay) + the 3 queries whose code changed
+#     this round (embedding_standardize std==0 guard,
+#     export_packed_shards dir reuse, fluency_bigram hint drop) —
+#     no-row/changed coverage outranks stale-row refresh;
 #   tier 1 (24): the r5-vintage map-only text/multimodal/window/
 #     groupingset family deferred since r6 — their last driver row is
 #     three rounds old, the oldest evidence in the registry;
-#   tier 3 head (19): the oldest r6-vintage rows, list order.
-# Deferred past the cap: 29 r6-vintage (refresh in r10, leading the
+#   tier 3 head (17): the oldest r6-vintage rows, list order.
+# Deferred past the cap: 31 r6-vintage (refresh in r10, leading the
 # next window) and the 45 r8-fresh rows (one round old, within
 # cadence).
 _PRIORITY = [
     # -- tier 2: red/rewritten, new this round, or changed this round ----
     "streaming_watermark_dedup_replay",
     "multimodal_phash_dedup",
-    "lifecycle_reorg_replay", "lifecycle_crash_replay",
+    "lifecycle_reorg_replay", "lifecycle_reorg_replay_sqltxn",
+    "lifecycle_crash_replay",
+    "streaming_sessionize_replay",
     "embedding_standardize", "export_packed_shards", "fluency_bigram",
     # -- tier 1: latest fresh driver row is round 5 (three rounds old) ---
     "explode_ordinal", "broadcast_lookup", "semi_join_exists",
@@ -93,10 +96,10 @@ _PRIORITY = [
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
     "dedup_keep_first", "duplicate_detect", "latest_per_key",
     "topk_serving", "set_intersect", "set_except", "running_sum_frame",
-    "rollup_counts", "pivot_status", "hex_canonical", "prefix_display",
-    "string_funcs",
+    "rollup_counts", "pivot_status", "hex_canonical",
     # ---- 50-slot window boundary ----------------------------------------
     # -- deferred r6-vintage (lead the r10 window) ------------------------
+    "prefix_display", "string_funcs",
     "stable_hash", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "approx_distinct_users",
     "dedup_embedding_cosine", "dedup_clusters", "chunk_documents",

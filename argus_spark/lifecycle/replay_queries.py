@@ -27,6 +27,7 @@ deltas, one atomic commit per epoch, retraction as metadata).
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -142,6 +143,56 @@ LEFT JOIN (
 )
 
 
+def lifecycle_reorg_replay_sqltxn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME reorg scenario as ``lifecycle_reorg_replay``, driven
+    into the SQL-TRANSACTION backend (lifecycle/duckstore.py — the
+    reference's EF/Postgres deployment shape: one ACID transaction per
+    epoch, keyed MERGE upserts, slot-range retraction as SQL DELETEs,
+    synchronous commits since a live database has no pinned
+    snapshots). Same oracle as the parquet-backend row, so a green
+    pair certifies both A11 backends converge to the identical state
+    through sync → mid-chain reorg → fresh-driver branch resume."""
+    from argus_spark.lifecycle.duckstore import DuckDBStateStore
+
+    blocks, watched, slots = _chain(spark, sf_dir, L_REORG)
+    n = len(slots)
+    fork, r = n // 2, 3 * n // 4
+    store = DuckDBStateStore(
+        os.path.join(_state_dir(f"reorgsql|{sf_dir}"), "argus.duckdb")
+    )
+    blocks = blocks.cache()
+    try:
+        reg = build_example_registry(spark, watched)
+        d = IndexDriver(
+            spark, reg, store, blocks, batch_size=500, max_delay_s=1e9
+        )
+        d.run(_fwd(slots))
+        d.run(
+            [
+                ChainEvent(
+                    "roll_back",
+                    rollback_slot=slots[fork],
+                    rollback_type="exclusive",
+                )
+            ]
+        )
+        d2 = IndexDriver(
+            spark, reg, store, blocks, batch_size=500, max_delay_s=1e9
+        )
+        d2.run(_fwd(slots[fork + 1 : r]))
+        out = current_balances(spark, store).select(
+            "address_name", "slot", "balance"
+        )
+    finally:
+        blocks.unpersist()
+    # the serving frame is a lazy scan of the store's parquet export,
+    # which outlives the connection
+    store.close()
+    return out
+
+
 class _CrashingStore(ParquetStateStore):
     """Injects a crash at the A11 commit point: data files for the
     torn epoch are on disk, the manifest rename never happens — the
@@ -227,10 +278,12 @@ LEFT JOIN (
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lifecycle_reorg_replay": lifecycle_reorg_replay,
+    "lifecycle_reorg_replay_sqltxn": lifecycle_reorg_replay_sqltxn,
     "lifecycle_crash_replay": lifecycle_crash_replay,
 }
 
 ORACLES: dict[str, str] = {
     "lifecycle_reorg_replay": LIFECYCLE_REORG_REPLAY_SQL,
+    "lifecycle_reorg_replay_sqltxn": LIFECYCLE_REORG_REPLAY_SQL,
     "lifecycle_crash_replay": LIFECYCLE_CRASH_REPLAY_SQL,
 }

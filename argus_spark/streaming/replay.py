@@ -484,11 +484,113 @@ def _streaming_funnel_replay_sql() -> str:
     )
 
 
+def _sessionize_replay_run(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """One full readStream run of ``session_tracker`` over the events
+    table cut into 3 contiguous (us, event_id)-ordered micro-batch
+    files; returns the MERGED committed sessions. Factored out so
+    pytest can replay the same feed under perturbed batching — the
+    tracker's monotone-merge emission makes the merged result
+    identical under every cut (see its docstring)."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from argus_spark.operators.temporal import SESSION_GAP_US
+    from argus_spark.streaming.stateful import session_tracker
+
+    out = _state_dir("argus_replay_sess_")
+    feed = os.path.join(out, "feed")
+    res_dir = os.path.join(out, "res")
+    os.makedirs(feed, exist_ok=True)
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .orderBy("us", "event_id")
+        .collect()
+    )
+    n = len(ev)
+    step = (n + N_REPLAY_BATCHES - 1) // N_REPLAY_BATCHES
+    now = _time.time()
+    for idx, lo in enumerate(range(0, n, step)):
+        rows = [
+            _json.dumps(
+                {"user_id": r.user_id, "event_id": r.event_id, "us": r.us}
+            )
+            for r in ev[lo : lo + step]
+        ]
+        _write_feed(feed, idx, rows, now + 10 * idx)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("us", T.LongType(), True),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(feed)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(res_dir)
+
+    q = (
+        session_tracker(stream, SESSION_GAP_US)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(out, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # monotone merge: per (user, session) n/end only grow, start fixed
+    return (
+        spark.read.parquet(res_dir)
+        .groupBy("user_id", "session_ord")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.min("start_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
+        )
+        .select(
+            "user_id", "session_ord", "n_events", "start_us", "end_us",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        )
+    )
+
+
+def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ``applyInPandasWithState`` gap-session state machine
+    (streaming/stateful.py::session_tracker) through a REAL readStream
+    run over the events table and return the merged per-session rows —
+    oracle-checked against the batch ``sessionize_events`` closed form
+    (the SAME SQL, same aliases). Driver-proves per-key session state
+    persisting across micro-batches, provisional-row re-emission, and
+    the monotone-merge read that makes the result independent of the
+    engine's batch cuts — the session analogue of the funnel replay.
+
+    Scale: tracker state is 4 longs per live user; the feed-write
+    collect is the correctness frame's scaffold (sibling replays),
+    deployed form consumes the ordered source directly."""
+    return _sessionize_replay_run(spark, sf_dir)
+
+
+def _streaming_sessionize_replay_sql() -> str:
+    from argus_spark.operators.temporal import SESSIONIZE_EVENTS_SQL
+
+    return SESSIONIZE_EVENTS_SQL
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_minhash_replay": streaming_minhash_replay,
     "streaming_first_wins_replay": streaming_first_wins_replay,
     "streaming_watermark_dedup_replay": streaming_watermark_dedup_replay,
     "streaming_funnel_replay": streaming_funnel_replay,
+    "streaming_sessionize_replay": streaming_sessionize_replay,
 }
 
 ORACLES: dict[str, str] = {
@@ -496,4 +598,5 @@ ORACLES: dict[str, str] = {
     "streaming_first_wins_replay": STREAMING_FIRST_WINS_REPLAY_SQL,
     "streaming_watermark_dedup_replay": STREAMING_WATERMARK_DEDUP_REPLAY_SQL,
     "streaming_funnel_replay": _streaming_funnel_replay_sql(),
+    "streaming_sessionize_replay": _streaming_sessionize_replay_sql(),
 }

@@ -66,6 +66,96 @@ def running_totals(
     )
 
 
+def session_tracker(
+    stream: DataFrame,
+    gap_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "us",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming form of ``operators.temporal.sessionize_events``: a
+    per-user gap-based session state machine. State = (session ordinal,
+    session start, last event time, event count); an event whose gap to
+    the previous one exceeds ``gap_us`` closes the open session and
+    opens the next — identical boundary semantics (strict >, (ts, id)
+    tie order) to the batch operator.
+
+    EMISSION IS MONOTONE-MERGEABLE, which makes any downstream replay
+    batching-invariant: each micro-batch emits the current row of every
+    session it TOUCHED (closed ones finally, the open one provisionally),
+    and for a fixed (key, session_ord) the emitted (n_events, end_us)
+    only grow across batches while start_us never changes — so
+    ``groupBy(key, ord).agg(max n, min start, max end)`` over appended
+    emissions yields the same result under every legal micro-batch
+    cut. No timeout machinery is needed to flush the final open
+    session: its provisional row is already emitted.
+
+    Ordering contract: per-key events must not regress in ``ts_col``
+    across micro-batches (the A1 ordered-source contract); within a
+    batch the tracker sorts by (ts, id).
+
+    Scale: state is 4 longs per live user, partitioned by key across
+    executors; emission is one row per (user, touched session) per
+    batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_field = stream.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType, True),
+            T.StructField("session_ord", T.LongType(), True),
+            T.StructField("n_events", T.LongType(), True),
+            T.StructField("start_us", T.LongType(), True),
+            T.StructField("end_us", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ord", T.LongType(), True),
+            T.StructField("start", T.LongType(), True),
+            T.StructField("last", T.LongType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        ord_, start, last, n = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        touched: dict[int, tuple[int, int, int]] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for ts in pdf[ts_col]:
+                ts = int(ts)
+                if ord_ == 0:  # first event ever for this key
+                    ord_, start, last, n = 1, ts, ts, 1
+                elif ts - last > gap_us:
+                    touched[ord_] = (n, start, last)  # final row
+                    ord_, start, last, n = ord_ + 1, ts, ts, 1
+                else:
+                    last, n = ts, n + 1
+                touched[ord_] = (n, start, last)  # provisional row
+        state.update((ord_, start, last, n))
+        if touched:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(touched),
+                    "session_ord": list(touched),
+                    "n_events": [v[0] for v in touched.values()],
+                    "start_us": [v[1] for v in touched.values()],
+                    "end_us": [v[2] for v in touched.values()],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def funnel_tracker(
     stream: DataFrame,
     stages: list[str],

@@ -242,6 +242,28 @@ def test_watermark_replay_batching_invariant(spark):
     assert set(contract.values()) == {1}
 
 
+def test_sessionize_replay_matches_batch_and_is_batching_invariant(spark):
+    """session_tracker drained over the real events table must equal
+    the batch sessionize_events exactly, and the monotone-merge read
+    must yield the identical result under a perturbed micro-batch cut
+    (2 files/trigger splits users' sessions differently across state
+    updates)."""
+    from argus_spark.operators.temporal import sessionize_events
+    from argus_spark.streaming.replay import _sessionize_replay_run
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(df):
+        return sorted(
+            (r.user_id, r.session_ord, r.n_events, r.start_us, r.end_us)
+            for r in df.collect()
+        )
+
+    batch = rows(sessionize_events(spark, sf))
+    assert rows(_sessionize_replay_run(spark, sf, 1)) == batch
+    assert rows(_sessionize_replay_run(spark, sf, 2)) == batch
+
+
 def test_streaming_funnel_converges_to_batch_funnel(spark, tmp_path):
     """funnel_tracker (applyInPandasWithState) drained over the real
     events table — ordered feed, 3 micro-batches — must reproduce the
