@@ -66,6 +66,32 @@ def running_totals(
     )
 
 
+def session_fold(
+    state: tuple[int, int, int, int],
+    ts_sorted,
+    gap_us: int,
+    touched: dict[int, tuple[int, int, int]],
+) -> tuple[int, int, int, int]:
+    """Pure core of ``session_tracker``: fold one (already time-sorted)
+    run of event times into the per-key session state, recording every
+    touched session's current (n_events, start, end) row into
+    ``touched``. State = (session_ord, start, last, n); ord == 0 means
+    no event seen yet. Separated from the GroupState plumbing so the
+    property test can drive it across arbitrary batch cuts."""
+    ord_, start, last, n = state
+    for ts in ts_sorted:
+        ts = int(ts)
+        if ord_ == 0:  # first event ever for this key
+            ord_, start, last, n = 1, ts, ts, 1
+        elif ts - last > gap_us:
+            touched[ord_] = (n, start, last)  # final row
+            ord_, start, last, n = ord_ + 1, ts, ts, 1
+        else:
+            last, n = ts, n + 1
+        touched[ord_] = (n, start, last)  # provisional row
+    return ord_, start, last, n
+
+
 def session_tracker(
     stream: DataFrame,
     gap_us: int,
@@ -119,23 +145,12 @@ def session_tracker(
     )
 
     def update(key, pdfs, state: GroupState):
-        ord_, start, last, n = (
-            state.get if state.exists else (0, 0, 0, 0)
-        )
+        st = state.get if state.exists else (0, 0, 0, 0)
         touched: dict[int, tuple[int, int, int]] = {}
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, id_col])
-            for ts in pdf[ts_col]:
-                ts = int(ts)
-                if ord_ == 0:  # first event ever for this key
-                    ord_, start, last, n = 1, ts, ts, 1
-                elif ts - last > gap_us:
-                    touched[ord_] = (n, start, last)  # final row
-                    ord_, start, last, n = ord_ + 1, ts, ts, 1
-                else:
-                    last, n = ts, n + 1
-                touched[ord_] = (n, start, last)  # provisional row
-        state.update((ord_, start, last, n))
+            st = session_fold(st, pdf[ts_col], gap_us, touched)
+        state.update(st)
         if touched:
             yield pd.DataFrame(
                 {

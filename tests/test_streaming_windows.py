@@ -580,3 +580,54 @@ def test_streaming_minhash_state_compaction_atomic(spark, tmp_path):
     assert gen2 == 1 and _committed_epochs(out) == []
     docs_now = {r.doc_id for r in committed_docs_df(spark, out).collect()}
     assert docs_now == {1, 2, 3, 10}, docs_now
+
+
+# ---- pure-fold property: session state machine vs closed form ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ts=hst.lists(hst.integers(min_value=0, max_value=10**7), max_size=60),
+    cuts=hst.lists(hst.integers(min_value=0, max_value=60), max_size=4),
+    gap=hst.integers(min_value=1, max_value=10**6),
+)
+def test_session_fold_cut_invariant_matches_closed_form(ts, cuts, gap):
+    """session_fold across ARBITRARY batch cuts, monotone-merged, must
+    equal the independent closed form (split sorted times where the
+    consecutive gap exceeds the horizon) — the pure-core version of
+    the replay's batching-invariance, over random inputs."""
+    from argus_spark.streaming.stateful import session_fold
+
+    ts = sorted(ts)
+    # independent reference: group consecutive times by gap rule
+    ref = {}
+    groups = []
+    for t in ts:
+        if not groups or t - groups[-1][-1] > gap:
+            groups.append([t])
+        else:
+            groups[-1].append(t)
+    for i, g in enumerate(groups, start=1):
+        ref[i] = (len(g), g[0], g[-1])
+
+    # fold the same times across the random batch cuts, merging the
+    # per-batch touched rows monotonically (the replay's read rule)
+    merged = {}
+    state = (0, 0, 0, 0)
+    bounds = sorted({min(c, len(ts)) for c in cuts} | {len(ts)})
+    lo = 0
+    for b in bounds:
+        touched = {}
+        state = session_fold(state, ts[lo:b], gap, touched)
+        for k, v in touched.items():
+            old = merged.get(k)
+            merged[k] = (
+                v
+                if old is None
+                else (max(old[0], v[0]), min(old[1], v[1]), max(old[2], v[2]))
+            )
+        lo = b
+    assert merged == ref
