@@ -54,23 +54,23 @@ def _modules():
 # older than one round. Keys absent from this list (future operators)
 # are appended in module order after the listed ones.
 #
-# Round-9 rotation. The 127/50 registry/window ratio forces a
+# Round-9 rotation. The 128/50 registry/window ratio forces a
 # two-round refresh cadence: every registered query gets a fresh
 # driver row at least every OTHER round (new/changed queries always
-# jump the queue). This round's window (9 + 24 + 17 = 50):
-#   tier 2 FIRST (9): the r8 red row (streaming_watermark_dedup_replay,
-#     rewritten batching-invariant this round) + the 5 new r9 operators
+# jump the queue). This round's window (10 + 24 + 16 = 50):
+#   tier 2 FIRST (10): the r8 red row (streaming_watermark_dedup_replay,
+#     rewritten batching-invariant this round) + the 6 new r9 operators
 #     (multimodal_phash_dedup, lifecycle_reorg_replay + its SQL-txn
-#     backend twin, lifecycle_crash_replay,
-#     streaming_sessionize_replay) + the 3 queries whose code changed
-#     this round (embedding_standardize std==0 guard,
-#     export_packed_shards dir reuse, fluency_bigram hint drop) —
-#     no-row/changed coverage outranks stale-row refresh;
+#     backend twin, lifecycle_crash_replay, streaming_sessionize_replay,
+#     ann_recall_at_k) + the 3 queries whose code changed this round
+#     (embedding_standardize std==0 guard, export_packed_shards dir
+#     reuse, fluency_bigram hint drop) — no-row/changed coverage
+#     outranks stale-row refresh;
 #   tier 1 (24): the r5-vintage map-only text/multimodal/window/
 #     groupingset family deferred since r6 — their last driver row is
 #     three rounds old, the oldest evidence in the registry;
-#   tier 3 head (17): the oldest r6-vintage rows, list order.
-# Deferred past the cap: 31 r6-vintage (refresh in r10, leading the
+#   tier 3 head (16): the oldest r6-vintage rows, list order.
+# Deferred past the cap: 32 r6-vintage (refresh in r10, leading the
 # next window) and the 45 r8-fresh rows (one round old, within
 # cadence).
 _PRIORITY = [
@@ -80,6 +80,7 @@ _PRIORITY = [
     "lifecycle_reorg_replay", "lifecycle_reorg_replay_sqltxn",
     "lifecycle_crash_replay",
     "streaming_sessionize_replay",
+    "ann_recall_at_k",
     "embedding_standardize", "export_packed_shards", "fluency_bigram",
     # -- tier 1: latest fresh driver row is round 5 (three rounds old) ---
     "explode_ordinal", "broadcast_lookup", "semi_join_exists",
@@ -96,10 +97,10 @@ _PRIORITY = [
     "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
     "dedup_keep_first", "duplicate_detect", "latest_per_key",
     "topk_serving", "set_intersect", "set_except", "running_sum_frame",
-    "rollup_counts", "pivot_status", "hex_canonical",
+    "rollup_counts", "pivot_status",
     # ---- 50-slot window boundary ----------------------------------------
     # -- deferred r6-vintage (lead the r10 window) ------------------------
-    "prefix_display", "string_funcs",
+    "hex_canonical", "prefix_display", "string_funcs",
     "stable_hash", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "approx_distinct_users",
     "dedup_embedding_cosine", "dedup_clusters", "chunk_documents",

@@ -790,7 +790,91 @@ WHERE source_a < source_b
 """
 
 
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k matrix for every approximate ANN variant against exact
+    brute-force cosine — the completeness critic for the approximate
+    path: per (variant, query), how many of the true top-``LSH_TOP_K``
+    neighbors the variant recovered. This is the measurement a
+    pipeline runs on a query SAMPLE before trusting an ANN variant at
+    corpus scale (single-bucket LSH measures near-zero recall on
+    isotropic vectors — exactly the signal that forces the widening
+    to multiprobe/IVF); keeping it a registered, oracle-checked query
+    pins the measurement harness itself, not just the variants.
+
+    Determinism: every side is an already-deterministic ranked query
+    (total tie order by n_id); the recall division is one IEEE divide
+    of small ints. Plan: exact side = broadcast-queries × corpus scan
+    (the baseline cost, run on N_QUERIES samples only); each variant
+    probes its bucket/cells; the join/agg act on ≤ 3·N_QUERIES·k
+    rows (the crossJoin is the 3-row variant-tag frame)."""
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= LSH_TOP_K)
+        .select("q_id", "n_id")
+    )
+    variants = {
+        "lsh_bucketed": ann_lsh_bucketed,
+        "lsh_multiprobe": ann_lsh_multiprobe,
+        "ivf": ann_ivf_topk,
+    }
+    approx = None
+    for tag, fn in variants.items():
+        a = fn(spark, sf_dir).select(
+            "q_id", "n_id", F.lit(tag).alias("variant"), F.lit(1).alias("hit")
+        )
+        approx = a if approx is None else approx.unionByName(a)
+    tags = approx.select("variant").distinct()
+    base = exact.crossJoin(F.broadcast(tags))  # 3-row tag frame
+    return (
+        base.join(approx, ["q_id", "n_id", "variant"], "left")
+        .groupBy("variant", "q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "variant",
+            "q_id",
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_at_k_sql() -> str:
+    return f"""
+WITH exact AS (
+  SELECT q_id, n_id FROM ({ANN_COSINE_TOPK_SQL}) WHERE rnk <= {LSH_TOP_K}
+), approx AS (
+  SELECT q_id, n_id, 'lsh_bucketed' AS variant, 1 AS hit
+  FROM ({ANN_LSH_BUCKETED_SQL})
+  UNION ALL
+  SELECT q_id, n_id, 'lsh_multiprobe' AS variant, 1 AS hit
+  FROM ({ANN_LSH_MULTIPROBE_SQL})
+  UNION ALL
+  SELECT q_id, n_id, 'ivf' AS variant, 1 AS hit
+  FROM ({ANN_IVF_TOPK_SQL})
+), base AS (
+  SELECT e.q_id, e.n_id, t.variant
+  FROM exact e CROSS JOIN (SELECT DISTINCT variant FROM approx) t
+)
+SELECT b.variant, b.q_id,
+       count(*)::BIGINT AS n_exact,
+       CAST(sum(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
+       CAST(sum(COALESCE(a.hit, 0)) AS BIGINT)::DOUBLE
+         / count(*)::BIGINT::DOUBLE AS recall
+FROM base b
+LEFT JOIN approx a
+  ON b.q_id = a.q_id AND b.n_id = a.n_id AND b.variant = a.variant
+GROUP BY b.variant, b.q_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_recall_at_k": ann_recall_at_k,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
@@ -802,6 +886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ann_recall_at_k": _ann_recall_at_k_sql(),
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_bucketed": ANN_LSH_BUCKETED_SQL,
     "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,

@@ -482,3 +482,14 @@ def test_phash_dedup_banded_equi_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert has_partial_aggregation(plan), plan  # signature-group collapse
+
+
+def test_ann_recall_matrix_no_cartesian_beyond_tag_frame(spark):
+    """ann_recall_at_k: the only nested-loop join allowed is the 3-row
+    variant-tag broadcast; everything else must stay equi/banded —
+    never a corpus-side cartesian."""
+    from argus_spark.datapipe.similarity import ann_recall_at_k
+
+    plan = formatted_plan(ann_recall_at_k(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert has_partial_aggregation(plan), plan
