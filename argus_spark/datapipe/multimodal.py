@@ -299,24 +299,32 @@ GROUP BY 1
 
 PH_SEED = "ph"
 PH_HAMMING = 6  # near-dup acceptance: Hamming ≤ 6 of 48 signature bits
+PH_GRAM = 4  # feature shingle width over the payload stream
 
 
 def phash_signature(payload: bytes) -> int:
     """pHash-style 48-bit perceptual signature of a decoded media
-    payload: SimHash sign-votes over the payload's overlapping char
-    bigrams (a real pipeline swaps the feature extractor for DCT
-    blocks of decoded pixels — only this function changes; the
-    signature width, banding, and verify join stay). Bit/fold
-    semantics are EXACTLY datapipe.dedup's ``_simhash_col`` (h % 2p
-    ≥ p bit test, sign of the ±1 vote sum, MSB-first fold), and the
-    feature hash is the shared seeded-md5 ``h64``, so the DuckDB
-    oracle reproduces it with the same list idioms."""
+    payload: SimHash sign-votes over the payload's overlapping
+    ``PH_GRAM``-char shingles (a real pipeline swaps the feature
+    extractor for DCT blocks of decoded pixels — only this function
+    changes; the signature width, banding, and verify join stay).
+    4-char shingles, not bigrams: the fake payload's character
+    alphabet is tiny (~12 symbols), and 2-char features left only
+    ~144 distinct features — signatures concentrated and the
+    random-pair acceptance mass grew near-quadratically on the scale
+    family (measured 329k pairs at x10; 234 with 4-grams — the same
+    feature-poverty precision floor the 32→48-bit SimHash widening
+    fixed, solved on the feature side this time). Bit/fold semantics
+    are EXACTLY datapipe.dedup's ``_simhash_col`` (h % 2p ≥ p bit
+    test, sign of the ±1 vote sum, MSB-first fold), and the feature
+    hash is the shared seeded-md5 ``h64``, so the DuckDB oracle
+    reproduces it with the same list idioms."""
     import hashlib
 
     from argus_spark.datapipe.dedup import SH_BITS
 
     s = payload.decode("utf-8")
-    feats = [s[i : i + 2] for i in range(len(s) - 1)]
+    feats = [s[i : i + PH_GRAM] for i in range(len(s) - PH_GRAM + 1)]
     hs = [
         int(hashlib.md5(f"{PH_SEED}|{f}".encode()).hexdigest()[:15], 16)
         for f in feats
@@ -434,7 +442,8 @@ WITH pay AS (
   SELECT doc_id, substr(text, 1, 16) AS s FROM documents
 ), feats AS (
   SELECT doc_id,
-         list_transform(range(1, length(s)), i -> substr(s, i, 2)) AS bg
+         list_transform(range(1, length(s) - {PH_GRAM - 2}),
+                        i -> substr(s, i, {PH_GRAM})) AS bg
   FROM pay
 ), hh AS (
   SELECT doc_id, list_transform(bg, x -> {h64_sql('x', PH_SEED)}) AS hs
