@@ -47,13 +47,16 @@ _STATE_DIRS: dict[str, str] = {}
 
 def _state_dir(key: str) -> str:
     """One store dir per (process, scenario, sf): re-construction wipes
-    and re-runs rather than accumulating a store copy per call."""
+    and re-runs rather than accumulating a store copy per call. The
+    wipe re-creates the (now empty) dir — the SQL backend connects to
+    a file INSIDE it and requires the parent to exist."""
     if key not in _STATE_DIRS:
         d = tempfile.mkdtemp(prefix=f"argus_lifecycle_{key.split('|')[0]}_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         _STATE_DIRS[key] = d
     else:
         shutil.rmtree(_STATE_DIRS[key], ignore_errors=True)
+        os.makedirs(_STATE_DIRS[key], exist_ok=True)
     return _STATE_DIRS[key]
 
 
