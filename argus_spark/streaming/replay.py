@@ -24,9 +24,11 @@ committed state as a DataFrame an ANSI-SQL oracle can reproduce:
     nothing. Oracle: min batch per user.
 
 Both are EAGER by construction (the sink invocations run during query
-construction, like ``dedup_semantic``'s Lloyd fit) and use a process-
-lifetime temp dir for sink state (cleaned at exit) so the returned
-DataFrame stays a lazy parquet read — no data-plane collect.
+construction, like ``dedup_semantic``'s Lloyd fit) and use ONE keyed
+temp dir per (process, replay) for sink state — wiped and re-run on
+re-construction, cleaned at exit — so the returned DataFrame stays a
+lazy parquet read (no data-plane collect) and repeated constructions
+never accumulate state copies.
 
 Scale note: the replay runs the sinks' own plans, so the 100 TB
 arguments are the sinks' (banded probe against a bucketed bands table,
@@ -58,10 +60,23 @@ N_REPLAY_BATCHES = 3
 REPLAY_TAU = 0.9  # minhash_dedup_sink's default near-dup threshold
 
 
-def _state_dir(prefix: str) -> str:
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+_STATE_DIRS: dict[str, str] = {}
+
+
+def _state_dir(key: str) -> str:
+    """One state dir per (process, replay, key): re-construction wipes
+    and re-runs in place instead of accumulating a copy per call (the
+    export_packed_shards r8-advice pattern; the wipe also guarantees a
+    FRESH streaming checkpoint per run, which the retrying callers
+    rely on). The dir is re-created empty after the wipe."""
+    if key not in _STATE_DIRS:
+        d = tempfile.mkdtemp(prefix=f"argus_replay_{key.split('|')[0]}_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _STATE_DIRS[key] = d
+    else:
+        shutil.rmtree(_STATE_DIRS[key], ignore_errors=True)
+        os.makedirs(_STATE_DIRS[key], exist_ok=True)
+    return _STATE_DIRS[key]
 
 
 def streaming_minhash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,7 +95,7 @@ def streaming_minhash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_dedup_sink,
     )
 
-    out = _state_dir("argus_replay_mh_")
+    out = _state_dir(f"mh|{sf_dir}")
     sink = minhash_dedup_sink(spark, out, tau=REPLAY_TAU)
     d = load(spark, sf_dir, "documents", widen=True).select("doc_id", "text")
     for k in range(N_REPLAY_BATCHES):
@@ -171,7 +186,7 @@ def streaming_first_wins_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotency mechanism, lifecycle A11 applied to dedup)."""
     from argus_spark.streaming.dedup import first_wins_dedup_sink
 
-    out = _state_dir("argus_replay_fw_")
+    out = _state_dir(f"fw|{sf_dir}")
     sink = first_wins_dedup_sink(spark, out, key_cols=["user_id"])
     ev = load(spark, sf_dir, "events")
 
@@ -208,7 +223,7 @@ def _watermark_replay_run(
     import json as _json
     import time as _time
 
-    out = _state_dir("argus_replay_wm_")
+    out = _state_dir(f"wm|{sf_dir}|{max_files_per_trigger}")
     feed = os.path.join(out, "feed")
     res_dir = os.path.join(out, "res")
     os.makedirs(feed, exist_ok=True)
@@ -401,7 +416,7 @@ def streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from argus_spark.operators.temporal import FUNNEL_STAGES
     from argus_spark.streaming.stateful import funnel_tracker
 
-    out = _state_dir("argus_replay_funnel_")
+    out = _state_dir(f"funnel|{sf_dir}")
     feed = os.path.join(out, "feed")
     res_dir = os.path.join(out, "res")
     os.makedirs(feed, exist_ok=True)
@@ -501,7 +516,7 @@ def _sessionize_replay_run(
     from argus_spark.operators.temporal import SESSION_GAP_US
     from argus_spark.streaming.stateful import session_tracker
 
-    out = _state_dir("argus_replay_sess_")
+    out = _state_dir(f"sess|{sf_dir}|{max_files_per_trigger}")
     feed = os.path.join(out, "feed")
     res_dir = os.path.join(out, "res")
     os.makedirs(feed, exist_ok=True)
