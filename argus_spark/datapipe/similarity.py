@@ -823,7 +823,13 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "n_id", F.lit(tag).alias("variant"), F.lit(1).alias("hit")
         )
         approx = a if approx is None else approx.unionByName(a)
-    tags = approx.select("variant").distinct()
+    # The tag frame is built from the STATIC variants dict, not from the
+    # approx union's data — a variant returning zero candidate rows must
+    # show recall 0 in the matrix (total-recall collapse is exactly the
+    # signal this query exists to surface), not silently vanish.
+    tags = spark.createDataFrame(
+        [(t,) for t in variants], "variant string"
+    )
     base = exact.crossJoin(F.broadcast(tags))  # 3-row tag frame
     return (
         base.join(approx, ["q_id", "n_id", "variant"], "left")
@@ -858,8 +864,13 @@ WITH exact AS (
   SELECT q_id, n_id, 'ivf' AS variant, 1 AS hit
   FROM ({ANN_IVF_TOPK_SQL})
 ), base AS (
+  -- static literal tags (mirrors the Spark side): an empty variant
+  -- must appear with recall 0, not vanish from the matrix
   SELECT e.q_id, e.n_id, t.variant
-  FROM exact e CROSS JOIN (SELECT DISTINCT variant FROM approx) t
+  FROM exact e CROSS JOIN (
+    SELECT * FROM (VALUES ('lsh_bucketed'), ('lsh_multiprobe'), ('ivf'))
+      AS v(variant)
+  ) t
 )
 SELECT b.variant, b.q_id,
        count(*)::BIGINT AS n_exact,

@@ -217,7 +217,8 @@ def lifecycle_crash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the manifest publish), then restart + full at-least-once replay;
     return the final serving balances.
 
-    Over the first L = min(chain, 1200) blocks at batch 400: the
+    Over the first L = min(chain, 1200) blocks at batch
+    min(400, L // 3) (derived so the feed always spans ≥3 epochs): the
     injected store crashes epoch 3's publish, so the driver dies with
     ~2 epochs committed and epoch 3's data files TORN on disk. A fresh
     store + driver re-runs the FULL feed from genesis: blocks below
@@ -228,12 +229,17 @@ def lifecycle_crash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift every balance — the hash gate catches it."""
     blocks, watched, slots = _chain(spark, sf_dir, L_CRASH)
     root = _state_dir(f"crash|{sf_dir}")
+    # Derive the epoch size from the ACTUAL chain length so the injected
+    # crash (at the 3rd manifest publish) always lands inside the feed:
+    # a fixed 400 would yield <3 epochs on a truncated fixture (<=800
+    # distinct slots) and the scenario would error instead of degrade.
+    batch = max(1, min(400, len(slots) // 3))
     blocks = blocks.cache()
     try:
         reg = build_example_registry(spark, watched)
         crashing = _CrashingStore(root, publishes_before_crash=2)
         d1 = IndexDriver(
-            spark, reg, crashing, blocks, batch_size=400, max_delay_s=1e9
+            spark, reg, crashing, blocks, batch_size=batch, max_delay_s=1e9
         )
         try:
             d1.run(_fwd(slots))
@@ -242,7 +248,7 @@ def lifecycle_crash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # the crash — epoch 3's manifest never published
         store = ParquetStateStore(root)
         d2 = IndexDriver(
-            spark, reg, store, blocks, batch_size=400, max_delay_s=1e9
+            spark, reg, store, blocks, batch_size=batch, max_delay_s=1e9
         )
         stats = d2.run(_fwd(slots))
         if stats.skipped == 0:

@@ -363,9 +363,13 @@ def streaming_watermark_dedup_replay(
             > 0
         )
         if not leaked:
-            return res.groupBy("user_id").agg(
-                F.count("*").cast("long").alias("n_emitted")
-            )
+            # The readStream schema declares user_id STRING (the late
+            # sentinel is non-numeric); the oracle emits BIGINT. Cast on
+            # return — sentinel rows are already excluded by the leak
+            # check above, so the cast is total on the surviving rows.
+            return res.groupBy(
+                F.col("user_id").cast("long").alias("user_id")
+            ).agg(F.count("*").cast("long").alias("n_emitted"))
     raise RuntimeError(
         "watermark replay: engine bundled the whole feed into one "
         "micro-batch on 3 consecutive runs (late sentinel never dropped)"

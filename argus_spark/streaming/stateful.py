@@ -147,7 +147,15 @@ def session_tracker(
     def update(key, pdfs, state: GroupState):
         st = state.get if state.exists else (0, 0, 0, 0)
         touched: dict[int, tuple[int, int, int]] = {}
-        for pdf in pdfs:
+        # Concatenate ALL Arrow chunks before sorting: a key whose rows
+        # span multiple chunks (> arrow maxRecordsPerBatch) has no
+        # cross-chunk ordering guarantee, and folding chunks
+        # independently could feed regressed timestamps into the fold,
+        # breaking the "within a batch the tracker sorts by (ts, id)"
+        # invariant the monotone-merge proof relies on.
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values([ts_col, id_col])
             st = session_fold(st, pdf[ts_col], gap_us, touched)
         state.update(st)
@@ -216,15 +224,20 @@ def funnel_tracker(
         # (r5-verdict item 7). t_prev is only meaningful — and only
         # consulted — once stage >= 1.
         stage, t_prev = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, et in zip(pdf[ts_col], pdf[type_col]):
-                if (
-                    stage < len(stages)
-                    and et == stages[stage]
-                    and (stage == 0 or int(ts) > t_prev)
-                ):
-                    stage, t_prev = stage + 1, int(ts)
+        # Concat-then-sort across ALL Arrow chunks (same cross-chunk
+        # ordering hazard as session_tracker above).
+        chunks = [c for c in pdfs if len(c)]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else None
+        pdf = pdf.sort_values(ts_col) if pdf is not None else pd.DataFrame(
+            {ts_col: [], type_col: []}
+        )
+        for ts, et in zip(pdf[ts_col], pdf[type_col]):
+            if (
+                stage < len(stages)
+                and et == stages[stage]
+                and (stage == 0 or int(ts) > t_prev)
+            ):
+                stage, t_prev = stage + 1, int(ts)
         state.update((stage, t_prev))
         yield pd.DataFrame({key_col: [key[0]], "stage": [stage]})
 

@@ -198,13 +198,20 @@ def main() -> None:
             flush_scoped()
             _gc0.collect()
             clean = timed_runs(n)
+            clean_med = clean[len(clean) // 2]
             reruns[n] = {
                 "first_median": round(median, 4),
-                "clean_median": round(clean[len(clean) // 2], 4),
+                "clean_median": round(clean_med, 4),
                 "prior": prior,
             }
-            if clean[len(clean) // 2] < median:
-                runs, median = clean, clean[len(clean) // 2]
+            # r9 verdict: recording min(first, clean) can let a fast
+            # in-sweep number mask a CONFIRMED slowdown (the clean
+            # standalone re-time is the honest one). Flag it so the
+            # record can't hide it.
+            if clean_med > 1.5 * prior:
+                reruns[n]["confirmed_slow"] = True
+            if clean_med < median:
+                runs, median = clean, clean_med
         timings[n] = round(median, 4)
         stats[n] = {
             "median": round(median, 4),
@@ -512,7 +519,18 @@ def main() -> None:
             omitted += 1
             out["queries_omitted"] = omitted
             line = json.dumps(out, separators=(",", ":"))
-    assert len(line) <= 1950, len(line)
+    if len(line) > 1950:
+        # Last resort (r9 advice: a bare assert here aborted the run
+        # AFTER all measurements but BEFORE bench_full.json was
+        # written). Emit the headline metric alone with a truncation
+        # marker — everything dropped is still in bench_full.json.
+        out = {
+            k: out[k]
+            for k in ("metric", "value", "unit", "sf")
+            if k in out
+        }
+        out["stdout_truncated"] = True
+        line = json.dumps(out, separators=(",", ":"))
     full["queries_stats"] = stats
     if reruns:
         full["isolation_reruns"] = reruns

@@ -264,6 +264,62 @@ def test_sessionize_replay_matches_batch_and_is_batching_invariant(spark):
     assert rows(_sessionize_replay_run(spark, sf, 2)) == batch
 
 
+def test_session_tracker_invariant_under_tiny_arrow_chunks(spark, tmp_path):
+    """A key whose micro-batch rows span MULTIPLE Arrow record batches
+    gets them as separate chunks in applyInPandasWithState with no
+    cross-chunk ordering guarantee. Feed one user's events in REVERSE
+    time order inside a single micro-batch (legal: the ordering
+    contract binds across batches, not within) with
+    maxRecordsPerBatch=2, so successive chunks regress in time; the
+    tracker must concat-then-sort (r9 advice: per-chunk sort+fold
+    feeds regressed timestamps into the fold and mis-segments
+    sessions) and still produce the closed-form sessions."""
+    import json as _json
+
+    from argus_spark.streaming.stateful import session_tracker
+
+    gap = 100
+    # 12 events, sessions of 4 at 1000-spacing: [0..3],[1000..1003],...
+    times = [1000 * s + i for s in range(3) for i in range(4)]
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    with open(os.path.join(feed, "f0.json"), "w") as f:
+        for i, us in enumerate(sorted(times, reverse=True)):
+            f.write(
+                _json.dumps({"user_id": 7, "event_id": i, "us": us}) + "\n"
+            )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("us", T.LongType(), True),
+        ]
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        stream = spark.readStream.schema(schema).json(feed)
+        q = (
+            session_tracker(stream, gap)
+            .writeStream.format("memory")
+            .queryName("tinychunk_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prior)
+    got = sorted(
+        (r.session_ord, r.n_events, r.start_us, r.end_us)
+        for r in spark.sql("SELECT * FROM tinychunk_sink").collect()
+    )
+    want = [(s + 1, 4, 1000 * s, 1000 * s + 3) for s in range(3)]
+    assert got == want, (got, want)
+
+
 def test_streaming_funnel_converges_to_batch_funnel(spark, tmp_path):
     """funnel_tracker (applyInPandasWithState) drained over the real
     events table — ordered feed, 3 micro-batches — must reproduce the
