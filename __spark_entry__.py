@@ -54,52 +54,31 @@ def _modules():
 # older than one round. Keys absent from this list (future operators)
 # are appended in module order after the listed ones.
 #
-# Round-9 rotation. The 128/50 registry/window ratio forces a
+# Round-10 rotation. The 130/50 registry/window ratio forces a
 # two-round refresh cadence: every registered query gets a fresh
 # driver row at least every OTHER round (new/changed queries always
-# jump the queue). This round's window (10 + 24 + 16 = 50):
-#   tier 2 FIRST (10): the r8 red row (streaming_watermark_dedup_replay,
-#     rewritten batching-invariant this round) + the 6 new r9 operators
-#     (multimodal_phash_dedup, lifecycle_reorg_replay + its SQL-txn
-#     backend twin, lifecycle_crash_replay, streaming_sessionize_replay,
-#     ann_recall_at_k) + the 3 queries whose code changed this round
-#     (embedding_standardize std==0 guard, export_packed_shards dir
-#     reuse, fluency_bigram hint drop) — no-row/changed coverage
-#     outranks stale-row refresh;
-#   tier 1 (24): the r5-vintage map-only text/multimodal/window/
-#     groupingset family deferred since r6 — their last driver row is
-#     three rounds old, the oldest evidence in the registry;
-#   tier 3 head (16): the oldest r6-vintage rows, list order.
-# Deferred past the cap: 32 r6-vintage (refresh in r10, leading the
-# next window) and the 45 r8-fresh rows (one round old, within
-# cadence).
+# jump the queue). This round's window (7 + 32 + 11 = 50):
+#   tier 2 FIRST (7): the r8+r9 red row
+#     (streaming_watermark_dedup_replay — root cause was the readStream
+#     string user_id vs the oracle's BIGINT; cast-to-long fix this
+#     round), the 2 NEW scenario queries (lifecycle_multiroot_replay,
+#     lifecycle_compact_replay), and the 4 queries whose code changed
+#     this round (ann_recall_at_k static tag frame,
+#     lifecycle_crash_replay derived batch, streaming_sessionize_replay
+#     + streaming_funnel_replay — stateful.py chunk-concat fix);
+#   tier 1 (32): the r6-vintage block deferred past the r9 boundary —
+#     their last driver row is three rounds old (includes
+#     dedup_ngram_jaccard + fluency_unigram, also changed this round);
+#   tier 3 head (11): the oldest r8-vintage rows, list order.
+# Deferred past the cap: the remaining r8-fresh and all r9-fresh rows
+# (one round old, within cadence; they lead the r11 window).
 _PRIORITY = [
-    # -- tier 2: red/rewritten, new this round, or changed this round ----
+    # -- tier 2: red/fixed, new this round, or changed this round --------
     "streaming_watermark_dedup_replay",
-    "multimodal_phash_dedup",
-    "lifecycle_reorg_replay", "lifecycle_reorg_replay_sqltxn",
-    "lifecycle_crash_replay",
-    "streaming_sessionize_replay",
-    "ann_recall_at_k",
-    "embedding_standardize", "export_packed_shards", "fluency_bigram",
-    # -- tier 1: latest fresh driver row is round 5 (three rounds old) ---
-    "explode_ordinal", "broadcast_lookup", "semi_join_exists",
-    "checkpoint_window", "filter_project",
-    "text_normalize", "repetition_ratio", "multimodal_resize",
-    "multimodal_meta", "multimodal_frame_sample", "pii_redact",
-    "sample_quality_deciles", "doc_fingerprint", "lang_id_ngram",
-    "token_count", "tfidf_top_terms", "ann_lsh_bucketed",
-    "cube_counts", "grouping_sets_value", "median_value_by_type",
-    "sliding_window_agg", "tumbling_window_agg", "session_window_agg",
-    "pack_sequences",
-    # -- tier 3 head: oldest r6-vintage rows (19 fit the window) ---------
-    "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
-    "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
-    "dedup_keep_first", "duplicate_detect", "latest_per_key",
-    "topk_serving", "set_intersect", "set_except", "running_sum_frame",
-    "rollup_counts", "pivot_status",
-    # ---- 50-slot window boundary ----------------------------------------
-    # -- deferred r6-vintage (lead the r10 window) ------------------------
+    "lifecycle_multiroot_replay", "lifecycle_compact_replay",
+    "ann_recall_at_k", "lifecycle_crash_replay",
+    "streaming_sessionize_replay", "streaming_funnel_replay",
+    # -- tier 1: latest fresh driver row is round 6 (three rounds old) ---
     "hex_canonical", "prefix_display", "string_funcs",
     "stable_hash", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "approx_distinct_users",
@@ -113,12 +92,14 @@ _PRIORITY = [
     "winnow_fingerprints",
     "multimodal_payload_dedup", "corpus_stats_by_source",
     "text_quality", "agg_min_max",
-    # -- r8-fresh rows (one round old, within the two-round cadence) -----
+    # -- tier 3 head: oldest r8-vintage rows (11 fit the window) ---------
     "avg_by_key", "min_safe_intersection",
     "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
     "range_join_pairs", "sample_stratified",
     "dataset_mixture", "ann_cosine_topk",
     "ann_ivf_topk", "decontaminate_ngram_overlap",
+    # ---- 50-slot window boundary ----------------------------------------
+    # -- r8-fresh remainder + r9-fresh rows (lead the r11 window) --------
     "kmeans_embeddings",
     "dedup_keep_list", "funnel_conversion",
     "watched_balances",
@@ -135,12 +116,28 @@ _PRIORITY = [
     "shipping_priority_topk", "regional_revenue",
     "returned_item_losses",
     "source_token_overlap",
-    "streaming_funnel_replay",
     "sessionize_events", "ann_pq_adc_topk",
     "skew_detect_keys", "user_state_diff",
     "cross_source_dup_matrix",
     "length_outlier_filter", "source_centroid_similarity",
     "top_terms_by_source",
+    "multimodal_phash_dedup",
+    "lifecycle_reorg_replay", "lifecycle_reorg_replay_sqltxn",
+    "embedding_standardize", "export_packed_shards", "fluency_bigram",
+    "explode_ordinal", "broadcast_lookup", "semi_join_exists",
+    "checkpoint_window", "filter_project",
+    "text_normalize", "repetition_ratio", "multimodal_resize",
+    "multimodal_meta", "multimodal_frame_sample", "pii_redact",
+    "sample_quality_deciles", "doc_fingerprint", "lang_id_ngram",
+    "token_count", "tfidf_top_terms", "ann_lsh_bucketed",
+    "cube_counts", "grouping_sets_value", "median_value_by_type",
+    "sliding_window_agg", "tumbling_window_agg", "session_window_agg",
+    "pack_sequences",
+    "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
+    "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
+    "dedup_keep_first", "duplicate_detect", "latest_per_key",
+    "topk_serving", "set_intersect", "set_except", "running_sum_frame",
+    "rollup_counts", "pivot_status",
 ]
 
 

@@ -56,8 +56,13 @@ class MultiRootDriver:
         registry: ReducerRegistry,
         store,
         blocks_df: DataFrame,
+        kwargs_by_root: dict[str, dict] | None = None,
         **driver_kwargs,
     ) -> None:
+        """``driver_kwargs`` apply to every root's IndexDriver;
+        ``kwargs_by_root`` overrides per root name — the reference's
+        per-connection cadence (each root's worker picks its own batch
+        sizing against its own chain connection)."""
         registry.validate()
         roots = registry.roots()
         if not roots:
@@ -80,8 +85,10 @@ class MultiRootDriver:
                             f"{root.name!r} subgraphs"
                         )
                     owned[t] = root.name
+            kw = dict(driver_kwargs)
+            kw.update((kwargs_by_root or {}).get(root.name, {}))
             self.drivers[root.name] = IndexDriver(
-                spark, sub, store, blocks_df, **driver_kwargs
+                spark, sub, store, blocks_df, **kw
             )
 
     def run(self, events_by_root=None, events=None) -> MultiRootStats:

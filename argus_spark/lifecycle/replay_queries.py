@@ -285,14 +285,248 @@ LEFT JOIN (
 )
 
 
+L_COMPACT = 1500  # blocks fed to the compaction scenario
+
+
+def lifecycle_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sync → frozen-zone COMPACTION below the rollback horizon → reorg
+    ABOVE it → fresh-driver branch resume → VACUUM → fsck; return the
+    final serving balances. Driver-proves the maintenance path
+    (store.compact/vacuum — pytest-only before r10): a compaction that
+    merged above the horizon, dropped/duplicated rows in the rewrite,
+    or a vacuum that deleted a still-referenced group would shift the
+    balances or fail the read — the hash gate and the driver's err
+    field catch both.
+
+    Schedule over the first L = min(chain, 1500) blocks at batch 200:
+    sync all L; compact every table's file-groups wholly at or below
+    horizon = slots[L//2] (frozen zone — raw concatenation, per-row
+    merge-on-read stamps preserved); EXCLUSIVE rollback to slots[3L//4]
+    (above the horizon, so retraction touches only live/straddling
+    groups); a FRESH driver resumes the branch to 7L//8; vacuum
+    reclaims the superseded pre-compaction groups; fsck audits the
+    final manifest. Final tip = slots[7L//8 − 1] — the oracle's
+    stateless closed form cuts there."""
+    blocks, watched, slots = _chain(spark, sf_dir, L_COMPACT)
+    n = len(slots)
+    horizon, fork, r = n // 2, 3 * n // 4, 7 * n // 8
+    store = ParquetStateStore(_state_dir(f"compact|{sf_dir}"))
+    blocks = blocks.cache()
+    try:
+        reg = build_example_registry(spark, watched)
+        d = IndexDriver(
+            spark, reg, store, blocks, batch_size=200, max_delay_s=1e9
+        )
+        d.run(_fwd(slots))
+        for t in sorted(store.current_manifest()["tables"]):
+            store.compact(spark, t, upto_slot=slots[horizon])
+        d.run(
+            [
+                ChainEvent(
+                    "roll_back",
+                    rollback_slot=slots[fork],
+                    rollback_type="exclusive",
+                )
+            ]
+        )
+        d2 = IndexDriver(
+            spark, reg, store, blocks, batch_size=200, max_delay_s=1e9
+        )
+        d2.run(_fwd(slots[fork + 1 : r]))
+        store.vacuum()
+        audit = store.fsck()
+        if not audit["ok"]:
+            raise AssertionError(f"fsck after compact+vacuum: {audit}")
+    finally:
+        blocks.unpersist()
+    return current_balances(spark, store).select(
+        "address_name", "slot", "balance"
+    )
+
+
+LIFECYCLE_COMPACT_REPLAY_SQL = (
+    CHAIN_SQL_CTES
+    + f"""
+, ds AS (
+  SELECT slot, row_number() OVER (ORDER BY slot) AS rn
+  FROM (SELECT DISTINCT slot FROM outputs)
+), lim AS (SELECT least(count(*), {L_COMPACT}) AS l FROM ds),
+cut AS (
+  SELECT max(ds.slot) AS tip FROM ds, lim WHERE ds.rn <= 7 * lim.l // 8
+)
+SELECT w.name AS address_name,
+       cut.tip::BIGINT AS slot,
+       CAST(COALESCE(b.balance, 0) AS BIGINT) AS balance
+FROM watched w CROSS JOIN cut
+LEFT JOIN (
+  SELECT o.address_name, CAST(sum(o.amount) AS BIGINT) AS balance
+  FROM outputs o, cut
+  WHERE o.slot <= cut.tip
+    AND NOT EXISTS (SELECT 1 FROM inputs i, cut c2
+                    WHERE o.tx_hash = i.tx_id AND o.tx_index = i.idx
+                      AND i.spend_slot <= c2.tip)
+  GROUP BY o.address_name
+) b ON w.name = b.address_name
+"""
+)
+
+
+L_MULTI = 1800  # blocks fed to the multiroot scenario
+
+
+def lifecycle_multiroot_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO root subgraphs over ONE shared store, concurrent processors
+    with independent cadence and feeds (MultiRootDriver — the
+    reference's one-connection-per-root shape,
+    CardanoIndexWorker.DependencyGraph.cs:8-96), with a reorg hitting
+    ONLY root A's tables; return both roots' serving views as one
+    frame.
+
+    Over the first L = min(chain, 1800) blocks:
+
+    * root A (``utxos_by_address`` → ``balance_by_address``, batch 500)
+      consumes ALL L blocks, then an in-feed EXCLUSIVE rollback to
+      slots[L//2], then resumes the branch up to 3L//4 — final tip_a =
+      slots[3L//4 − 1];
+    * root B (``slot_marks``, batch 300 — staggered cadence) consumes
+      only the first 2L//3 blocks and never sees a rollback — tip_b =
+      slots[2L//3 − 1].
+
+    tip_b > fork_a by construction, so root B's table holds rows ABOVE
+    root A's fork: an UNSCOPED retraction (one chain's reorg deleting a
+    different subgraph's rows — the bug the per-root table ownership
+    exists to prevent) would drop B's count below 2L//3 and shift the
+    hash. The oracle is the per-root stateless closed form: balances
+    cut at tip_a, block count cut at tip_b."""
+    from argus_spark.lifecycle.multiroot import MultiRootDriver
+    from argus_spark.reducers.examples import make_balance_reducer, make_utxo_reducer
+
+    import pyspark.sql.functions as F
+
+    from argus_spark.lifecycle.dag import Reducer, ReducerRegistry
+
+    blocks, watched, slots = _chain(spark, sf_dir, L_MULTI)
+    n = len(slots)
+    fork, r_a, r_b = n // 2, 3 * n // 4, 2 * n // 3
+    store = ParquetStateStore(_state_dir(f"multiroot|{sf_dir}"))
+    blocks = blocks.cache()
+    try:
+        reg = ReducerRegistry()
+        reg.register(
+            Reducer(
+                "utxos_by_address",
+                make_utxo_reducer(watched),
+                tables=["wallet_utxos", "utxo_spends"],
+            )
+        )
+        reg.register(
+            Reducer(
+                "balance_by_address",
+                make_balance_reducer(watched),
+                depends_on="utxos_by_address",
+                tables=["watched_address_balances"],
+            )
+        )
+
+        def _marks(ctx) -> dict[str, DataFrame]:
+            return {"slot_marks": ctx.blocks.select("slot")}
+
+        reg.register(Reducer("slot_marks", _marks, tables=["slot_marks"]))
+
+        m = MultiRootDriver(
+            spark,
+            reg,
+            store,
+            blocks,
+            kwargs_by_root={"slot_marks": {"batch_size": 300}},
+            batch_size=500,
+            max_delay_s=1e9,
+        )
+        feed_a = (
+            _fwd(slots)
+            + [
+                ChainEvent(
+                    "roll_back",
+                    rollback_slot=slots[fork],
+                    rollback_type="exclusive",
+                )
+            ]
+            + _fwd(slots[fork + 1 : r_a])
+        )
+        feed_b = _fwd(slots[:r_b])
+        m.run(
+            events_by_root={"utxos_by_address": feed_a, "slot_marks": feed_b}
+        )
+    finally:
+        blocks.unpersist()
+    bal = current_balances(spark, store).select(
+        F.lit("balances").alias("root"),
+        F.col("address_name").alias("item"),
+        F.col("slot").cast("long").alias("slot"),
+        F.col("balance").cast("long").alias("val"),
+    )
+    marks = (
+        store.read_table(spark, "slot_marks")
+        .agg(
+            F.count("*").cast("long").alias("val"),
+            F.max("slot").cast("long").alias("slot"),
+        )
+        .select(
+            F.lit("blockcount").alias("root"),
+            F.lit("n_blocks").alias("item"),
+            "slot",
+            "val",
+        )
+    )
+    return bal.unionByName(marks)
+
+
+LIFECYCLE_MULTIROOT_REPLAY_SQL = (
+    CHAIN_SQL_CTES
+    + f"""
+, ds AS (
+  SELECT slot, row_number() OVER (ORDER BY slot) AS rn
+  FROM (SELECT DISTINCT slot FROM outputs)
+), lim AS (SELECT least(count(*), {L_MULTI}) AS l FROM ds),
+cut AS (
+  SELECT max(ds.slot) AS tip FROM ds, lim WHERE ds.rn <= 3 * lim.l // 4
+), cutb AS (
+  SELECT max(ds.slot) AS tipb, count(*)::BIGINT AS nb
+  FROM ds, lim WHERE ds.rn <= 2 * lim.l // 3
+)
+SELECT 'balances' AS root, w.name AS item,
+       cut.tip::BIGINT AS slot,
+       CAST(COALESCE(b.balance, 0) AS BIGINT) AS val
+FROM watched w CROSS JOIN cut
+LEFT JOIN (
+  SELECT o.address_name, CAST(sum(o.amount) AS BIGINT) AS balance
+  FROM outputs o, cut
+  WHERE o.slot <= cut.tip
+    AND NOT EXISTS (SELECT 1 FROM inputs i, cut c2
+                    WHERE o.tx_hash = i.tx_id AND o.tx_index = i.idx
+                      AND i.spend_slot <= c2.tip)
+  GROUP BY o.address_name
+) b ON w.name = b.address_name
+UNION ALL
+SELECT 'blockcount' AS root, 'n_blocks' AS item,
+       tipb::BIGINT AS slot, nb AS val
+FROM cutb
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lifecycle_reorg_replay": lifecycle_reorg_replay,
     "lifecycle_reorg_replay_sqltxn": lifecycle_reorg_replay_sqltxn,
     "lifecycle_crash_replay": lifecycle_crash_replay,
+    "lifecycle_multiroot_replay": lifecycle_multiroot_replay,
+    "lifecycle_compact_replay": lifecycle_compact_replay,
 }
 
 ORACLES: dict[str, str] = {
     "lifecycle_reorg_replay": LIFECYCLE_REORG_REPLAY_SQL,
     "lifecycle_reorg_replay_sqltxn": LIFECYCLE_REORG_REPLAY_SQL,
     "lifecycle_crash_replay": LIFECYCLE_CRASH_REPLAY_SQL,
+    "lifecycle_multiroot_replay": LIFECYCLE_MULTIROOT_REPLAY_SQL,
+    "lifecycle_compact_replay": LIFECYCLE_COMPACT_REPLAY_SQL,
 }
