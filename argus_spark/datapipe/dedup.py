@@ -560,29 +560,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix. Verify computes true Jaccard via ``array_intersect`` over
     the candidates' full token sets.
 
-    Candidate pruning stacks all three exact AllPairs/PPJoin filters
-    before the (expensive) verify — prefix, LENGTH (J ≥ τ forces
-    τ·n_a ≤ n_b ≤ n_a/τ), and POSITIONAL (a shared prefix token at
-    ranks k_a/k_b caps the possible overlap at min(n_a−k_a, n_b−k_b)+1,
-    which must reach ⌈τ/(1+τ)·(n_a+n_b)⌉; for a true pair the earliest
-    shared prefix token always passes, so keeping any-token-passes
-    loses nothing). All three only DROP false candidates — the emitted
-    pair set is bit-identical, so the oracle needs none of them; the
-    oracle deliberately KEEPS its unfiltered candidate set, making
-    every harness run an independent proof that the pruning loses no
-    pairs (a shared filter bug could hide if both sides pruned).
-    Measured at sf0.1 (964k true pairs out of 5k docs with big
-    near-dup cliques): 11.3M distinct candidates unfiltered → 3.7M
-    after length → ~1M after positional; verify cost scales 1:1.
+    Candidate generation is the ℓ=2 EXTENDED-prefix scheme (AdaptJoin's
+    ℓ-prefix family) with PPJoin's asymmetric indexing prefix and a
+    slacked positional bound — details at the code below; every filter
+    only DROPS false candidates, the emitted pair set is bit-identical
+    to brute force. The oracle deliberately KEEPS its unfiltered
+    1-prefix candidate set, making every harness run an independent
+    proof that the pruning loses no pairs (a shared filter bug could
+    hide if both sides pruned); a randomized brute-force equality
+    property (tests/test_datapipe_units.py::TestPPJoinExactnessProperty,
+    incl. tiny-doc and n=4/5 boundary cases) pins it from a third side.
 
-    Shuffles: token df agg, df join, per-doc window, prefix self-join
-    (bounded fanout), pair verify joins — all equi-keyed, AQE-safe. A
+    Shuffles: token df agg, df join, per-doc window, prefix join
+    (skinny codegen rows into a map-side partial pair-count), verify
+    joins on the surviving pairs — all equi-keyed, AQE-safe. A
     plan/row-count bound lives in tests (candidates ≪ uncut join).
 
-    Scaling, measured (BENCH_SCALE.md, r7, linear-true-pair family,
-    5k→50k docs): wall exponent ≈ 1.2-1.4 across clean runs at output
-    exponent 1.01 — the mild super-linearity is the global df agg +
-    per-doc sort, not the pair stage."""
+    Scaling, measured (BENCH_SCALE.md, r10 re-run, linear-true-pair
+    family, 5k→50k docs): wall exponent 0.2 at output exponent 1.01
+    (x10 wall 7.31s → 1.12s vs the r7 1-prefix scheme, identical
+    output rows). The r7 exponent 1.39 was the 1-prefix join feeding
+    Σ_w df(w)² materialized pairs into an array-payload verify — on
+    the scale family's fixed uniform vocabulary every token's df grows
+    ∝ N, so that join output grew ∝ N²/V; the ℓ=2 pair-count keeps
+    the enumeration skinny and the verify linear in true pairs."""
     d = load(spark, sf_dir, "documents", widen=True).select(
         "doc_id", F.array_distinct(words_col()).alias("words")
     )
@@ -596,38 +597,103 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k"),
         F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
     )
-    prefix = ranked.filter(
-        F.col("k") <= F.col("n") - F.ceil(F.lit(JACCARD_TAU) * F.col("n")) + 1
+    # All bounds in INTEGER rationals, never float. τ = 9/10, so
+    # "overlap ≥ ⌈τ/(1+τ)·(na+nb)⌉" is exactly "19·overlap ≥ 9·(na+nb)"
+    # for integer overlap; ⌈τ·n⌉ = (9n+9) div 10 and ⌈2τ/(1+τ)·n⌉ =
+    # (18n+18) div 19 likewise. (A float ceil(fp(0.9/1.9)·(na+nb))
+    # over-required by 1 whenever 9·(na+nb) ≡ 0 (mod 19), wrongly
+    # pruning a true boundary pair — filters may only DROP false
+    # candidates; r7 lesson.)
+    tau_num, tau_den = 9, 10  # JACCARD_TAU as an exact rational
+    #
+    # ℓ=2 extended-prefix scheme (the AdaptJoin ℓ-prefix family, Wang
+    # et al. SIGMOD'12): a pair with J ≥ τ and required overlap O ≥ 2
+    # has its two globally-smallest common tokens c1, c2 inside BOTH
+    # docs' (n − ⌈τ·n⌉ + 2)-prefixes — pos(c_j) ≤ n − O + j since all
+    # later common tokens sit behind c_j — so demanding ≥ 2 shared
+    # extended-prefix tokens is still EXACT while collapsing the
+    # candidate set: on a flat-vocabulary corpus (the adversarial
+    # scale family: fixed uniform vocab, df of EVERY token ∝ N) the
+    # 1-prefix candidate count grows ∝ Σ_w df(w)² ≈ N²/V while pairs
+    # sharing ≥2 prefix tokens by chance are ~(p²/V)² rarer — the
+    # measured r7 time exponent 1.39 was exactly this Σ df² join
+    # growth feeding an array-payload verify. The join fanout is still
+    # enumerated, but as skinny codegen rows consumed by a map-side
+    # partial count, not as materialized pairs carried into the verify.
+    #
+    # Asymmetric prefixes (PPJoin's indexing-prefix): for the SMALLER
+    # doc of a pair O ≥ ⌈2τ/(1+τ)·n_x⌉, so its prefix can stop at
+    # n − ⌈2τ/(1+τ)·n⌉ + 2 (≈ 0.053·n at τ=0.9 vs the probe side's
+    # ≈ 0.1·n) — the join enumerates df_probe·df_index per token
+    # instead of df_probe².
+    probe = ranked.filter(
+        F.col("k") <= F.col("n") - F.expr(f"({tau_num}*n+{tau_num}) div {tau_den}") + 2
     ).select("doc_id", "w", "k", "n")
-    a, x = prefix.alias("a"), prefix.alias("x")
+    idx_num, idx_den = 2 * tau_num, tau_num + tau_den  # 2τ/(1+τ) = 18/19
+    index = ranked.filter(
+        F.col("k") <= F.col("n") - F.expr(f"({idx_num}*n+{idx_num}) div {idx_den}") + 2
+    ).select("doc_id", "w", "k", "n")
+    # ℓ=2 needs O ≥ 2, guaranteed for n ≥ 5 (O ≥ ⌈(2·9/19)·5⌉ = 5);
+    # docs with n ≤ 4 can only pair with each other (length filter:
+    # 10·4 < 9·5) and fall back to the plain 1-prefix join below.
+    a = probe.filter(F.col("n") >= 5).alias("a")
+    x = index.filter(F.col("n") >= 5).alias("x")
     overlap_ub = (
         F.least(F.col("a.n") - F.col("a.k"), F.col("x.n") - F.col("x.k"))
         + F.lit(1)
     )
-    # Length + positional bounds in INTEGER rationals, never float.
-    # τ = 9/10, so "overlap ≥ ⌈τ/(1+τ)·(na+nb)⌉" is exactly
-    # "19·overlap ≥ 9·(na+nb)" for integer overlap. The former float
-    # form ceil(fp(0.9/1.9)·(na+nb)) over-required by 1 whenever
-    # 9·(na+nb) ≡ 0 (mod 19) (na+nb ∈ {133, 247, 266, ...}) because
-    # fp(0.9/1.9) rounds a hair above 9/19 — wrongly pruning a true
-    # boundary pair with J exactly τ whose positional upper bound equals
-    # the exact minimum. Filters may only DROP false candidates; the
-    # integer form restores that invariant. (The length filter's float
-    # ceil happens to be exact at τ=0.9 for all n ≤ 100k; rewritten to
-    # integers anyway as hardening.)
-    tau_num, tau_den = 9, 10  # JACCARD_TAU as an exact rational
-    cand = (
+    big_pairs = (
         a.join(x, "w", "inner")
         .filter(
-            (F.col("a.doc_id") < F.col("x.doc_id"))
+            # x = the no-larger side (index prefix is only valid there)
+            (
+                (F.col("x.n") < F.col("a.n"))
+                | (
+                    (F.col("x.n") == F.col("a.n"))
+                    & (F.col("x.doc_id") < F.col("a.doc_id"))
+                )
+            )
+            # length bound (the other direction holds by ordering)
             & (F.lit(tau_den) * F.col("x.n") >= F.lit(tau_num) * F.col("a.n"))
-            & (F.lit(tau_den) * F.col("a.n") >= F.lit(tau_num) * F.col("x.n"))
+            # positional bound, slacked by ℓ−1 = 1: the j-th smallest
+            # common token only guarantees ub ≥ O − j + 1, so requiring
+            # ub + 1 ≥ O keeps both of a true pair's c1/c2 rows
             & (
-                F.lit(tau_num + tau_den) * overlap_ub
+                F.lit(tau_num + tau_den) * (overlap_ub + F.lit(1))
                 >= F.lit(tau_num) * (F.col("a.n") + F.col("x.n"))
             )
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("x.doc_id").alias("doc_b"))
+        .groupBy(
+            F.least(F.col("a.doc_id"), F.col("x.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("x.doc_id")).alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("doc_a", "doc_b")
+    )
+    sp = ranked.filter(
+        (F.col("n") <= 4)
+        & (
+            F.col("k")
+            <= F.col("n")
+            - F.expr(f"({tau_num}*n+{tau_num}) div {tau_den}")
+            + 1
+        )
+    ).select("doc_id", "w", "n")
+    sa, sx = sp.alias("sa"), sp.alias("sx")
+    small_pairs = (
+        sa.join(sx, "w", "inner")
+        .filter(
+            (F.col("sa.doc_id") < F.col("sx.doc_id"))
+            & (F.lit(tau_den) * F.col("sx.n") >= F.lit(tau_num) * F.col("sa.n"))
+            & (F.lit(tau_den) * F.col("sa.n") >= F.lit(tau_num) * F.col("sx.n"))
+        )
+        .select(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sx.doc_id").alias("doc_b")
+        )
+    )
+    cand = (
+        big_pairs.unionByName(small_pairs)
         .distinct()
         # Cached: materializing the skinny (doc_a, doc_b) pair frame
         # cuts the measured sf0.1 wall 39s → ~8s. Without it Catalyst

@@ -827,6 +827,14 @@ class TestPPJoinExactnessProperty:
                     rng.shuffle(words)
                     docs.append((did, " ".join(words)))
                     did += 1
+            # tiny docs exercise the ℓ=2 scheme's small-doc fallback
+            # branch (n ≤ 4 — pairs there need exact set equality at
+            # τ=0.9) and the n=4/5 boundary where the branches split
+            for n_small in (1, 2, 3, 4, 4, 5, 5):
+                words = rng.sample(vocab, n_small)
+                for _ in range(rng.randint(1, 2)):  # dup + maybe twin
+                    docs.append((did, " ".join(words)))
+                    did += 1
             sets = {d: frozenset(t.split(" ")) for d, t in docs}
             truth = {}
             ids = sorted(sets)
