@@ -285,6 +285,131 @@ LEFT JOIN (
 )
 
 
+def _balances_cut_sql(cap: int, mul: int, div: int) -> str:
+    """Stateless closed-form balances at tip = the (mul·L//div)-th of
+    the first L = min(chain, cap) distinct slots — the shared oracle
+    shape of every lifecycle scenario query in this module."""
+    return (
+        CHAIN_SQL_CTES
+        + f"""
+, ds AS (
+  SELECT slot, row_number() OVER (ORDER BY slot) AS rn
+  FROM (SELECT DISTINCT slot FROM outputs)
+), lim AS (SELECT least(count(*), {cap}) AS l FROM ds),
+cut AS (
+  SELECT max(ds.slot) AS tip FROM ds, lim WHERE ds.rn <= {mul} * lim.l // {div}
+)
+SELECT w.name AS address_name,
+       cut.tip::BIGINT AS slot,
+       CAST(COALESCE(b.balance, 0) AS BIGINT) AS balance
+FROM watched w CROSS JOIN cut
+LEFT JOIN (
+  SELECT o.address_name, CAST(sum(o.amount) AS BIGINT) AS balance
+  FROM outputs o, cut
+  WHERE o.slot <= cut.tip
+    AND NOT EXISTS (SELECT 1 FROM inputs i, cut c2
+                    WHERE o.tx_hash = i.tx_id AND o.tx_index = i.idx
+                      AND i.spend_slot <= c2.tip)
+  GROUP BY o.address_name
+) b ON w.name = b.address_name
+"""
+    )
+
+
+L_STREAMIDX = 1600  # blocks fed to the streaming-indexer scenario
+
+
+def streaming_lifecycle_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state STREAMING path (SURVEY §3.1) under the driver's
+    hash gate: a real ``readStream`` file source feeding
+    ``foreachBatch`` → ``IndexDriver`` (streaming/indexer.py —
+    pytest-only before r10), with a mid-feed reorg and a
+    checkpoint-resumed second leg.
+
+    Over the first L = min(chain, 1600) blocks, the feed directory
+    carries CHAIN_EVENTS files (~10 files, read 2 per trigger, driver
+    batch 250 — so micro-batch, file, and epoch boundaries all
+    deliberately misalign):
+
+    * leg 1: roll forward all L; a roll_back EXCLUSIVE to slots[L//2]
+      (mid-file, mid-epoch); the branch resume to 3L//4 — one
+      ``Trigger.AvailableNow`` run drains it;
+    * leg 2: new files extending the branch to 7L//8 are written AFTER
+      leg 1 terminates; a FRESH StreamingIndexer (fresh IndexDriver —
+      A14 state reload) on the SAME streaming checkpoint runs
+      availableNow again: Spark's source checkpoint must skip every
+      leg-1 file and the driver must resume from its committed floor.
+
+    Final tip = slots[7L//8 − 1]; the oracle is the stateless closed
+    form there. This certifies the two-checkpoint cooperation the
+    module docstring promises (source progress vs semantic progress)
+    end to end, not just in pytest."""
+    from argus_spark.sources.chain_feed import write_feed_file
+    from argus_spark.streaming.indexer import StreamingIndexer
+
+    blocks, watched, slots = _chain(spark, sf_dir, L_STREAMIDX)
+    n = len(slots)
+    fork, r1, r2 = n // 2, 3 * n // 4, 7 * n // 8
+    out = _state_dir(f"streamidx|{sf_dir}")
+    store = ParquetStateStore(os.path.join(out, "store"))
+    feed = os.path.join(out, "feed")
+    ck = os.path.join(out, "ck")
+    os.makedirs(feed, exist_ok=True)
+
+    def fwd_rows(seq0: int, ss: list[int]) -> list[dict]:
+        return [
+            {"seq": seq0 + i, "action": "roll_forward", "block_slot": s}
+            for i, s in enumerate(ss)
+        ]
+
+    leg1 = fwd_rows(0, slots)
+    leg1.append(
+        {
+            "seq": len(leg1),
+            "action": "roll_back",
+            "rollback_slot": slots[fork],
+            "rollback_type": "exclusive",
+        }
+    )
+    leg1 += fwd_rows(len(leg1), slots[fork + 1 : r1])
+    per = max(1, (len(leg1) + 9) // 10)
+    n_files = 0
+    for lo in range(0, len(leg1), per):
+        write_feed_file(feed, n_files, leg1[lo : lo + per])
+        n_files += 1
+    blocks = blocks.cache()
+    try:
+        reg = build_example_registry(spark, watched)
+        si = StreamingIndexer(
+            spark, reg, store, blocks, feed, ck,
+            batch_size=250, max_files_per_trigger=2,
+        )
+        st1 = si.run_available_now()
+        if st1.micro_batches < 2:
+            raise AssertionError("leg 1 must span multiple micro-batches")
+        # leg 2: extend the branch, then restart on the same checkpoint
+        leg2 = fwd_rows(len(leg1), slots[r1:r2])
+        if leg2:
+            write_feed_file(feed, n_files, leg2)
+        si2 = StreamingIndexer(
+            spark, build_example_registry(spark, watched), store, blocks,
+            feed, ck, batch_size=250, max_files_per_trigger=2,
+        )
+        st2 = si2.run_available_now()
+        if leg2 and st2.events != len(leg2):
+            raise AssertionError(
+                f"restart must read ONLY the new file: {st2.events} events"
+            )
+    finally:
+        blocks.unpersist()
+    return current_balances(spark, store).select(
+        "address_name", "slot", "balance"
+    )
+
+
+STREAMING_LIFECYCLE_REPLAY_SQL = _balances_cut_sql(L_STREAMIDX, 7, 8)
+
+
 L_COMPACT = 1500  # blocks fed to the compaction scenario
 
 
@@ -521,6 +646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lifecycle_crash_replay": lifecycle_crash_replay,
     "lifecycle_multiroot_replay": lifecycle_multiroot_replay,
     "lifecycle_compact_replay": lifecycle_compact_replay,
+    "streaming_lifecycle_replay": streaming_lifecycle_replay,
 }
 
 ORACLES: dict[str, str] = {
@@ -529,4 +655,5 @@ ORACLES: dict[str, str] = {
     "lifecycle_crash_replay": LIFECYCLE_CRASH_REPLAY_SQL,
     "lifecycle_multiroot_replay": LIFECYCLE_MULTIROOT_REPLAY_SQL,
     "lifecycle_compact_replay": LIFECYCLE_COMPACT_REPLAY_SQL,
+    "streaming_lifecycle_replay": STREAMING_LIFECYCLE_REPLAY_SQL,
 }

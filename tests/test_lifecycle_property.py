@@ -193,3 +193,53 @@ def test_random_reorg_scripts_balance_fold_matches_oracle(
             .collect()
         }
         assert got == want, (ops, batch_size, surviving)
+
+
+@given(
+    batch_size=st.sampled_from([1, 2, 5]),
+    crash_at=st.integers(min_value=0, max_value=5),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_crash_point_replay_converges(spark, chain, batch_size, crash_at):
+    """At-least-once recovery as a property: inject a crash at a RANDOM
+    manifest-publish point (not just epoch 3 as in the scenario query),
+    restart with a fresh store handle + driver, replay the FULL feed —
+    the final table must equal the full prefix exactly (no lost blocks
+    from the torn epoch, no duplicates from the replay), for every
+    (batch size, crash point) combination."""
+    from argus_spark.lifecycle.replay_queries import _CrashingStore
+
+    blocks, slots = chain
+    events = [ChainEvent("roll_forward", block_slot=s) for s in slots]
+    n_epochs = (len(slots) + batch_size - 1) // batch_size
+
+    with tempfile.TemporaryDirectory() as td:
+        root = os.path.join(td, "store")
+        reg = ReducerRegistry().register(Reducer("block_tests", _blocks_reducer))
+        crashing = _CrashingStore(root, publishes_before_crash=crash_at)
+        d1 = IndexDriver(
+            spark, reg, crashing, blocks,
+            batch_size=batch_size, window_k=5,
+        )
+        crashed = False
+        try:
+            d1.run(events)
+        except RuntimeError:
+            crashed = True
+        # a crash point beyond the feed's epoch count simply never fires
+        assert crashed == (crash_at < n_epochs), (crash_at, n_epochs)
+
+        store = ParquetStateStore(root)
+        d2 = IndexDriver(
+            spark, reg, store, blocks, batch_size=batch_size, window_k=5
+        )
+        stats = d2.run(events)
+        if crashed and crash_at > 0:
+            assert stats.skipped > 0  # committed floor absorbed the replay
+        df = store.read_table(spark, "block_tests")
+        got = sorted(r.slot for r in df.select("slot").collect())
+        assert got == slots, (batch_size, crash_at)
