@@ -572,6 +572,162 @@ FROM d CROSS JOIN bounds
 """
 
 
+# ---------------- intra-document repeated-span removal ----------------
+
+SPAN_W = 8  # tokens per non-overlapping span
+
+
+def dedup_repeated_spans(
+    spark: SparkSession, sf_dir: str, enrich: bool = False
+) -> DataFrame:
+    """INTRA-document repeated-span removal — the MassiveText/C4-style
+    "remove duplicated passages within a page" cleanup (distinct from
+    the cross-document dedup family in dedup.py): cut each doc's token
+    stream into non-overlapping ``SPAN_W``-word spans and keep only the
+    FIRST occurrence of each span text, preserving original order.
+
+    Map-only and shuffle-free: span construction, first-occurrence
+    test (``array_position(spans, s) == index+1``), and reassembly are
+    all JVM higher-order array functions inside one projection — at
+    100 TB this costs exactly one scan.
+
+    The synthetic corpus has no naturally repeated 8-grams (uniform
+    draws), so the REGISTERED entry runs ``enrich=True`` — the
+    pii_redact fixture pattern: docs with ≥ SPAN_W tokens get their
+    first span deterministically prepended TWICE (token-aligned, both
+    engines apply the identical expression), so the remover provably
+    drops exactly one duplicate span per enriched doc and the oracle
+    checks real work. Live callers use the default raw mode."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    ws = words_col()
+    if enrich:
+        head = F.slice(ws, 1, SPAN_W)
+        ws = F.when(
+            F.size(ws) >= SPAN_W, F.concat(head, head, ws)
+        ).otherwise(ws)
+    n = F.size(ws)
+    n_spans = F.floor((n + F.lit(SPAN_W - 1)) / F.lit(SPAN_W)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda k: F.array_join(F.slice(ws, k * SPAN_W + 1, SPAN_W), " "),
+    )
+    kept = F.filter(
+        spans, lambda s, i: F.array_position(spans, s) == i + F.lit(1)
+    )
+    return (
+        d.filter(n > 0)
+        .select(
+            "doc_id",
+            F.size(spans).cast("long").alias("n_spans"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, " ").alias("kept_text"),
+        )
+    )
+
+
+DEDUP_REPEATED_SPANS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {words_sql()} AS ws0 FROM documents
+), e AS (
+  SELECT doc_id,
+         CASE WHEN len(ws0) >= {SPAN_W}
+              THEN ws0[1:{SPAN_W}] || ws0[1:{SPAN_W}] || ws0
+              ELSE ws0 END AS ws
+  FROM t WHERE len(ws0) > 0
+), s AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, (len(ws) + {SPAN_W - 1}) // {SPAN_W}),
+           k -> array_to_string(ws[k * {SPAN_W} + 1 : k * {SPAN_W} + {SPAN_W}], ' ')
+         ) AS spans
+  FROM e
+)
+SELECT doc_id,
+       len(spans)::BIGINT AS n_spans,
+       len(list_filter(spans, (x, i) -> list_position(spans, x) = i))::BIGINT
+         AS n_kept,
+       array_to_string(list_filter(spans, (x, i) -> list_position(spans, x) = i), ' ')
+         AS kept_text
+FROM s
+"""
+
+
+# ---------------- Gopher-style rules gate ----------------
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 10, 10_000
+GOPHER_MIN_AVG_LEN, GOPHER_MAX_AVG_LEN = 2, 12  # exact integer bounds
+GOPHER_MAX_PUNCT_PCT = 20  # punct chars ≤ 20% of chars (integer rational)
+
+
+def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style RULES gate — the boolean complement of
+    ``text.text_quality``'s continuous score: per-document hard
+    pass/fail flags (word-count band, mean-word-length band, ≥1
+    stopword, punctuation share cap) plus the conjunctive ``keep``.
+    Pipelines run the cheap rules gate BEFORE any scored ranking; the
+    per-rule flags are what an auditor reads to see WHY a doc fell.
+
+    Determinism: every band check is an integer-rational comparison
+    (``char_sum·den`` vs ``n_words·num`` instead of a float mean), so
+    both engines agree bit-exactly. Map-only, zero shuffle."""
+    from argus_spark.datapipe.text import PUNCT_RE, STOPWORDS
+
+    d = load(spark, sf_dir, "documents", widen=True)
+    ws = words_col()
+    n_words = F.size(ws).cast("long")
+    char_sum = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter(ws, lambda w: F.array_contains(stop_arr, w))
+    ).cast("long")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(PUNCT_RE), 0)).cast(
+        "long"
+    )
+    r_len = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_wordlen = (char_sum >= F.lit(GOPHER_MIN_AVG_LEN) * n_words) & (
+        char_sum <= F.lit(GOPHER_MAX_AVG_LEN) * n_words
+    )
+    r_stop = n_stop >= 1
+    r_punct = F.lit(100) * n_punct <= F.lit(GOPHER_MAX_PUNCT_PCT) * F.col(
+        "n_chars"
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r_len.alias("r_len"),
+        r_wordlen.alias("r_wordlen"),
+        r_stop.alias("r_stop"),
+        r_punct.alias("r_punct"),
+        (r_len & r_wordlen & r_stop & r_punct).alias("keep"),
+    )
+
+
+def _gopher_sql() -> str:
+    from argus_spark.datapipe.text import quality_cte_sql
+
+    return f"""
+WITH {quality_cte_sql()}
+SELECT doc_id, n_words,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AS r_len,
+       (char_sum >= {GOPHER_MIN_AVG_LEN} * n_words
+        AND char_sum <= {GOPHER_MAX_AVG_LEN} * n_words) AS r_wordlen,
+       (n_stop >= 1) AS r_stop,
+       (100 * n_punct <= {GOPHER_MAX_PUNCT_PCT} * n_chars) AS r_punct,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND (char_sum >= {GOPHER_MIN_AVG_LEN} * n_words
+             AND char_sum <= {GOPHER_MAX_AVG_LEN} * n_words)
+        AND (n_stop >= 1)
+        AND (100 * n_punct <= {GOPHER_MAX_PUNCT_PCT} * n_chars)) AS keep
+FROM m
+"""
+
+
+GOPHER_RULES_FILTER_SQL = _gopher_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": chunk_documents,
     "length_outlier_filter": length_outlier_filter,
@@ -583,6 +739,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_counts": ngram_counts,
     "text_diversity": text_diversity,
     "fluency_unigram": fluency_unigram,
+    # registered entry runs the enriched-fixture mode (see docstring)
+    "dedup_repeated_spans": lambda spark, sf_dir: dedup_repeated_spans(
+        spark, sf_dir, enrich=True
+    ),
+    "gopher_rules_filter": gopher_rules_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -594,4 +755,6 @@ ORACLES: dict[str, str] = {
     "ngram_counts": NGRAM_COUNTS_SQL,
     "text_diversity": TEXT_DIVERSITY_SQL,
     "fluency_unigram": FLUENCY_UNIGRAM_SQL,
+    "dedup_repeated_spans": DEDUP_REPEATED_SPANS_SQL,
+    "gopher_rules_filter": GOPHER_RULES_FILTER_SQL,
 }

@@ -154,11 +154,19 @@ def test_ngram_jaccard_prefix_filter_bounds_candidates(spark):
 def test_textprep_map_only_ops_have_zero_shuffles(spark):
     from argus_spark.datapipe.textprep import (
         chunk_documents,
+        dedup_repeated_spans,
+        gopher_rules_filter,
         pii_redact,
         text_diversity,
     )
 
-    for q in (chunk_documents, pii_redact, text_diversity):
+    for q in (
+        chunk_documents,
+        pii_redact,
+        text_diversity,
+        dedup_repeated_spans,
+        gopher_rules_filter,
+    ):
         plan = formatted_plan(q(spark, SF_SMOKE))
         assert n_shuffle_exchanges(plan) == 0, (q.__name__, plan)
 
