@@ -54,23 +54,24 @@ def _modules():
 # older than one round. Keys absent from this list (future operators)
 # are appended in module order after the listed ones.
 #
-# Round-10 rotation. The 133/50 registry/window ratio forces a
+# Round-10 rotation. The 134/50 registry/window ratio forces a
 # two-round refresh cadence: every registered query gets a fresh
 # driver row at least every OTHER round (new/changed queries always
-# jump the queue). This round's window (10 + 32 + 8 = 50):
-#   tier 2 FIRST (10): the r8+r9 red row
+# jump the queue). This round's window (11 + 32 + 7 = 50):
+#   tier 2 FIRST (11): the r8+r9 red row
 #     (streaming_watermark_dedup_replay — root cause was the readStream
 #     string user_id vs the oracle's BIGINT; cast-to-long fix this
-#     round), the 5 NEW queries (lifecycle_multiroot_replay,
+#     round), the 6 NEW queries (lifecycle_multiroot_replay,
 #     lifecycle_compact_replay, streaming_lifecycle_replay,
-#     dedup_repeated_spans, gopher_rules_filter), and the 4 queries
+#     dedup_repeated_spans, gopher_rules_filter, ann_ivf_pq_topk), and
+#     the 4 queries
 #     whose code changed this round (ann_recall_at_k static tag frame,
 #     lifecycle_crash_replay derived batch, streaming_sessionize_replay
 #     + streaming_funnel_replay — stateful.py chunk-concat fix);
 #   tier 1 (32): the r6-vintage block deferred past the r9 boundary —
 #     their last driver row is three rounds old (includes
 #     dedup_ngram_jaccard + fluency_unigram, also changed this round);
-#   tier 3 head (8): the oldest r8-vintage rows, list order.
+#   tier 3 head (7): the oldest r8-vintage rows, list order.
 # Deferred past the cap: the remaining r8-fresh and all r9-fresh rows
 # (one round old, within cadence; they lead the r11 window).
 _PRIORITY = [
@@ -78,7 +79,7 @@ _PRIORITY = [
     "streaming_watermark_dedup_replay",
     "lifecycle_multiroot_replay", "lifecycle_compact_replay",
     "streaming_lifecycle_replay",
-    "dedup_repeated_spans", "gopher_rules_filter",
+    "dedup_repeated_spans", "gopher_rules_filter", "ann_ivf_pq_topk",
     "ann_recall_at_k", "lifecycle_crash_replay",
     "streaming_sessionize_replay", "streaming_funnel_replay",
     # -- tier 1: latest fresh driver row is round 6 (three rounds old) ---
@@ -95,14 +96,13 @@ _PRIORITY = [
     "winnow_fingerprints",
     "multimodal_payload_dedup", "corpus_stats_by_source",
     "text_quality", "agg_min_max",
-    # -- tier 3 head: oldest r8-vintage rows (11 fit the window) ---------
+    # -- tier 3 head: oldest r8-vintage rows (7 fit the window) ----------
     "avg_by_key", "min_safe_intersection",
     "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
     "range_join_pairs", "sample_stratified",
-    "dataset_mixture",
     # ---- 50-slot window boundary ----------------------------------------
     # -- r8-fresh remainder + r9-fresh rows (lead the r11 window) --------
-    "ann_cosine_topk", "ann_ivf_topk",
+    "dataset_mixture", "ann_cosine_topk", "ann_ivf_topk",
     "decontaminate_ngram_overlap",
     "kmeans_embeddings",
     "dedup_keep_list", "funnel_conversion",

@@ -601,6 +601,198 @@ SELECT q_id, n_id, rnk::BIGINT AS rnk, adc_dist FROM (
 """
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ combined — the standard billion-vector SERVING stack in
+    one query: IVF cells cut the candidate count (~nlist/nprobe×), PQ
+    codes cut the bytes per candidate (4 B vs 256 B here), and the
+    ranker scores ADC distance only inside the probed cells. The two
+    parent queries (``ann_ivf_topk``, ``ann_pq_adc_topk``) pin each
+    mechanism separately; this pins their COMPOSITION — at deployment
+    you store exactly (cell, codes) per vector and this is the query
+    you actually run.
+
+    Plan shape at 100 TB: BOTH codebooks fold into one-row broadcasts,
+    so cell assignment AND code/reconstruction are pure map-side
+    expressions over a single corpus scan; queries probe NPROBE cells
+    (broadcast, 8×NPROBE rows), and the only exchange carrying
+    corpus-derived rows is the final per-query top-k window over the
+    cell-cut candidates. The corpus is scanned once and never
+    shuffled. Determinism: the exact ``array_min`` tie orders and
+    mirrored ADC fold of the parents (ties → smaller id)."""
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    e = e.withColumn("nrm", norm(F.col("v")))
+    ivf_cb = (
+        e.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cb"))
+    )
+    pq_cb = (
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + PQ_K)
+        )
+        .select(
+            F.struct(
+                (F.col("vec_id") - F.lit(N_QUERIES)).alias("aid"),
+                F.col("v").alias("av"),
+            ).alias("a")
+        )
+        .agg(F.collect_list("a").alias("pq"))
+    )
+
+    def _scored_cells() -> F.Column:
+        return F.transform(
+            F.col("cb"),
+            lambda c: F.struct(
+                (
+                    -cosine_prenorm(
+                        _dot(F.col("v"), c["cv"]), F.col("nrm"), c["cn"]
+                    )
+                ).alias("ns"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+    def _chosen(m: int) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.col("pq"),
+                lambda a: F.struct(
+                    _l2sq(
+                        F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB),
+                        F.slice(a["av"], m * PQ_SUB + 1, PQ_SUB),
+                    ).alias("d"),
+                    a["aid"].alias("aid"),
+                    a["av"].alias("av"),
+                ),
+            )
+        )
+
+    with_cb = e.crossJoin(F.broadcast(ivf_cb))
+    # serving table: (vec_id, cell, reconstruction) — one map-side pass
+    assigned = (
+        with_cb.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(pq_cb))
+        .select(
+            "vec_id",
+            F.array_min(_scored_cells())["cid"].alias("cell"),
+            F.concat(
+                *[
+                    F.slice(_chosen(m)["av"], m * PQ_SUB + 1, PQ_SUB)
+                    for m in range(PQ_M)
+                ]
+            ).alias("r"),
+        )
+    )
+    qprobe = (
+        with_cb.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(_scored_cells()), 1, NPROBE),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell")
+    )
+    scored = assigned.join(F.broadcast(qprobe), "cell").select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        _l2sq(F.col("qv"), F.col("r")).alias("adc_dist"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PQ_TOP_K)
+        .select("q_id", "n_id", F.col("rnk").cast("long").alias("rnk"),
+                "adc_dist")
+    )
+
+
+def _ann_ivf_pq_topk_sql() -> str:
+    sub_dists = ", ".join(
+        f"{_l2sq_sql('c.v', 'cb.av', m * PQ_SUB, PQ_SUB)} AS d{m}"
+        for m in range(PQ_M)
+    )
+    code_ctes = ",\n".join(
+        f"k{m} AS (SELECT vec_id, aid FROM ("
+        f"SELECT vec_id, aid, row_number() OVER ("
+        f"PARTITION BY vec_id ORDER BY d{m}, aid) AS rn FROM dists"
+        f") WHERE rn = 1)"
+        for m in range(PQ_M)
+    )
+    recon_concat = " || ".join(
+        f"a{m}.av[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}]" for m in range(PQ_M)
+    )
+    recon_joins = " ".join(
+        f"JOIN k{m} ON k{m}.vec_id = c.vec_id "
+        f"JOIN cb a{m} ON a{m}.aid = k{m}.aid"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v, {_norm_sql('v')} AS nrm FROM e0),
+cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+  WHERE vec_id % {CENTROID_STRIDE} = 0
+),
+cb AS (SELECT vec_id - {N_QUERIES} AS aid, v AS av FROM e0
+       WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}),
+corpus AS (SELECT vec_id, v, nrm FROM e WHERE vec_id >= {N_QUERIES}),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT c.vec_id, cent.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_dot_sql('c.v', 'cent.cv')} / (c.nrm * cent.cn) DESC,
+                      cent.cid
+           ) AS rn
+    FROM corpus c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+dists AS (
+  SELECT c.vec_id, cb.aid, {sub_dists}
+  FROM corpus c CROSS JOIN cb
+),
+{code_ctes},
+recon AS (
+  SELECT c.vec_id, cells.cell, {recon_concat} AS r
+  FROM corpus c JOIN cells USING (vec_id) {recon_joins}
+),
+qprobe AS (
+  SELECT q_id, qv, cid AS cell FROM (
+    SELECT q.vec_id AS q_id, q.v AS qv, cent.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_dot_sql('q.v', 'cent.cv')} / (q.nrm * cent.cn) DESC,
+                      cent.cid
+           ) AS rn
+    FROM e q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {NPROBE}
+),
+scored AS (
+  SELECT q_id, recon.vec_id AS n_id,
+         {_l2sq_sql('qprobe.qv', 'recon.r', 0, DIM)} AS adc_dist
+  FROM qprobe JOIN recon USING (cell)
+)
+SELECT q_id, n_id, rnk::BIGINT AS rnk, adc_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist, n_id) AS rnk
+  FROM scored
+) WHERE rnk <= {PQ_TOP_K}
+"""
+
+
 ESTD_FX = float(1 << 24)  # fixed-point quantum for the per-dim moments
 
 
@@ -805,8 +997,8 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (total tie order by n_id); the recall division is one IEEE divide
     of small ints. Plan: exact side = broadcast-queries × corpus scan
     (the baseline cost, run on N_QUERIES samples only); each variant
-    probes its bucket/cells; the join/agg act on ≤ 3·N_QUERIES·k
-    rows (the crossJoin is the 3-row variant-tag frame)."""
+    probes its bucket/cells; the join/agg act on ≤ 4·N_QUERIES·k
+    rows (the crossJoin is the 4-row variant-tag frame)."""
     exact = (
         ann_cosine_topk(spark, sf_dir)
         .filter(F.col("rnk") <= LSH_TOP_K)
@@ -816,6 +1008,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_bucketed": ann_lsh_bucketed,
         "lsh_multiprobe": ann_lsh_multiprobe,
         "ivf": ann_ivf_topk,
+        "ivf_pq": ann_ivf_pq_topk,
     }
     approx = None
     for tag, fn in variants.items():
@@ -830,7 +1023,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags = spark.createDataFrame(
         [(t,) for t in variants], "variant string"
     )
-    base = exact.crossJoin(F.broadcast(tags))  # 3-row tag frame
+    base = exact.crossJoin(F.broadcast(tags))  # 4-row tag frame
     return (
         base.join(approx, ["q_id", "n_id", "variant"], "left")
         .groupBy("variant", "q_id")
@@ -863,12 +1056,16 @@ WITH exact AS (
   UNION ALL
   SELECT q_id, n_id, 'ivf' AS variant, 1 AS hit
   FROM ({ANN_IVF_TOPK_SQL})
+  UNION ALL
+  SELECT q_id, n_id, 'ivf_pq' AS variant, 1 AS hit
+  FROM ({_ann_ivf_pq_topk_sql()})
 ), base AS (
   -- static literal tags (mirrors the Spark side): an empty variant
   -- must appear with recall 0, not vanish from the matrix
   SELECT e.q_id, e.n_id, t.variant
   FROM exact e CROSS JOIN (
-    SELECT * FROM (VALUES ('lsh_bucketed'), ('lsh_multiprobe'), ('ivf'))
+    SELECT * FROM (VALUES ('lsh_bucketed'), ('lsh_multiprobe'), ('ivf'),
+                          ('ivf_pq'))
       AS v(variant)
   ) t
 )
@@ -893,6 +1090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_project_rp": embedding_project_rp,
     "embedding_standardize": embedding_standardize,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "source_centroid_similarity": source_centroid_similarity,
 }
 
@@ -905,5 +1103,6 @@ ORACLES: dict[str, str] = {
     "embedding_project_rp": EMBEDDING_PROJECT_RP_SQL,
     "embedding_standardize": EMBEDDING_STANDARDIZE_SQL,
     "ann_pq_adc_topk": _ann_pq_adc_topk_sql(),
+    "ann_ivf_pq_topk": _ann_ivf_pq_topk_sql(),
     "source_centroid_similarity": SOURCE_CENTROID_SIMILARITY_SQL,
 }

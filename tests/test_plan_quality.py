@@ -113,6 +113,18 @@ def test_ann_ivf_corpus_never_shuffles_for_assignment(spark):
     assert n_shuffle_exchanges(plan) <= 1, plan
 
 
+def test_ann_ivf_pq_corpus_never_shuffles_for_assignment(spark):
+    from argus_spark.datapipe.similarity import ann_ivf_pq_topk
+
+    plan = formatted_plan(ann_ivf_pq_topk(spark, SF_SMOKE))
+    # both codebooks fold to one-row broadcasts → cell assignment AND
+    # PQ reconstruction are map-side; probe = broadcast hash join on
+    # cell; the only corpus-derived shuffle is the final top-k window.
+    assert has_broadcast_hash_join(plan), plan
+    assert not has_sort_merge_join(plan), plan
+    assert n_shuffle_exchanges(plan) <= 1, plan
+
+
 def test_embedding_cosine_has_no_nested_loop(spark):
     """Round-1 verdict: the all-pairs theta join compiled to a
     BroadcastNestedLoop (O(n²)). The banded-LSH rework must keep every
