@@ -78,10 +78,24 @@ def main() -> int:
         # (the reference's secondary-index role, TestDbContext.cs:35-37).
         store.set_bucketing("wallet_utxos", ["tx_hash"], 16)
         registry = build_example_registry(spark, watched)
+        # Driver knobs come from an appsettings-shaped config — the
+        # reference's exact key paths (lifecycle/config.py): a user's
+        # existing appsettings.json drops in here via
+        # IndexerConfig.from_json(path).
+        from argus_spark.lifecycle.config import IndexerConfig
+
+        cfg = IndexerConfig.from_dict(
+            {
+                "CardanoNodeConnection": {
+                    "Hash": "genesis", "Slot": 0,
+                    "MaxRollbackSlots": 10**12, "RollbackBuffer": 10,
+                },
+                "Sync": {"Commit": {"BatchSize": 100, "MaxDelayMs": 10**12}},
+            }
+        )
         driver = IndexDriver(
             spark, registry, store, blocks,
-            batch_size=100, max_delay_s=1e9, telemetry=telemetry,
-            max_rollback_slots=10**12,
+            telemetry=telemetry, **cfg.driver_kwargs(),
         )
         stats = driver.run(events)
 
