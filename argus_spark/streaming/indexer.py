@@ -93,6 +93,42 @@ class StreamingIndexer:
         self.driver = IndexDriver(spark, registry, store, blocks_df, **kwargs)
         self.stats = StreamingStats()
 
+    @classmethod
+    def from_config(
+        cls,
+        spark: SparkSession,
+        registry: ReducerRegistry,
+        store: ParquetStateStore,
+        blocks_df: DataFrame,
+        feed_dir: str,
+        checkpoint_dir: str,
+        cfg,
+    ) -> "StreamingIndexer":
+        """Construct from an appsettings-shaped ``IndexerConfig``
+        (lifecycle/config.py): ``Sync:Commit:BatchSize`` → driver epoch
+        size, ``CardanoNodeConnection:RollbackBuffer`` → checkpoint
+        window, ``Sync:Pipeline:ChannelCapacity`` → files per trigger
+        (the bounded-inbox capacity, A6 — the reference suspends the
+        producer at this depth; the file source simply never requests
+        more). Pair with ``run_available_now`` when
+        ``cfg.exit_on_completion`` (the reference's
+        ``Sync:Worker:ExitOnCompletion``) else ``run_continuous``."""
+        return cls(
+            spark, registry, store, blocks_df, feed_dir, checkpoint_dir,
+            batch_size=cfg.batch_size,
+            max_files_per_trigger=cfg.channel_capacity,
+            window_k=cfg.window_k,
+        )
+
+    def run_from_config(self, cfg):
+        """Dispatch on the reference's ExitOnCompletion flag: bounded
+        drain (availableNow) vs follow-the-tip (processingTime)."""
+        if cfg.exit_on_completion:
+            return self.run_available_now()
+        return self.run_continuous(
+            processing_time=f"{cfg.dashboard_refresh_ms} milliseconds"
+        )
+
     # foreachBatch body — one micro-batch of chain events
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         # Control-plane rows only (a few per block, no payload). Sort

@@ -63,6 +63,12 @@ STAR_OPS = [
     "sessionize_events",
     "user_state_diff",
     "cross_source_dup_matrix",  # documents-based, but measured with this batch
+    # r10 additions — the remaining unmeasured events-analytics family
+    "asof_join_prior_view",
+    "range_join_pairs",
+    "funnel_conversion",
+    "cohort_retention",
+    "user_path_transitions",
 ]
 
 

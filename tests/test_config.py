@@ -183,3 +183,62 @@ def test_config_driven_driver_sync_and_startup_rewind(spark, tmp_path):
         assert got == [s for s in slots if s <= cut]
     finally:
         blocks.unpersist()
+
+
+def test_streaming_indexer_from_config(spark, tmp_path):
+    """Config → StreamingIndexer → real availableNow run: BatchSize,
+    RollbackBuffer, and ChannelCapacity land on the right knobs and the
+    ExitOnCompletion dispatch drains the feed to the oracle state."""
+    import json as _json
+
+    from argus_spark.sources.chain_feed import write_feed_file
+    from argus_spark.streaming.indexer import StreamingIndexer
+
+    blocks = synth_blocks(spark, SF_SMOKE).cache()
+    try:
+        slots = [
+            r.slot for r in blocks.select("slot").orderBy("slot").collect()
+        ]
+        cfg_path = tmp_path / "appsettings.json"
+        cfg_path.write_text(_json.dumps({
+            "CardanoNodeConnection": {
+                "Hash": "h", "Slot": 0,
+                "RollbackBuffer": 7, "MaxRollbackSlots": 10**12,
+            },
+            "Sync": {
+                "Commit": {"BatchSize": 150, "MaxDelayMs": 10**12},
+                "Pipeline": {"ChannelCapacity": 2},
+                "Worker": {"ExitOnCompletion": True},
+            },
+        }))
+        cfg = IndexerConfig.from_json(str(cfg_path))
+        feed = str(tmp_path / "feed")
+        rows = [
+            {"seq": i, "action": "roll_forward", "block_slot": s,
+             "rollback_slot": None, "rollback_type": None}
+            for i, s in enumerate(slots)
+        ]
+        seg = max(1, len(rows) // 5)
+        for i, lo in enumerate(range(0, len(rows), seg)):
+            write_feed_file(feed, i, rows[lo : lo + seg])
+        store = ParquetStateStore(str(tmp_path / "store"))
+        reg = ReducerRegistry().register(
+            Reducer("block_tests", _blocks_reducer, tables=["block_tests"])
+        )
+        si = StreamingIndexer.from_config(
+            spark, reg, store, blocks, feed, str(tmp_path / "ck"), cfg
+        )
+        assert si.driver.batch_size == 150
+        assert si.driver.window_k == 7
+        assert si.max_files_per_trigger == 2
+        stats = si.run_from_config(cfg)
+        assert stats.micro_batches >= 3  # 6 files at 2/trigger
+        got = sorted(
+            r.slot
+            for r in store.read_table(spark, "block_tests")
+            .select("slot")
+            .collect()
+        )
+        assert got == slots
+    finally:
+        blocks.unpersist()
