@@ -41,9 +41,29 @@ class LockLostError(Exception):
 
 
 class SingleInstanceLock:
-    def __init__(self, root: str, lease_s: float = 30.0, owner: str | None = None):
+    """``renew_s`` / ``poll_s`` / ``health_s`` mirror the reference's
+    ``Sync:SingleInstanceLock:{LeaseSeconds,RenewSeconds,PollSeconds,
+    HealthCheckSeconds}`` knobs (MongoSingleInstanceLock.cs:54-55,
+    PostgresSingleInstanceLock.cs:64-65): renew cadence while held,
+    acquisition poll interval, and the suggested ``held()`` health-probe
+    cadence for embedding callers. The reference's minimum clamps
+    (lease ≥ 2 s, others ≥ 1 s) are applied at CONFIG-read time
+    (lifecycle/config.py), not here — tests use sub-second leases."""
+
+    def __init__(
+        self,
+        root: str,
+        lease_s: float = 30.0,
+        owner: str | None = None,
+        renew_s: float = 10.0,
+        poll_s: float = 2.0,
+        health_s: float = 5.0,
+    ):
         self.path = os.path.join(root, "_lock.json")
         self.lease_s = lease_s
+        self.renew_s = renew_s
+        self.poll_s = poll_s
+        self.health_s = health_s
         self.owner = owner or f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
         os.makedirs(root, exist_ok=True)
 
@@ -150,10 +170,12 @@ class SingleInstanceLock:
         return cur.get("owner") == self.owner
 
     def wait_for_acquisition(
-        self, timeout_s: float | None = None, poll_s: float = 0.2
+        self, timeout_s: float | None = None, poll_s: float | None = None
     ) -> bool:
         """Park until the lock is ours (WaitForAcquisitionAsync). Returns
-        False only on timeout."""
+        False only on timeout. ``poll_s`` defaults to the configured
+        ``PollSeconds`` cadence."""
+        poll_s = self.poll_s if poll_s is None else poll_s
         deadline = None if timeout_s is None else time.monotonic() + timeout_s
         while True:
             if self.try_acquire():

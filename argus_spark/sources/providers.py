@@ -5,16 +5,33 @@ client), N2NProvider.cs:89-215 (pipelined TCP node-to-node),
 U5CProvider.cs:21-76 (gRPC UtxoRPC); this module is the rebuild's
 deployment-shaped pair, closing the "file feed only" gap).
 
-Two adapters, both producing ``ChainEvent`` streams an ``IndexDriver``
-consumes directly — the provider boundary is a plain ordered event
-iterator, so every lifecycle guarantee (A5 rollback normalization, A14
-resume, B41 idempotent replay) composes unchanged:
+Three adapters — one per reference transport shape — all producing
+``ChainEvent`` streams an ``IndexDriver`` consumes directly; the
+provider boundary is a plain ordered event iterator, so every lifecycle
+guarantee (A5 rollback normalization, A14 resume, B41 idempotent
+replay) composes unchanged:
 
-* :class:`SocketLineProvider` — a TCP line protocol: on connect the
-  client sends one intersection request (its resume points, newest
-  first — the reference's FindIntersection, N2CProvider.cs:68-85) and
-  the server replays ndjson events from the first matching point. The
-  wire rows are exactly ``write_feed_file``'s (seq, action, ...) shape.
+* :class:`SocketLineProvider` — a line protocol over TCP (N2N shape)
+  or a Unix domain socket (N2C shape — the reference's
+  ``CardanoNodeConnection:UnixSocket:Path``): on connect the client
+  sends one intersection request (its resume points, newest first —
+  the reference's FindIntersection, N2CProvider.cs:68-85), the server
+  ECHOES the matched point (the reference's IntersectionFound
+  response — the client must not assume its newest point matched; a
+  post-reorg server may intersect at an OLDER point or none at all),
+  then replays ndjson events from it. The wire rows are exactly
+  ``write_feed_file``'s (seq, action, ...) shape.
+
+* :class:`FollowTipShapedProvider` — the gRPC/UtxoRPC FollowTip shape
+  (U5CProvider.cs:54-70): the server speaks Apply/Undo/Reset messages
+  and the adapter normalizes them onto the lifecycle's rollback
+  algebra — Apply → RollForward, Undo → RollBack(Inclusive) (the
+  undone block itself is retracted), Reset → RollBack(Exclusive) (the
+  reset point is KEPT, replay resumes after it) — the A5 table. An
+  api-key header rides the handshake (the reference's ``dmtr-api-key``
+  metadata). The sandbox wire is the same ndjson-over-socket stand-in
+  (no gRPC stack here); the adapter logic — the action mapping the
+  lifecycle depends on — is the real, tested thing.
 
 * :class:`KafkaShapedChainSource` — a poll/commit consumer over any
   single-partition offset log exposing
@@ -80,12 +97,26 @@ def _ordered(rows: Iterator[dict], min_seq: int | None) -> Iterator[dict]:
 
 
 # ---------------------------------------------------------------------------
-# TCP line-protocol provider (N2C/N2N shape)
+# socket line-protocol provider (N2N over TCP / N2C over Unix socket)
 # ---------------------------------------------------------------------------
 
 
+def _connect(
+    host: str | None, port: int | None, unix_path: str | None, timeout_s: float
+) -> socket.socket:
+    if unix_path is not None:
+        sk = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        sk.settimeout(timeout_s)
+        sk.connect(unix_path)
+        return sk
+    return socket.create_connection((host, port), timeout=timeout_s)
+
+
 class SocketLineProvider:
-    """Ordered chain events over a TCP line protocol.
+    """Ordered chain events over a socket line protocol — TCP
+    (``host``/``port``, the N2N shape) or a Unix domain socket
+    (``unix_path``, the N2C shape; both reference transports speak the
+    same chainsync once connected, so one provider class serves both).
 
     Protocol (one round trip, then a one-way replay — the
     chainsync Intersect+RequestNext shape without the per-event
@@ -95,27 +126,68 @@ class SocketLineProvider:
       1. client → server: one JSON line
          ``{"intersect": [seq, ...]}`` (resume points, newest first;
          ``[]`` = from origin);
-      2. server → client: ndjson event rows starting at the first
-         matching point (exclusive), ``{"eof": true}`` terminator.
+      2. server → client: one ack line ``{"intersection": seq|null}``
+         naming WHICH point matched (the IntersectionFound response,
+         N2CProvider.cs:68-85 — null = no match, replay from origin);
+      3. server → client: ndjson event rows strictly after the matched
+         point, ``{"eof": true}`` terminator.
+
+    The ordering guard is seeded from the ECHOED intersection, never
+    from the client's own newest point: after a reorg the server may
+    match an older point in the list (that is what the newest-first
+    list is FOR), and seeding from points[0] would misread the
+    legitimate replay as a seq regression.
 
     ``events()`` yields ``ChainEvent``s; ``last_seq`` afterwards is the
-    resume point to persist next to the driver checkpoint."""
+    resume point to persist next to the driver checkpoint;
+    ``intersection`` is the server-confirmed resume point of the last
+    connection (None = origin). ``pipeline_depth`` carries the
+    reference's ``CardanoNodeConnection:TCP:PipelineDepth`` (max
+    chain-sync requests in flight while catching up, default 100) as
+    the A2 adaptive-depth cap hint for batch consumers."""
 
-    def __init__(self, host: str, port: int, timeout_s: float = 30.0) -> None:
+    def __init__(
+        self,
+        host: str | None = None,
+        port: int | None = None,
+        timeout_s: float = 30.0,
+        unix_path: str | None = None,
+        pipeline_depth: int = 100,
+    ) -> None:
+        if unix_path is None and (host is None or port is None):
+            raise ValueError("need host+port (TCP) or unix_path (N2C)")
         self.host, self.port, self.timeout_s = host, port, timeout_s
+        self.unix_path = unix_path
+        self.pipeline_depth = pipeline_depth
         self.last_seq: int | None = None
+        self.intersection: int | None = None
 
     def events(
         self, intersect: list[int] | None = None
     ) -> Iterator[ChainEvent]:
-        with socket.create_connection(
-            (self.host, self.port), timeout=self.timeout_s
+        with _connect(
+            self.host, self.port, self.unix_path, self.timeout_s
         ) as sk:
             sk.sendall(
                 (json.dumps({"intersect": intersect or []}) + "\n").encode()
             )
             f = sk.makefile("r", encoding="utf-8")
-            start = (intersect[0] + 1) if intersect else None
+            ack = json.loads(f.readline())
+            if "intersection" not in ack:
+                raise TransportError(
+                    "server did not echo an intersection ack (got "
+                    f"{sorted(ack)})"
+                )
+            matched = ack["intersection"]
+            self.intersection = None if matched is None else int(matched)
+            if intersect and self.intersection is not None and (
+                self.intersection not in intersect
+            ):
+                raise TransportError(
+                    f"server intersected at {self.intersection}, not one of "
+                    f"the points we offered — protocol violation"
+                )
+            start = None if self.intersection is None else self.intersection + 1
             for row in _ordered(
                 (r for r in map(json.loads, f) if not r.get("eof")), start
             ):
@@ -124,13 +196,152 @@ class SocketLineProvider:
 
 
 def serve_feed_once(
-    feed_rows: list[dict], host: str = "127.0.0.1", port: int = 0
+    feed_rows: list[dict],
+    host: str = "127.0.0.1",
+    port: int = 0,
+    unix_path: str | None = None,
 ) -> tuple[str, int]:
-    """Minimal single-connection replay server for tests/fixtures: binds,
-    returns (host, port), and serves ONE client on a daemon thread —
-    replaying ``feed_rows`` from the client's intersection point. The
-    deployment analogue is the node itself; this stub exists so the
-    provider's protocol is exercised over a real socket."""
+    """Minimal single-connection replay server for tests/fixtures: binds
+    (TCP, or a Unix socket when ``unix_path`` is given), returns
+    (host, port) — ``(unix_path, 0)`` for Unix — and serves ONE client
+    on a daemon thread: echoes the matched intersection point, then
+    replays ``feed_rows`` strictly after it. The deployment analogue is
+    the node itself; this stub exists so the provider's protocol is
+    exercised over a real socket."""
+    import threading
+
+    if unix_path is not None:
+        srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        srv.bind(unix_path)
+        srv.listen(1)
+        bound = (unix_path, 0)
+    else:
+        srv = socket.create_server((host, port))
+        bound = srv.getsockname()
+
+    def _serve() -> None:
+        with srv:
+            conn, _ = srv.accept()
+            with conn:
+                f = conn.makefile("r", encoding="utf-8")
+                req = json.loads(f.readline())
+                pts = req.get("intersect") or []
+                known = {int(r["seq"]) for r in feed_rows}
+                # first MATCHING point in the client's newest-first list
+                # — not necessarily points[0] (post-reorg fallback)
+                after = next((p for p in pts if p in known), None)
+                out = [
+                    r
+                    for r in feed_rows
+                    if after is None or int(r["seq"]) > after
+                ]
+                head = json.dumps({"intersection": after}) + "\n"
+                payload = "".join(json.dumps(r) + "\n" for r in out)
+                conn.sendall(
+                    (head + payload + json.dumps({"eof": True}) + "\n").encode()
+                )
+
+    threading.Thread(target=_serve, daemon=True).start()
+    return bound[0], bound[1]
+
+
+# ---------------------------------------------------------------------------
+# FollowTip-shaped provider (gRPC / UtxoRPC shape)
+# ---------------------------------------------------------------------------
+
+
+def event_of_followtip(msg: dict) -> ChainEvent:
+    """One FollowTip message → ``ChainEvent``: the U5CProvider.cs:54-70
+    normalization table (A5) —
+
+      Apply(block)  → RollForward(block.slot)
+      Undo(block)   → RollBack(block.slot, Inclusive)  # undone block
+                                                       # retracted too
+      Reset(point)  → RollBack(point.slot, Exclusive)  # point KEPT,
+                                                       # resume after it
+    """
+    action = msg["action"]
+    if action == "apply":
+        return ChainEvent("roll_forward", block_slot=int(msg["slot"]))
+    if action == "undo":
+        return ChainEvent(
+            "roll_back", rollback_slot=int(msg["slot"]),
+            rollback_type="inclusive",
+        )
+    if action == "reset":
+        return ChainEvent(
+            "roll_back", rollback_slot=int(msg["slot"]),
+            rollback_type="exclusive",
+        )
+    raise TransportError(f"unknown FollowTip action: {action!r}")
+
+
+class FollowTipShapedProvider:
+    """Ordered chain events from a FollowTip-shaped endpoint — the
+    reference's third live transport (U5CProvider.cs:21-76, gRPC
+    UtxoRPC): the server pushes Apply/Undo/Reset messages which this
+    adapter normalizes onto RollForward/RollBack(Inclusive|Exclusive)
+    via :func:`event_of_followtip`, so the lifecycle sees the exact
+    same event algebra as the chainsync transports.
+
+    ``endpoint`` is ``host:port``; ``api_key`` rides the handshake as
+    the ``dmtr-api-key`` header (ConfigurationChainProviderFactory.cs:
+    58-62 — the reference sends it as gRPC metadata). The handshake and
+    ack/eof framing match :class:`SocketLineProvider`; only the message
+    vocabulary differs (actions instead of pre-normalized wire rows)."""
+
+    def __init__(
+        self, endpoint: str, api_key: str | None = None,
+        timeout_s: float = 30.0,
+    ) -> None:
+        host, _, port = endpoint.rpartition(":")
+        if not host or not port.isdigit():
+            raise ValueError(f"endpoint must be host:port, got {endpoint!r}")
+        self.host, self.port = host, int(port)
+        self.api_key = api_key
+        self.timeout_s = timeout_s
+        self.last_seq: int | None = None
+        self.intersection: int | None = None
+
+    def events(
+        self, intersect: list[int] | None = None
+    ) -> Iterator[ChainEvent]:
+        with socket.create_connection(
+            (self.host, self.port), timeout=self.timeout_s
+        ) as sk:
+            headers = {"dmtr-api-key": self.api_key} if self.api_key else {}
+            sk.sendall(
+                (
+                    json.dumps(
+                        {"intersect": intersect or [], "headers": headers}
+                    )
+                    + "\n"
+                ).encode()
+            )
+            f = sk.makefile("r", encoding="utf-8")
+            ack = json.loads(f.readline())
+            if ack.get("error"):
+                raise TransportError(f"FollowTip rejected: {ack['error']}")
+            matched = ack.get("intersection")
+            self.intersection = None if matched is None else int(matched)
+            start = None if self.intersection is None else self.intersection + 1
+            for msg in _ordered(
+                (m for m in map(json.loads, f) if not m.get("eof")), start
+            ):
+                self.last_seq = int(msg["seq"])
+                yield event_of_followtip(msg)
+
+
+def serve_followtip_once(
+    messages: list[dict],
+    host: str = "127.0.0.1",
+    port: int = 0,
+    require_api_key: str | None = None,
+) -> tuple[str, int]:
+    """Single-connection FollowTip replay server for tests/fixtures:
+    checks the api-key header when ``require_api_key`` is set (rejects
+    with an error line — the Demeter gateway behaviour), echoes the
+    matched intersection, then streams Apply/Undo/Reset messages."""
     import threading
 
     srv = socket.create_server((host, port))
@@ -142,16 +353,27 @@ def serve_feed_once(
             with conn:
                 f = conn.makefile("r", encoding="utf-8")
                 req = json.loads(f.readline())
+                if require_api_key is not None and (
+                    req.get("headers", {}).get("dmtr-api-key")
+                    != require_api_key
+                ):
+                    conn.sendall(
+                        (json.dumps({"error": "unauthorized"}) + "\n").encode()
+                    )
+                    return
                 pts = req.get("intersect") or []
-                known = {int(r["seq"]) for r in feed_rows}
+                known = {int(m["seq"]) for m in messages}
                 after = next((p for p in pts if p in known), None)
                 out = [
-                    r
-                    for r in feed_rows
-                    if after is None or int(r["seq"]) > after
+                    m
+                    for m in messages
+                    if after is None or int(m["seq"]) > after
                 ]
-                payload = "".join(json.dumps(r) + "\n" for r in out)
-                conn.sendall((payload + json.dumps({"eof": True}) + "\n").encode())
+                head = json.dumps({"intersection": after}) + "\n"
+                payload = "".join(json.dumps(m) + "\n" for m in out)
+                conn.sendall(
+                    (head + payload + json.dumps({"eof": True}) + "\n").encode()
+                )
 
     threading.Thread(target=_serve, daemon=True).start()
     return bound[0], bound[1]
