@@ -112,16 +112,28 @@ class Telemetry:
 
 
 def render_dashboard(
-    spark: SparkSession, telemetry: Telemetry, tip_slot: int, width: int = 30
+    spark: SparkSession,
+    telemetry: Telemetry,
+    tip_slot: int,
+    width: int = 30,
+    full: bool = True,
 ) -> str:
     """Text dashboard over the telemetry rows — the reference's TUI
     (CardanoIndexWorker.Dashboard.cs:13-348: per-reducer progress bar,
-    %, latest slot, throughput). Rendering is driver-side formatting of
-    the same summary/progress DataFrames any metrics sink would read;
-    the collect is a handful of per-reducer rows (control-plane)."""
+    %, latest slot, throughput). ``full=False`` is the reference's
+    non-"Full" ``Sync:Dashboard:DisplayType`` mode (Dashboard.cs:18):
+    sync progress only — reducer, %, latest slot. Rendering is
+    driver-side formatting of the same summary/progress DataFrames any
+    metrics sink would read; the collect is a handful of per-reducer
+    rows (control-plane)."""
     prog = {
         r["reducer"]: r for r in telemetry.progress_df(spark, tip_slot).collect()
     }
+    if not full:
+        return "\n".join(
+            f"{name:<24} {row['pct']:6.2f}% @ {row['latest_slot']}"
+            for name, row in sorted(prog.items())
+        )
     lines = [
         f"{'reducer':<24} {'progress':<{width + 9}} {'slot':>10} "
         f"{'blocks':>8} {'blk/s':>9} {'avg s/epoch':>12}"

@@ -122,11 +122,17 @@ class StreamingIndexer:
 
     def run_from_config(self, cfg):
         """Dispatch on the reference's ExitOnCompletion flag: bounded
-        drain (availableNow) vs follow-the-tip (processingTime)."""
+        drain (availableNow) vs follow-the-tip (processingTime). The
+        continuous trigger interval is ``Sync:Commit:MaxDelayMs`` — the
+        reference's commit max-delay IS its batching trigger (A9), the
+        exact semantic of Spark's processingTime; the dashboard refresh
+        key controls only telemetry cadence (Dashboard.cs), never
+        pipeline batching."""
         if cfg.exit_on_completion:
             return self.run_available_now()
+        trigger_ms = max(1, int(round(cfg.max_delay_s * 1000)))
         return self.run_continuous(
-            processing_time=f"{cfg.dashboard_refresh_ms} milliseconds"
+            processing_time=f"{trigger_ms} milliseconds"
         )
 
     # foreachBatch body — one micro-batch of chain events

@@ -90,17 +90,29 @@ def main() -> int:
                     "Hash": "genesis", "Slot": 0,
                     "MaxRollbackSlots": 10**12, "RollbackBuffer": 10,
                 },
-                "Sync": {"Commit": {"BatchSize": 100, "MaxDelayMs": 10**12}},
+                "Sync": {
+                    "Commit": {"BatchSize": 100, "MaxDelayMs": 10**12},
+                    "SingleInstanceLock": {"Enabled": True, "LeaseSeconds": 30},
+                    "Dashboard": {"DisplayType": "Full"},
+                },
             }
         )
-        driver = IndexDriver(
-            spark, registry, store, blocks,
-            telemetry=telemetry, **cfg.driver_kwargs(),
-        )
-        stats = driver.run(events)
+        registry = cfg.apply_allowlist(registry)
+        lock = cfg.make_lock(store.root)
+        if lock is not None and not lock.wait_for_acquisition(timeout_s=30):
+            raise SystemExit("another indexer holds the store lock")
+        try:
+            driver = IndexDriver(
+                spark, registry, store, blocks,
+                telemetry=telemetry, **cfg.driver_kwargs(),
+            )
+            stats = driver.run(events)
+        finally:
+            if lock is not None:
+                lock.release()
 
         tip = max(slots)
-        print(render_dashboard(spark, telemetry, tip))
+        print(render_dashboard(spark, telemetry, tip, full=cfg.dashboard_full()))
         print(
             f"\n{stats.blocks} blocks / {stats.epochs} epochs / "
             f"{stats.rollbacks} rollback(s) in {stats.wall_seconds:.2f}s "
