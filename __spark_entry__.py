@@ -54,94 +54,69 @@ def _modules():
 # older than one round. Keys absent from this list (future operators)
 # are appended in module order after the listed ones.
 #
-# Round-10 rotation. The 134/50 registry/window ratio forces a
-# two-round refresh cadence: every registered query gets a fresh
-# driver row at least every OTHER round (new/changed queries always
-# jump the queue). This round's window (11 + 32 + 7 = 50):
-#   tier 2 FIRST (11): the r8+r9 red row
-#     (streaming_watermark_dedup_replay — root cause was the readStream
-#     string user_id vs the oracle's BIGINT; cast-to-long fix this
-#     round), the 6 NEW queries (lifecycle_multiroot_replay,
-#     lifecycle_compact_replay, streaming_lifecycle_replay,
-#     dedup_repeated_spans, gopher_rules_filter, ann_ivf_pq_topk), and
-#     the 4 queries
-#     whose code changed this round (ann_recall_at_k static tag frame,
-#     lifecycle_crash_replay derived batch, streaming_sessionize_replay
-#     + streaming_funnel_replay — stateful.py chunk-concat fix);
-#   tier 1 (32): the r6-vintage block deferred past the r9 boundary —
-#     their last driver row is three rounds old (includes
-#     dedup_ngram_jaccard + fluency_unigram, also changed this round);
-#   tier 3 head (7): the oldest r8-vintage rows, list order.
-# Deferred past the cap: the remaining r8-fresh and all r9-fresh rows
-# (one round old, within cadence; they lead the r11 window).
+# Round-11 rotation (policy above). This round's window (3 + 37 + 10):
+#   tier 2 FIRST (3): heavy_hitter_tokens (exact side rewritten to a
+#     single corpus pass via ReuseExchange), dedup_repeated_spans
+#     (first-occurrence filter rewritten onto 64-bit span hashes), and
+#     the NEW dedup_audit_pairs provenance export;
+#   tier 1 (37): the staleness=2 set from bench_full.json — every
+#     query whose latest driver row is r8 (two rounds old);
+#   tier 3 head (10): the oldest staleness=1 rows, list order.
+# Deferred past the cap: the remaining r9/r10-fresh rows (one round
+# old, within the two-round cadence; they lead the r12 window).
 _PRIORITY = [
-    # -- tier 2: red/fixed, new this round, or changed this round --------
-    "streaming_watermark_dedup_replay",
-    "lifecycle_multiroot_replay", "lifecycle_compact_replay",
-    "streaming_lifecycle_replay",
-    "dedup_repeated_spans", "gopher_rules_filter", "ann_ivf_pq_topk",
-    "ann_recall_at_k", "lifecycle_crash_replay",
-    "streaming_sessionize_replay", "streaming_funnel_replay",
-    # -- tier 1: latest fresh driver row is round 6 (three rounds old) ---
-    "hex_canonical", "prefix_display", "string_funcs",
-    "stable_hash", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "approx_distinct_users",
-    "dedup_embedding_cosine", "dedup_clusters", "chunk_documents",
-    "ngram_counts", "text_diversity", "approx_quantiles_value",
-    "dedup_exact_substring", "curate_quality_topk", "ann_lsh_multiprobe",
-    "dedup_minhash_estimate", "cohort_retention",
-    "embedding_quantize_int8", "fluency_unigram", "dedup_semantic",
-    "anti_join_not_exists", "dsir_affinity", "embedding_project_rp",
-    "user_path_transitions", "decontaminate_minhash",
-    "winnow_fingerprints",
-    "multimodal_payload_dedup", "corpus_stats_by_source",
-    "text_quality", "agg_min_max",
-    # -- tier 3 head: oldest r8-vintage rows (7 fit the window) ----------
-    "avg_by_key", "min_safe_intersection",
-    "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
-    "range_join_pairs", "sample_stratified",
-    # ---- 50-slot window boundary ----------------------------------------
-    # -- r8-fresh remainder + r9-fresh rows (lead the r11 window) --------
+    # -- tier 2: rewritten or new this round -----------------------------
+    "heavy_hitter_tokens", "dedup_repeated_spans", "dedup_audit_pairs",
+    # -- tier 1: latest fresh driver row is round 8 (two rounds old) -----
     "dataset_mixture", "ann_cosine_topk", "ann_ivf_topk",
-    "decontaminate_ngram_overlap",
-    "kmeans_embeddings",
-    "dedup_keep_list", "funnel_conversion",
-    "watched_balances",
-    "balances_after_rollback", "tx_flatten", "utxo_state", "utxo_spent",
-    "utxo_unspent",
-    "heavy_hitter_tokens",
+    "decontaminate_ngram_overlap", "kmeans_embeddings", "dedup_keep_list",
+    "funnel_conversion", "watched_balances", "balances_after_rollback",
+    "tx_flatten", "utxo_state", "utxo_spent", "utxo_unspent",
     "streaming_minhash_replay", "streaming_first_wins_replay",
-    "curation_pipeline", "dedup_simhash",
-    "winnow_overlap_pairs", "decontaminate_containment",
-    "ngram_novelty",
+    "curation_pipeline", "dedup_simhash", "winnow_overlap_pairs",
+    "decontaminate_containment", "ngram_novelty",
     "dataset_mixture_temperature", "pack_efficiency_stats",
     "weighted_sample_bernoulli", "boilerplate_chunk_removal",
-    "quality_classifier_hashed",
-    "shipping_priority_topk", "regional_revenue",
-    "returned_item_losses",
-    "source_token_overlap",
-    "sessionize_events", "ann_pq_adc_topk",
-    "skew_detect_keys", "user_state_diff",
-    "cross_source_dup_matrix",
-    "length_outlier_filter", "source_centroid_similarity",
-    "top_terms_by_source",
-    "multimodal_phash_dedup",
-    "lifecycle_reorg_replay", "lifecycle_reorg_replay_sqltxn",
-    "embedding_standardize", "export_packed_shards", "fluency_bigram",
-    "explode_ordinal", "broadcast_lookup", "semi_join_exists",
-    "checkpoint_window", "filter_project",
-    "text_normalize", "repetition_ratio", "multimodal_resize",
-    "multimodal_meta", "multimodal_frame_sample", "pii_redact",
-    "sample_quality_deciles", "doc_fingerprint", "lang_id_ngram",
-    "token_count", "tfidf_top_terms", "ann_lsh_bucketed",
+    "quality_classifier_hashed", "shipping_priority_topk",
+    "regional_revenue", "returned_item_losses", "source_token_overlap",
+    "sessionize_events", "ann_pq_adc_topk", "skew_detect_keys",
+    "user_state_diff", "cross_source_dup_matrix", "length_outlier_filter",
+    "source_centroid_similarity", "top_terms_by_source",
+    # -- tier 3 head: oldest one-round-old rows (10 fit the window) ------
+    "multimodal_phash_dedup", "lifecycle_reorg_replay",
+    "lifecycle_reorg_replay_sqltxn", "embedding_standardize",
+    "export_packed_shards", "fluency_bigram", "explode_ordinal",
+    "broadcast_lookup", "semi_join_exists", "checkpoint_window",
+    # ---- 50-slot window boundary ----------------------------------------
+    # -- r9/r10-fresh rows (lead the r12 window) -------------------------
+    "filter_project", "text_normalize", "repetition_ratio",
+    "multimodal_resize", "multimodal_meta", "multimodal_frame_sample",
+    "pii_redact", "sample_quality_deciles", "doc_fingerprint",
+    "lang_id_ngram", "token_count", "tfidf_top_terms", "ann_lsh_bucketed",
     "cube_counts", "grouping_sets_value", "median_value_by_type",
     "sliding_window_agg", "tumbling_window_agg", "session_window_agg",
-    "pack_sequences",
-    "union_dedup_priority", "group_sum_pricing", "slot_arithmetic",
-    "topk_newest", "json_extract", "count_by_key", "left_join_fillna",
-    "dedup_keep_first", "duplicate_detect", "latest_per_key",
-    "topk_serving", "set_intersect", "set_except", "running_sum_frame",
-    "rollup_counts", "pivot_status",
+    "pack_sequences", "union_dedup_priority", "group_sum_pricing",
+    "slot_arithmetic", "topk_newest", "json_extract", "count_by_key",
+    "left_join_fillna", "dedup_keep_first", "duplicate_detect",
+    "latest_per_key", "topk_serving", "set_intersect", "set_except",
+    "running_sum_frame", "rollup_counts", "pivot_status",
+    "streaming_watermark_dedup_replay", "lifecycle_multiroot_replay",
+    "lifecycle_compact_replay", "streaming_lifecycle_replay",
+    "gopher_rules_filter", "ann_ivf_pq_topk", "ann_recall_at_k",
+    "lifecycle_crash_replay", "streaming_sessionize_replay",
+    "streaming_funnel_replay", "hex_canonical", "prefix_display",
+    "string_funcs", "stable_hash", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "approx_distinct_users", "dedup_embedding_cosine",
+    "dedup_clusters", "chunk_documents", "ngram_counts", "text_diversity",
+    "approx_quantiles_value", "dedup_exact_substring", "curate_quality_topk",
+    "ann_lsh_multiprobe", "dedup_minhash_estimate", "cohort_retention",
+    "embedding_quantize_int8", "fluency_unigram", "dedup_semantic",
+    "anti_join_not_exists", "dsir_affinity", "embedding_project_rp",
+    "user_path_transitions", "decontaminate_minhash", "winnow_fingerprints",
+    "multimodal_payload_dedup", "corpus_stats_by_source", "text_quality",
+    "agg_min_max", "avg_by_key", "min_safe_intersection",
+    "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
+    "range_join_pairs", "sample_stratified",
 ]
 
 

@@ -1035,6 +1035,110 @@ WHERE c.is_canonical IS NULL OR c.is_canonical
 """
 
 
+def dedup_audit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup PROVENANCE export — the audit trail a training-data card
+    needs: for every doc DROPPED by near-dup resolution, the kept
+    canonical it was folded into and WHICH text signals independently
+    flag the (kept, dropped) pair:
+
+      sig_exact    — byte-identical text (same md5)
+      sig_minhash  — banded MinHash LSH candidate (dedup_minhash_lsh)
+      sig_simhash  — SimHash within Hamming ≤ 3 (dedup_simhash)
+      sig_jaccard  — exact n-gram Jaccard ≥ 0.9, the signal that BUILT
+                     the clusters (dedup_ngram_jaccard); FALSE here
+                     means the doc joined its cluster transitively,
+                     through a sibling — exactly what an auditor needs
+                     to see to judge a questionable drop
+
+    plus ``n_signals`` for ranking the least-corroborated drops first.
+    The embedding-side signals (cosine/SemDeDup) live on the
+    ``embeddings`` table's vec_id key, which has no doc_id
+    correspondence in this schema — they export their own pair frames
+    (dedup_embedding_cosine, dedup_semantic) and are deliberately not
+    conflated into this per-document audit.
+
+    100 TB shape: composition only — the cluster frame and every
+    signal pair frame are skinny side outputs that already exist; the
+    corpus is touched once for the md5 column (two doc_id equi-joins);
+    every other join is pair-frame × pair-frame on (doc_a, doc_b). The
+    canonical is its cluster's MINIMUM doc_id, so (kept, dropped) is
+    already in each pair frame's (doc_a < doc_b) orientation — no
+    least/greatest re-canonicalization needed."""
+    clusters = dedup_clusters(spark, sf_dir)
+    dropped = clusters.filter(~F.col("is_canonical")).select(
+        F.col("cluster_id").alias("kept_id"), "doc_id"
+    )
+    md = load(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", F.md5("text").alias("m")
+    )
+    with_md = (
+        dropped.join(
+            md.select(F.col("doc_id").alias("kept_id"), F.col("m").alias("m_kept")),
+            "kept_id",
+        )
+        .join(md.select("doc_id", F.col("m").alias("m_doc")), "doc_id")
+    )
+
+    def flag(pairs: DataFrame, name: str, base: DataFrame) -> DataFrame:
+        hit = pairs.select(
+            F.col("doc_a").alias("kept_id"),
+            F.col("doc_b").alias("doc_id"),
+            F.lit(True).alias(name),
+        ).distinct()
+        return base.join(hit, ["kept_id", "doc_id"], "left").withColumn(
+            name, F.coalesce(F.col(name), F.lit(False))
+        )
+
+    out = with_md.withColumn("sig_exact", F.col("m_kept") == F.col("m_doc"))
+    out = flag(dedup_minhash_lsh(spark, sf_dir), "sig_minhash", out)
+    out = flag(dedup_simhash(spark, sf_dir), "sig_simhash", out)
+    out = flag(dedup_ngram_jaccard(spark, sf_dir), "sig_jaccard", out)
+    return out.select(
+        "doc_id",
+        "kept_id",
+        "sig_exact",
+        "sig_minhash",
+        "sig_simhash",
+        "sig_jaccard",
+        (
+            F.col("sig_exact").cast("long")
+            + F.col("sig_minhash").cast("long")
+            + F.col("sig_simhash").cast("long")
+            + F.col("sig_jaccard").cast("long")
+        ).alias("n_signals"),
+    )
+
+
+DEDUP_AUDIT_PAIRS_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+dropped AS (
+  SELECT cluster_id AS kept_id, doc_id FROM clusters WHERE NOT is_canonical
+),
+mh AS ({DEDUP_MINHASH_LSH_SQL}),
+sh AS ({DEDUP_SIMHASH_SQL}),
+jc AS ({DEDUP_NGRAM_JACCARD_SQL}),
+md AS (SELECT doc_id, md5(text) AS m FROM documents)
+SELECT d.doc_id,
+       d.kept_id,
+       (ka.m = kb.m) AS sig_exact,
+       (mh.doc_a IS NOT NULL) AS sig_minhash,
+       (sh.doc_a IS NOT NULL) AS sig_simhash,
+       (jc.doc_a IS NOT NULL) AS sig_jaccard,
+       (ka.m = kb.m)::BIGINT + (mh.doc_a IS NOT NULL)::BIGINT
+         + (sh.doc_a IS NOT NULL)::BIGINT
+         + (jc.doc_a IS NOT NULL)::BIGINT AS n_signals
+FROM dropped d
+JOIN md ka ON ka.doc_id = d.kept_id
+JOIN md kb ON kb.doc_id = d.doc_id
+LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM mh) mh
+  ON mh.doc_a = d.kept_id AND mh.doc_b = d.doc_id
+LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM sh) sh
+  ON sh.doc_a = d.kept_id AND sh.doc_b = d.doc_id
+LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM jc) jc
+  ON jc.doc_a = d.kept_id AND jc.doc_b = d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # --------------------------------------------------------------------------
@@ -1332,6 +1436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup_clusters,
     "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_keep_list": dedup_keep_list,
+    "dedup_audit_pairs": dedup_audit_pairs,
     "decontaminate_minhash": decontaminate_minhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -1346,6 +1451,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "cross_source_dup_matrix": CROSS_SOURCE_DUP_MATRIX_SQL,
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
+    "dedup_audit_pairs": DEDUP_AUDIT_PAIRS_SQL,
     "decontaminate_minhash": DECONTAMINATE_MINHASH_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
 }

@@ -757,16 +757,29 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents", widen=True)
         .select(F.explode(words_col()).alias("tok"))
     )
-    n = tok.count()  # control-plane scalar
     # one-pass sketch; result is ONE driver row holding ≤ 1/support items
     sketch = set(tok.stat.freqItems(["tok"], HH_SUPPORT).first()[0])
+    # The exact side is ONE corpus pass: the total token count n is the
+    # SUM over the grouped counts (a vocab-sized frame), joined back as
+    # a one-row broadcast — both branches share the identical
+    # hashpartitioning(tok) exchange, which Catalyst dedupes via
+    # ReuseExchange, so the scan+explode+partial-agg runs once (the
+    # plan gate asserts the ReusedExchange). A separate driver-side
+    # tok.count() here cost a full third corpus pass.
+    counts = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    total = counts.agg(
+        F.sum("n_occurrences").cast("long").alias("n_total")
+    )
     # integer-rational threshold (count*1000 > 5*n ⟺ count > 0.005n),
     # matching the PPJoin convention: filters in integer rationals,
     # never float, so Spark and the oracle agree bit-for-bit at any n
     exact = (
-        tok.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
-        .filter(F.col("n_occurrences") * F.lit(1000) > F.lit(5) * F.lit(n))
+        counts.join(F.broadcast(total))
+        .filter(
+            F.col("n_occurrences") * F.lit(1000) > F.lit(5) * F.col("n_total")
+        )
     )
     return exact.select(
         "tok",

@@ -476,6 +476,12 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # r10 verdict: surface the isolation guard's verdict count in
+        # the stdout line itself — a driver-side reader must see that
+        # confirmed slowdowns exist without opening bench_full.json
+        "confirmed_slow": sum(
+            1 for r in reruns.values() if r.get("confirmed_slow")
+        ),
         "queries": {n: round(v, 3) for n, v in timings.items()},
         **lifecycle_metrics,
     }

@@ -343,14 +343,24 @@ def test_winnow_fingerprints_map_only(spark):
 
 
 def test_heavy_hitters_exact_side_partial_agg_single_shuffle(spark):
-    """heavy_hitter_tokens: the returned frame is the exact groupBy
-    (one partial-agged exchange) + an isin over the <= 1/support
-    sketch literal — the freqItems pass is a separate one-shot job."""
+    """heavy_hitter_tokens: the exact side is ONE corpus pass — the
+    total token count is folded back over the grouped counts as a
+    one-row broadcast, and both branches share the SAME
+    hashpartitioning(tok) exchange. Proven via the planner's
+    ReuseExchange rule (explain with AQE off — with AQE on the reuse
+    happens at runtime stage submission and isn't in the static plan):
+    exactly one hash exchange + a ReusedExchange node. The freqItems
+    sketch pass is a separate one-shot job (the sketch contract)."""
     from argus_spark.datapipe.text import heavy_hitter_tokens
 
-    plan = formatted_plan(heavy_hitter_tokens(spark, SF_SMOKE))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = formatted_plan(heavy_hitter_tokens(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert has_partial_aggregation(plan), plan
     assert n_shuffle_exchanges(plan) == 1, plan
+    assert "ReusedExchange" in plan, plan
 
 
 def test_multimodal_payload_dedup_partial_agg_single_shuffle(spark):
