@@ -91,6 +91,10 @@ def string_form(spark, sf_dir):
     )
 
 
+STRING_FORM_CAP = 4  # the string form is the quadratic under test —
+# at L=1024 it runs for tens of minutes; 1x..4x is decisive already
+
+
 def main() -> None:
     root = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale_longdoc"
     mults = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "1,2,4,8").split(",")]
@@ -113,15 +117,20 @@ def main() -> None:
         return min(walls)
 
     rows = {}
-    for name, fn in (("hashed (r11)", dedup_repeated_spans),
-                     ("string (r10)", string_form)):
-        per = {m: timed(fn, dirs[m]) for m in mults}
-        # both forms must agree before the numbers mean anything
+    for name, fn, ms in (
+        ("hashed (r11)", dedup_repeated_spans, mults),
+        ("string (r10)", string_form,
+         [m for m in mults if m <= STRING_FORM_CAP]),
+    ):
+        per = {}
+        for m in ms:
+            per[m] = timed(fn, dirs[m])
+            print(f"# {name} x{m}: {per[m]:.2f}s", file=sys.stderr, flush=True)
         rows[name] = per
-        print(f"# {name}: " + " ".join(f"x{m}={per[m]:.2f}s" for m in mults),
-              file=sys.stderr)
-    a = dedup_repeated_spans(spark, dirs[mults[-1]])
-    b = string_form(spark, dirs[mults[-1]])
+    # both forms must agree before the numbers mean anything
+    vm = max(m for m in mults if m <= STRING_FORM_CAP)
+    a = dedup_repeated_spans(spark, dirs[vm])
+    b = string_form(spark, dirs[vm])
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), \
         "hashed and string forms diverge"
 
@@ -141,10 +150,14 @@ def main() -> None:
             + "|---" * (len(mults) + 2) + "|\n"
         )
         for name, per in rows.items():
-            exp = _fit_exponent(mults, [per[m] for m in mults])
+            ms = sorted(per)
+            exp = _fit_exponent(ms, [per[m] for m in ms])
             f.write(
                 f"| {name} | "
-                + " | ".join(f"{per[m]:.2f}s" for m in mults)
+                + " | ".join(
+                    f"{per[m]:.2f}s" if m in per else "(capped)"
+                    for m in mults
+                )
                 + f" | **{exp:.2f}** |\n"
             )
     print("done; appended to BENCH_SCALE.md")
