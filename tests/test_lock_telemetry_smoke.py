@@ -200,6 +200,19 @@ class TestTelemetry:
         assert "49.00%" in row_a and "[" in row_a and "#" in row_a
         assert "100.0" in row_a  # 50 blocks / 0.5 s
 
+    def test_render_dashboard_basic_mode(self, spark):
+        """full=False = the reference's non-"Full" DisplayType
+        (Dashboard.cs:18): sync progress only — no bars/throughput."""
+        from argus_spark.lifecycle.telemetry import render_dashboard
+
+        t = Telemetry()
+        t.record_epoch(1, 0, 49, 50, {"a": 0.5, "b": 0.25})
+        out = render_dashboard(spark, t, tip_slot=100, full=False)
+        lines = out.splitlines()
+        assert len(lines) == 2  # one line per reducer, no header
+        assert lines[0].startswith("a") and "49.00%" in lines[0]
+        assert "[" not in out and "#" not in out  # no progress bars
+
 
 def _seed_states(store: ParquetStateStore, slots: dict[str, int]) -> None:
     states = {
