@@ -523,3 +523,15 @@ def test_ann_recall_matrix_no_cartesian_beyond_tag_frame(spark):
     plan = formatted_plan(ann_recall_at_k(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
     assert has_partial_aggregation(plan), plan
+
+
+def test_dedup_audit_pairs_no_cartesian_no_nlj(spark):
+    """dedup_audit_pairs: pure composition — cluster frame × signal
+    pair frames on (kept_id, doc_id) equi-joins + two doc_id joins for
+    the md5 column. A lost equi-condition degrading any seam to a
+    nested loop would be quadratic in pair count at scale."""
+    from argus_spark.datapipe.dedup import dedup_audit_pairs
+
+    plan = formatted_plan(dedup_audit_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
