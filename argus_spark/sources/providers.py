@@ -470,3 +470,107 @@ class _Commit:
 
     def __call__(self) -> None:
         self._src.committed = self._offset
+
+
+# ---------------------------------------------------------------------------
+# provider → feed-file pump (transport boundary → Structured Streaming)
+# ---------------------------------------------------------------------------
+
+
+def row_of_event(ev: ChainEvent, seq: int) -> dict:
+    """Inverse of :func:`event_of_row` — re-serialize a normalized
+    event as the ``write_feed_file`` wire shape."""
+    if ev.action == "roll_forward":
+        return {"seq": seq, "action": "roll_forward",
+                "block_slot": ev.block_slot,
+                "rollback_slot": None, "rollback_type": None}
+    return {"seq": seq, "action": "roll_back", "block_slot": None,
+            "rollback_slot": ev.rollback_slot,
+            "rollback_type": ev.rollback_type}
+
+
+class ProviderFeedPump:
+    """Tails a live transport into feed segment files — the bridge from
+    the provider boundary (A1-A3) to the Structured Streaming file
+    source a :class:`~argus_spark.streaming.indexer.StreamingIndexer`
+    reads. This is how the reference's steady-state loop composes on
+    Spark: provider → (this pump) → file source → foreachBatch →
+    IndexDriver, with each layer keeping its own resume state:
+
+      * the pump persists the transport's last seq
+        (``_pump_state.json``) and offers it — newest first, behind
+        any caller-supplied fallbacks — as the next connection's
+        intersection points (A14);
+      * the streaming checkpoint tracks which FILES were read;
+      * the driver's committed floor skips replayed BLOCKS (B41).
+
+    A crash between any two layers therefore re-delivers, never
+    drops — the same at-least-once composition the provider e2e tests
+    prove for the batch path.
+
+    Scale: feed rows are ~5-column control-plane metadata (no
+    payloads); segment files rotate every ``batch_rows`` events so the
+    file source's listing stays proportional to the unread backlog."""
+
+    STATE_FILE = "_pump_state.json"
+
+    def __init__(self, provider, feed_dir: str, batch_rows: int = 512):
+        self.provider = provider
+        self.feed_dir = feed_dir
+        self.batch_rows = batch_rows
+        os.makedirs(feed_dir, exist_ok=True)
+
+    def _state_path(self) -> str:
+        return os.path.join(self.feed_dir, self.STATE_FILE)
+
+    def resume_points(self) -> list[int]:
+        try:
+            with open(self._state_path()) as f:
+                st = json.load(f)
+            return [int(st["last_seq"])] if st.get("last_seq") is not None else []
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            return []
+
+    def _next_idx(self) -> int:
+        idxs = [
+            int(f[5:13])
+            for f in os.listdir(self.feed_dir)
+            if f.startswith("feed-") and f.endswith(".json")
+        ]
+        return max(idxs) + 1 if idxs else 0
+
+    def drain(self, intersect: list[int] | None = None) -> int:
+        """One connect-and-drain cycle: replay everything the transport
+        has past the intersection (pump state, newest first, then any
+        caller fallbacks) into feed segments. Returns events written.
+        Call again to poll the tip — the persisted seq makes each
+        cycle incremental."""
+        from argus_spark.sources.chain_feed import write_feed_file
+
+        points = self.resume_points() + list(intersect or [])
+        idx = self._next_idx()
+        written = 0
+        batch: list[dict] = []
+
+        def _flush() -> None:
+            nonlocal idx, written
+            if not batch:
+                return
+            write_feed_file(self.feed_dir, idx, batch)
+            # state persists AFTER the segment publishes: a crash
+            # between them re-replays the segment's events on the next
+            # drain — at-least-once, absorbed downstream (B41)
+            tmp = self._state_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"last_seq": batch[-1]["seq"]}, f)
+            os.replace(tmp, self._state_path())
+            idx += 1
+            written += len(batch)
+            batch.clear()
+
+        for ev in self.provider.events(intersect=points):
+            batch.append(row_of_event(ev, self.provider.last_seq))
+            if len(batch) >= self.batch_rows:
+                _flush()
+        _flush()
+        return written
