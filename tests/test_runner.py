@@ -141,3 +141,58 @@ def test_runner_respects_lock_holder(spark, chain, tmp_path):
             )
     finally:
         holder.release()
+
+
+def test_runner_follow_the_tip_mode(spark, chain, tmp_path):
+    """ExitOnCompletion=false: the report carries the LIVE query and
+    the still-held lock; new events pumped while the query runs are
+    picked up by the next trigger (MaxDelayMs = the A9 trigger); the
+    lock stays held until the caller releases it after stopping."""
+    blocks, watched, slots = chain
+    half = len(slots) // 2
+    store = ParquetStateStore(str(tmp_path / "store"))
+    reg = build_example_registry(spark, watched)
+    feed, ck = str(tmp_path / "feed"), str(tmp_path / "ck")
+
+    host, port = serve_feed_once(feed_rows_of(slots[:half]))
+    cfg = IndexerConfig.from_dict({
+        "CardanoNodeConnection": {
+            "ConnectionType": "TCP",
+            "TCP": {"Host": host, "Port": port},
+            "Hash": "genesis", "Slot": 0,
+            "MaxRollbackSlots": 10**12, "RollbackBuffer": 10,
+        },
+        "Sync": {
+            "Commit": {"BatchSize": 50, "MaxDelayMs": 200},
+            "Worker": {"ExitOnCompletion": False},
+            "SingleInstanceLock": {"Enabled": True},
+        },
+    })
+    report = run_indexer_from_config(
+        spark, cfg, reg, store, blocks, feed, ck
+    )
+    query = report.stats  # live StreamingQuery in tip mode
+    try:
+        assert report.lock is not None and report.lock.held()
+        # while the loop runs, the lock blocks a second instance
+        assert not cfg.make_lock(store.root).try_acquire()
+        # the tip advances: pump the remaining half mid-flight
+        host2, port2 = serve_feed_once(feed_rows_of(slots))
+        pumped = ProviderFeedPump(
+            SocketLineProvider(host2, port2), feed
+        ).drain()
+        assert pumped == len(slots) - half
+        import time as _t
+
+        deadline = _t.monotonic() + 60
+        while _t.monotonic() < deadline:
+            if report.indexer.stats.driver.blocks >= len(slots):
+                break
+            _t.sleep(0.3)
+        assert report.indexer.stats.driver.blocks == len(slots)
+    finally:
+        query.stop()
+        query.awaitTermination()
+        report.release()
+    assert cfg.make_lock(store.root).try_acquire()  # released
+    assert driver_balances(spark, store) == expected_balances(spark)
