@@ -222,3 +222,49 @@ class SingleInstanceLock:
 
     def __exit__(self, *exc) -> None:
         self.release()
+
+
+class LeaseKeeper:
+    """Background renewal of a held lease — the reference's renew loop
+    (MongoSingleInstanceLock.cs: renew every RenewSeconds < lease;
+    PostgresSingleInstanceLock health-probes and STOPS THE HOST on
+    loss). A long busy stretch must not let the lease lapse: an
+    expired lease is stealable, and a second instance running
+    concurrently is the exact corruption the lock exists to prevent.
+
+    ``lost`` latches True if a renewal ever fails; ``on_lost`` (if
+    given) fires once from the renewal thread — wire it to stop the
+    work loop, mirroring IHostApplicationLifetime.StopApplication."""
+
+    def __init__(self, lock: SingleInstanceLock, on_lost=None) -> None:
+        import threading
+
+        self.lock = lock
+        self.lost = False
+        self._on_lost = on_lost
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.lock.renew_s):
+            try:
+                self.lock.renew()
+            except LockLostError:
+                self.lost = True
+                if self._on_lost is not None:
+                    try:
+                        self._on_lost()
+                    except Exception:
+                        pass
+                return
+
+    def __enter__(self) -> "LeaseKeeper":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=max(1.0, self.lock.renew_s * 2))

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from argus_spark.lifecycle.config import IndexerConfig
 from argus_spark.lifecycle.dag import ReducerRegistry
-from argus_spark.lifecycle.lock import SingleInstanceLock
+from argus_spark.lifecycle.lock import LeaseKeeper, SingleInstanceLock
 from argus_spark.lifecycle.store import ParquetStateStore
 from argus_spark.sources.providers import ProviderFeedPump
 from argus_spark.streaming.indexer import StreamingIndexer
@@ -54,10 +54,19 @@ class RunReport:
     stats: Any
     indexer: StreamingIndexer
     lock: SingleInstanceLock | None = None
+    keeper: LeaseKeeper | None = None
+
+    def lock_lost(self) -> bool:
+        """True if the lease was ever lost mid-run (the renewal loop's
+        latched flag — the reference stops the host on this)."""
+        return self.keeper is not None and self.keeper.lost
 
     def release(self) -> None:
         """Release the single-instance lock (follow-the-tip mode hands
         lock ownership to the caller; drain mode already released)."""
+        if self.keeper is not None:
+            self.keeper.stop()
+            self.keeper = None
         if self.lock is not None:
             self.lock.release()
             self.lock = None
@@ -97,6 +106,15 @@ def run_indexer_from_config(
         raise TimeoutError(
             f"another indexer instance holds the lock at {store.root}"
         )
+    # Renew while we run (RenewSeconds cadence): a drain longer than
+    # LeaseSeconds must not let the lease lapse mid-write — an expired
+    # lease is stealable and a second instance could start. On loss the
+    # keeper latches `lost`; drain mode raises LockLostError after the
+    # run, tip mode exposes it via report.lock_lost() (the reference
+    # stops the whole host, CardanoIndexWorker.cs:81-84).
+    keeper = LeaseKeeper(lock) if lock is not None else None
+    if keeper is not None:
+        keeper.__enter__()
     try:
         pump = ProviderFeedPump(
             provider if provider is not None else cfg.make_provider(),
@@ -109,11 +127,23 @@ def run_indexer_from_config(
         rewound = cfg.apply_startup_rewind(indexer.driver)
         result = indexer.run_from_config(cfg)
     except BaseException:
+        if keeper is not None:
+            keeper.stop()
         if lock is not None:
             lock.release()
         raise
     if cfg.exit_on_completion:
+        lost = keeper.lost if keeper is not None else False
+        if keeper is not None:
+            keeper.stop()
         if lock is not None:
             lock.release()
+        if lost:
+            from argus_spark.lifecycle.lock import LockLostError
+
+            raise LockLostError(
+                f"single-instance lease at {store.root} was lost during "
+                "the run — results may race a second instance"
+            )
         return RunReport(pumped, rewound, result, indexer)
-    return RunReport(pumped, rewound, result, indexer, lock=lock)
+    return RunReport(pumped, rewound, result, indexer, lock=lock, keeper=keeper)

@@ -342,3 +342,40 @@ def test_example_curation_end_to_end(spark):
         assert mod["main"]() == 0
     finally:
         sys.argv = argv
+
+
+class TestLeaseKeeper:
+    def test_keeps_short_lease_alive(self, tmp_path):
+        """Work running far past LeaseSeconds stays protected: the
+        keeper renews at renew_s cadence, so a rival can never steal."""
+        import time
+
+        from argus_spark.lifecycle.lock import LeaseKeeper
+
+        a = SingleInstanceLock(str(tmp_path), lease_s=0.3, renew_s=0.1)
+        rival = SingleInstanceLock(str(tmp_path), lease_s=30)
+        assert a.try_acquire()
+        with LeaseKeeper(a) as k:
+            deadline = time.monotonic() + 1.2  # 4 lease lifetimes
+            while time.monotonic() < deadline:
+                assert not rival.try_acquire()
+                time.sleep(0.05)
+            assert a.held() and not k.lost
+        a.release()
+        assert rival.try_acquire()
+
+    def test_latches_lost_and_fires_callback(self, tmp_path):
+        import time
+
+        from argus_spark.lifecycle.lock import LeaseKeeper
+
+        a = SingleInstanceLock(str(tmp_path), lease_s=0.2, renew_s=10)
+        assert a.try_acquire()
+        fired = []
+        k = LeaseKeeper(a, on_lost=lambda: fired.append(1))
+        # sabotage: force an immediate renewal attempt after expiry
+        k.lock.renew_s = 0.3
+        k.__enter__()
+        time.sleep(0.6)  # lease (0.2s) expires before first renew (0.3s)
+        k.stop()
+        assert k.lost and fired == [1]
