@@ -622,3 +622,57 @@ def test_verbatim_reference_appsettings_drives_engine(spark, tmp_path):
         assert off.make_lock(store_root) is None
     finally:
         blocks.unpersist()
+
+
+def test_reference_readme_sample_appsettings_parses_verbatim():
+    """The reference README's '5. Configure appsettings.json' sample,
+    byte-for-byte (reference README.md) — the literal file a migrating
+    user starts from. It must parse, land every key on its knob, and
+    drive provider selection (UnixSocket) + the allow-list."""
+    import json as _json
+
+    sample = _json.loads("""
+{
+  "ConnectionStrings": {
+    "CardanoContext": "Host=localhost;Database=argus;Username=postgres;Password=postgres;Port=5432",
+    "CardanoContextSchema": "public"
+  },
+  "CardanoNodeConnection": {
+    "ConnectionType": "UnixSocket",
+    "UnixSocket": { "Path": "/path/to/node.socket" },
+    "TCP":  { "Host": "localhost", "Port": 3001 },
+    "gRPC": { "Endpoint": "https://your-utxorpc-endpoint", "ApiKey": "..." },
+    "NetworkMagic": 764824073,
+    "Slot": 139522569,
+    "Hash": "3fd9925888302fca267c580d8fe6ebc923380d0b984523a1dfbefe88ef089b66",
+    "MaxRollbackSlots": 10000,
+    "RollbackBuffer": 10
+  },
+  "CardanoIndexReducers": {
+    "ActiveReducers": [ "BlockReducer" ]
+  },
+  "Sync": {
+    "Dashboard": { "TuiMode": true, "RefreshInterval": 5000 }
+  }
+}
+""")
+    cfg = IndexerConfig.from_dict(sample)
+    assert cfg.connection_type == "UnixSocket"
+    assert cfg.unix_socket_path == "/path/to/node.socket"
+    assert (cfg.tcp_host, cfg.tcp_port) == ("localhost", 3001)
+    assert cfg.grpc_endpoint == "https://your-utxorpc-endpoint"
+    assert cfg.network_magic == 764824073
+    assert (cfg.start_slot, cfg.start_hash[:8]) == (139522569, "3fd99258")
+    assert (cfg.max_rollback_slots, cfg.window_k) == (10000, 10)
+    assert cfg.active_reducers == ["BlockReducer"]
+    assert cfg.tui_mode is True and cfg.dashboard_refresh_ms == 5000
+    assert set(cfg.extras) == {
+        "ConnectionStrings:CardanoContext",
+        "ConnectionStrings:CardanoContextSchema",
+    }
+    # provider dispatch follows ConnectionType
+    from argus_spark.sources.providers import SocketLineProvider
+
+    p = cfg.make_provider()
+    assert isinstance(p, SocketLineProvider)
+    assert p.unix_path == "/path/to/node.socket"
