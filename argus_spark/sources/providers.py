@@ -294,10 +294,25 @@ class FollowTipShapedProvider:
         self, endpoint: str, api_key: str | None = None,
         timeout_s: float = 30.0,
     ) -> None:
-        host, _, port = endpoint.rpartition(":")
-        if not host or not port.isdigit():
-            raise ValueError(f"endpoint must be host:port, got {endpoint!r}")
-        self.host, self.port = host, int(port)
+        # the reference hands a gRPC channel a URL-shaped endpoint
+        # (``https://host[:port]``, ConfigurationChainProviderFactory
+        # .cs:52) — accept the same shape: optional scheme, port
+        # defaulting to 443 (the Demeter/UtxoRPC TLS default)
+        bare = endpoint
+        for scheme in ("https://", "http://", "grpc://", "grpcs://"):
+            if bare.startswith(scheme):
+                bare = bare[len(scheme):]
+                break
+        bare = bare.rstrip("/")
+        host, sep, port = bare.rpartition(":")
+        if sep and port.isdigit():
+            self.host, self.port = host, int(port)
+        elif bare and ":" not in bare:
+            self.host, self.port = bare, 443
+        else:
+            raise ValueError(
+                f"endpoint must be [scheme://]host[:port], got {endpoint!r}"
+            )
         self.api_key = api_key
         self.timeout_s = timeout_s
         self.last_seq: int | None = None

@@ -676,3 +676,66 @@ def test_reference_readme_sample_appsettings_parses_verbatim():
     p = cfg.make_provider()
     assert isinstance(p, SocketLineProvider)
     assert p.unix_path == "/path/to/node.socket"
+
+
+def test_config_property_unknown_owned_keys_always_rejected():
+    """Property (Hypothesis): ANY unknown leaf under an owned prefix —
+    e.g. a one-character typo of a real key — raises ConfigError, never
+    a silent default; and any subset of KNOWN keys with in-domain
+    values parses. The reference silently defaults on typos
+    (IConfiguration.GetValue) — rejecting them is this rebuild's
+    deliberate hardening, so it must hold for every key, not a
+    hand-picked sample."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from argus_spark.lifecycle.config import _KNOWN
+
+    owned = sorted(k for k in _KNOWN if ":" in k)
+
+    def typo(key: str) -> str:
+        # drop the last character of the leaf — never a valid key
+        return key[:-1]
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.sampled_from(owned), st.integers(0, 10**6))
+    def rejects(key, v):
+        bad = {"CardanoNodeConnection": {"Hash": "h", "Slot": 1}}
+        node = bad
+        parts = typo(key).split(":")
+        # skip cases where the typo collapses onto another real key
+        # or onto a real intermediate section
+        if any(k.startswith(typo(key) + ":") or k == typo(key) for k in _KNOWN):
+            return
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if not isinstance(node, dict):
+            return
+        node[parts[-1]] = v
+        with pytest.raises(ConfigError):
+            IndexerConfig.from_dict(bad)
+
+    rejects()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 10**6), st.integers(1, 10**6),
+        st.booleans(), st.booleans(),
+        st.sampled_from(["UnixSocket", "TCP", "gRPC"]),
+    )
+    def parses(batch, delay, exit_on, tui, conn):
+        cfg = IndexerConfig.from_dict({
+            "CardanoNodeConnection": {
+                "Hash": "h", "Slot": 1, "ConnectionType": conn,
+            },
+            "Sync": {
+                "Commit": {"BatchSize": batch, "MaxDelayMs": delay},
+                "Worker": {"ExitOnCompletion": exit_on},
+                "Dashboard": {"TuiMode": tui},
+            },
+        })
+        assert cfg.batch_size == max(1, batch)
+        assert cfg.exit_on_completion is exit_on
+        assert cfg.connection_type == conn
+
+    parses()

@@ -272,3 +272,20 @@ def test_followtip_provider_resume_redelivery(spark, chain, tmp_path):
     assert prov2.intersection == resume
     d2.run(events2)
     assert driver_balances(spark, store) == expected_balances(spark)
+
+
+def test_followtip_endpoint_shapes():
+    """The reference's gRPC endpoint is URL-shaped (https://host[:port],
+    ConfigurationChainProviderFactory.cs:52) — all common shapes parse;
+    TLS default port 443 when omitted."""
+    for ep, want in [
+        ("relay:50051", ("relay", 50051)),
+        ("https://relay.example:443", ("relay.example", 443)),
+        ("https://your-utxorpc-endpoint", ("your-utxorpc-endpoint", 443)),
+        ("http://relay/", ("relay", 443)),
+        ("grpcs://relay:9090", ("relay", 9090)),
+    ]:
+        p = FollowTipShapedProvider(ep)
+        assert (p.host, p.port) == want, ep
+    with pytest.raises(ValueError):
+        FollowTipShapedProvider("")
