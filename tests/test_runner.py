@@ -196,3 +196,42 @@ def test_runner_follow_the_tip_mode(spark, chain, tmp_path):
         report.release()
     assert cfg.make_lock(store.root).try_acquire()  # released
     assert driver_balances(spark, store) == expected_balances(spark)
+
+
+def test_runner_reorg_through_the_pump(spark, chain, tmp_path):
+    """Leg 2's transport carries a mid-chain REORG (exclusive rollback
+    + replacement tail): the pump serializes the rollback event into
+    the feed, the streaming loop retracts (A12) and re-applies, and the
+    final state equals the stateless oracle — the full retraction path
+    driven end to end from config + live transport."""
+    blocks, watched, slots = chain
+    reorg_at = slots[int(len(slots) * 0.8)]
+    rows1 = feed_rows_of(slots)  # full chain first
+    store = ParquetStateStore(str(tmp_path / "store"))
+    reg = build_example_registry(spark, watched)
+    feed, ck = str(tmp_path / "feed"), str(tmp_path / "ck")
+
+    host1, port1 = serve_feed_once(rows1)
+    run_indexer_from_config(
+        spark, _cfg(host1, port1), reg, store, blocks, feed, ck
+    )
+
+    # leg 2: the node reorged — roll back (exclusive at reorg_at, its
+    # own block KEPT) then re-serve the tail above it
+    n = len(rows1)
+    tail = [s for s in slots if s > reorg_at]
+    rows2 = rows1 + [
+        {"seq": n, "action": "roll_back", "block_slot": None,
+         "rollback_slot": reorg_at, "rollback_type": "exclusive"},
+    ] + [
+        {"seq": n + 1 + i, "action": "roll_forward", "block_slot": s,
+         "rollback_slot": None, "rollback_type": None}
+        for i, s in enumerate(tail)
+    ]
+    host2, port2 = serve_feed_once(rows2)
+    r2 = run_indexer_from_config(
+        spark, _cfg(host2, port2), reg, store, blocks, feed, ck
+    )
+    assert r2.pumped_events == 1 + len(tail)  # rollback + re-applied tail
+    assert r2.stats.driver.rollbacks >= 1
+    assert driver_balances(spark, store) == expected_balances(spark)
