@@ -54,11 +54,11 @@ def _modules():
 # older than one round. Keys absent from this list (future operators)
 # are appended in module order after the listed ones.
 #
-# Round-11 rotation (policy above). This round's window (3 + 37 + 10):
-#   tier 2 FIRST (3): heavy_hitter_tokens (exact side rewritten to a
+# Round-11 rotation (policy above). This round's window (4 + 37 + 9):
+#   tier 2 FIRST (4): heavy_hitter_tokens (exact side rewritten to a
 #     single corpus pass via ReuseExchange), dedup_repeated_spans
 #     (first-occurrence filter rewritten onto 64-bit span hashes), and
-#     the NEW dedup_audit_pairs provenance export;
+#     the NEW dedup_audit_pairs + dedup_threshold_sweep exports;
 #   tier 1 (37): the staleness=2 set from bench_full.json — every
 #     query whose latest driver row is r8 (two rounds old);
 #   tier 3 head (10): the oldest staleness=1 rows, list order.
@@ -67,6 +67,7 @@ def _modules():
 _PRIORITY = [
     # -- tier 2: rewritten or new this round -----------------------------
     "heavy_hitter_tokens", "dedup_repeated_spans", "dedup_audit_pairs",
+    "dedup_threshold_sweep",
     # -- tier 1: latest fresh driver row is round 8 (two rounds old) -----
     "dataset_mixture", "ann_cosine_topk", "ann_ivf_topk",
     "decontaminate_ngram_overlap", "kmeans_embeddings", "dedup_keep_list",

@@ -545,8 +545,15 @@ DEDUP_SIMHASH_SQL = _simhash_sql()
 JACCARD_TAU = 0.9
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, _return_verified: bool = False
+) -> DataFrame:
     """Word-set Jaccard ≥ 0.9: prefix-filtered candidates, exact verify.
+
+    ``_return_verified`` (internal, used by ``dedup_threshold_sweep``)
+    returns the verified candidate frame (doc_a, doc_b, i, u, jaccard)
+    WITHOUT the τ filter — candidates are complete for every τ' ≥ τ,
+    so high-band consumers ride the same machinery and cache.
 
     Round-1 verdict flagged the naive inverted-index self-join as
     quadratic on hot tokens (df ≈ n_docs ⇒ df² candidate pairs on one
@@ -709,18 +716,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
-    return (
+    verified = (
         cand.join(da, "doc_a")
         .join(db, "doc_b")
         .withColumn("i", F.size(F.array_intersect("wa", "wb")))
         .withColumn(
-            "jaccard",
-            F.col("i").cast("double")
-            / (F.size("wa") + F.size("wb") - F.col("i")).cast("double"),
+            "u", F.size("wa") + F.size("wb") - F.col("i")
         )
-        .filter(F.col("jaccard") >= JACCARD_TAU)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double") / F.col("u").cast("double"),
+        )
+        .select("doc_a", "doc_b", "i", "u", "jaccard")
     )
+    if not _return_verified:
+        return verified.filter(F.col("jaccard") >= JACCARD_TAU).select(
+            "doc_a", "doc_b", "jaccard"
+        )
+    return verified
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
@@ -752,6 +765,76 @@ SELECT doc_a, doc_b, i::DOUBLE / (na + nb - i)::DOUBLE AS jaccard
 FROM verified
 WHERE i::DOUBLE / (na + nb - i)::DOUBLE >= {JACCARD_TAU}
 """
+
+# the same statement up through the `verified` CTE, reusable by the
+# threshold sweep (kept by string surgery so the two can never drift)
+_JACCARD_VERIFIED_SQL = DEDUP_NGRAM_JACCARD_SQL[
+    : DEDUP_NGRAM_JACCARD_SQL.rindex("SELECT doc_a, doc_b, i::DOUBLE")
+]
+
+# sweep bands in permille — all ≥ τ·1000, the range the τ=0.9 candidate
+# set provably covers (a band below τ would need its own looser prefix)
+SWEEP_BANDS = (900, 920, 950, 980, 1000)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve for near-dup dedup — the data-card
+    table behind choosing τ: for each band τ' ∈ {0.90, 0.92, 0.95,
+    0.98, 1.00}, how many verified pairs survive and how many distinct
+    documents they touch. A steep n_docs drop between bands means the
+    drop set is τ-sensitive there (borderline near-dups dominate); a
+    flat curve means the duplicates are mostly exact-ish and τ barely
+    matters. The 1.000 band is the exact-duplicate floor.
+
+    Bands are evaluated with INTEGER rationals (1000·i ≥ τ'·u — i and
+    the union size u are exact ints), so band membership is bit-exact
+    cross-engine even at boundary pairs.
+
+    100 TB shape: rides ``dedup_ngram_jaccard``'s verified candidate
+    frame unchanged (complete for every band ≥ τ — the prefix filter
+    only widens below τ, never above), explodes each pair into
+    |bands|·2 skinny (band, doc) rows, and closes with one partial-
+    agged groupBy over ≤ |bands| keys. No new pair work, no new scan."""
+    v = dedup_ngram_jaccard(spark, sf_dir, _return_verified=True)
+    bands = F.array(*[F.lit(t) for t in SWEEP_BANDS])
+    e = (
+        v.select(
+            "doc_a", "doc_b", "i", "u",
+            F.explode(bands).alias("tau_permille"),
+        )
+        .filter(
+            F.lit(1000) * F.col("i") >= F.col("tau_permille") * F.col("u")
+        )
+        .select(
+            F.col("tau_permille").cast("long").alias("tau_permille"),
+            F.explode(F.array("doc_a", "doc_b")).alias("doc"),
+        )
+    )
+    return e.groupBy("tau_permille").agg(
+        (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_pairs"),
+        F.countDistinct("doc").cast("long").alias("n_docs"),
+    )
+
+
+DEDUP_THRESHOLD_SWEEP_SQL = (
+    _JACCARD_VERIFIED_SQL
+    + f"""
+, banded AS (
+  SELECT t.tau_permille, v.doc_a, v.doc_b
+  FROM verified v
+  CROSS JOIN (SELECT unnest({list(SWEEP_BANDS)}) AS tau_permille) t
+  WHERE 1000 * v.i >= t.tau_permille * (v.na + v.nb - v.i)
+), docs AS (
+  SELECT tau_permille, doc_a AS doc FROM banded
+  UNION ALL
+  SELECT tau_permille, doc_b FROM banded
+)
+SELECT tau_permille::BIGINT AS tau_permille,
+       (count(*) // 2)::BIGINT AS n_pairs,
+       count(DISTINCT doc)::BIGINT AS n_docs
+FROM docs GROUP BY tau_permille
+"""
+)
 
 
 # --------------------------------------------------------------------------
@@ -1433,6 +1516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_clusters": dedup_clusters,
     "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_keep_list": dedup_keep_list,
@@ -1448,6 +1532,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_estimate": DEDUP_MINHASH_ESTIMATE_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "cross_source_dup_matrix": CROSS_SOURCE_DUP_MATRIX_SQL,
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
