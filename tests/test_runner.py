@@ -235,3 +235,77 @@ def test_runner_reorg_through_the_pump(spark, chain, tmp_path):
     assert r2.pumped_events == 1 + len(tail)  # rollback + re-applied tail
     assert r2.stats.driver.rollbacks >= 1
     assert driver_balances(spark, store) == expected_balances(spark)
+
+
+def test_pump_random_crash_points_converge(spark, chain, tmp_path):
+    """Property (Hypothesis): crash the pump at ANY point mid-drain
+    (transport error after K events), resume with a fresh pump +
+    fresh connection — the feed always converges to at-least-once
+    coverage of the full stream (every seq present; duplicates allowed
+    and absorbed downstream by the driver's committed floor, B41)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _, _, slots = chain
+    rows = feed_rows_of(slots)
+
+    class CrashingProvider:
+        """Wraps a replay of `rows` but dies after `crash_after`
+        events — the transport-failure injection point."""
+
+        def __init__(self, crash_after):
+            self.crash_after = crash_after
+            self.last_seq = None
+
+        def events(self, intersect=None):
+            from argus_spark.sources.providers import TransportError
+
+            pts = intersect or []
+            known = {r["seq"] for r in rows}
+            after = next((p for p in pts if p in known), None)
+            out = [r for r in rows if after is None or r["seq"] > after]
+            for k, r in enumerate(out):
+                if k == self.crash_after:
+                    raise TransportError("injected mid-stream failure")
+                self.last_seq = r["seq"]
+                yield event_of_row_roundtrip(r)
+
+    from argus_spark.sources.providers import event_of_row
+
+    def event_of_row_roundtrip(r):
+        return event_of_row(r)
+
+    from argus_spark.sources.providers import ProviderFeedPump, TransportError
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.integers(0, len(rows) - 1),
+        st.integers(1, 16),
+        st.integers(0, 10**6),
+    )
+    def prop(crash_after, batch_rows, salt):
+        feed = str(tmp_path / f"feed-{crash_after}-{batch_rows}-{salt}")
+        pump = ProviderFeedPump(
+            CrashingProvider(crash_after), feed, batch_rows=batch_rows
+        )
+        try:
+            pump.drain()
+        except TransportError:
+            pass
+        # resume with a healthy connection
+        pump2 = ProviderFeedPump(
+            CrashingProvider(10**9), feed, batch_rows=batch_rows
+        )
+        pump2.drain()
+        # at-least-once coverage of the whole stream
+        import json as _json
+        import os as _os
+
+        seqs = []
+        for f in sorted(_os.listdir(feed)):
+            if f.startswith("feed-") and f.endswith(".json"):
+                with open(_os.path.join(feed, f)) as fh:
+                    seqs.extend(_json.loads(line)["seq"] for line in fh if line.strip())
+        assert set(seqs) == {r["seq"] for r in rows}, (crash_after, batch_rows)
+
+    prop()
