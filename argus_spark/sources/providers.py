@@ -43,9 +43,12 @@ replay) composes unchanged:
   are committed AFTER the driver epoch commits, so redelivery on crash
   is at-least-once — absorbed by the driver's committed floor (B41).
 
-Both validate the transport invariant the lifecycle relies on: ``seq``
-strictly increasing within a connection/offset range (a totally-ordered
-stream — single-partition topic, single socket).
+All adapters validate the transport invariant the lifecycle relies
+on: ``seq`` strictly increasing within a connection/offset range (a
+totally-ordered stream — single-partition topic, single socket).
+:class:`ProviderFeedPump` (below) bridges any of them into feed
+segment files for the Structured Streaming path, with its own
+persisted resume seq.
 
 Scale: events are ~5-column control-plane metadata; payloads never
 transit the feed (blocks stay in their own table, chain_feed.py:17-19).
