@@ -271,6 +271,116 @@ DEDUP_MINHASH_ESTIMATE_SQL = _minhash_estimate_sql()
 
 
 # --------------------------------------------------------------------------
+# Incremental delta dedup — new shard vs a precomputed corpus index
+# --------------------------------------------------------------------------
+
+DELTA_MOD = 5  # doc_id % DELTA_MOD == 0 → the incoming delta shard (~20%)
+
+
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming shard against an already-indexed corpus
+    WITHOUT re-processing the corpus — the operational pattern every
+    100 TB pipeline actually runs (a crawl lands daily; re-LSHing the
+    full corpus per drop is a non-starter). The reference's analogue is
+    its incremental reducer model (SURVEY §2.A8 — each epoch folds only
+    the new blocks into committed state); this is the same contract at
+    corpus granularity.
+
+    Shape: the corpus splits deterministically into BASE (already
+    indexed — in production its (band, band_hash) rows are a STORED
+    table, bucketed on the band key, written once when each shard was
+    itself the delta) and DELTA (doc_id % DELTA_MOD == 0, the new
+    shard). Only the delta's signatures are computed fresh; candidate
+    pairs are
+
+      * delta × base  — equi-join on (band, bh) with the delta side
+        BROADCAST (a daily shard's band index is ~5 rows/doc of
+        ~40 bytes; even a 10 M-doc drop broadcasts in ~2 GB, and the
+        base index NEVER shuffles — the whole point), and
+      * delta × delta — the ordinary banded self-join, tiny by
+        definition.
+
+    Base × base pairs are never re-derived (they were emitted when
+    those shards arrived). Output: one row per (delta doc, matched
+    doc) candidate with the side it matched — 'base' rows are dups of
+    already-kept content (drop the delta doc), 'delta' rows are
+    intra-shard dups (keep the smaller id, same keep rule as
+    ``dedup_minhash_lsh``).
+
+    The oracle computes the identical split + joins from scratch —
+    signatures are per-row, so "precomputed then joined" and "computed
+    fresh then joined" are definitionally the same rows; the driver's
+    hash gate proves the incremental path loses nothing."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    delta_bands = _minhash_bands_df(
+        _minhash_sig_df(d.filter(F.col("doc_id") % DELTA_MOD == 0))
+    )
+    base_bands = _minhash_bands_df(
+        _minhash_sig_df(d.filter(F.col("doc_id") % DELTA_MOD != 0))
+    )
+    vs_base = (
+        base_bands.alias("x")
+        .join(F.broadcast(delta_bands.alias("a")), ["band", "bh"])
+        .select(
+            F.col("a.doc_id").alias("delta_id"),
+            F.col("x.doc_id").alias("match_id"),
+            F.lit("base").alias("side"),
+        )
+    )
+    a, x = delta_bands.alias("a"), delta_bands.alias("x")
+    vs_delta = (
+        a.join(x, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("x.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("delta_id"),
+            F.col("x.doc_id").alias("match_id"),
+            F.lit("delta").alias("side"),
+        )
+    )
+    return vs_base.unionByName(vs_delta).distinct()
+
+
+def _incremental_delta_sql() -> str:
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"s{b * MH_R + r}::VARCHAR" for r in range(MH_R)
+            ),
+        )
+        for b in range(MH_BANDS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_distinct({words_sql()}) AS words FROM documents
+), base AS (
+  SELECT doc_id,
+         list_transform(words, x -> {h64_sql('x', 'mh')} % {MH_P}) AS hs
+  FROM w
+), sig AS (
+  SELECT doc_id,
+    {_minhash_sig_exprs_sql()}
+  FROM base
+), bands AS (
+{band_selects}
+), delta_b AS (
+  SELECT * FROM bands WHERE doc_id % {DELTA_MOD} = 0
+), base_b AS (
+  SELECT * FROM bands WHERE doc_id % {DELTA_MOD} <> 0
+)
+SELECT DISTINCT a.doc_id AS delta_id, x.doc_id AS match_id, 'base' AS side
+FROM delta_b a JOIN base_b x ON a.band = x.band AND a.bh = x.bh
+UNION
+SELECT DISTINCT a.doc_id AS delta_id, x.doc_id AS match_id, 'delta' AS side
+FROM delta_b a JOIN delta_b x
+  ON a.band = x.band AND a.bh = x.bh AND a.doc_id < x.doc_id
+"""
+
+
+DEDUP_INCREMENTAL_DELTA_SQL = _incremental_delta_sql()
+
+
+# --------------------------------------------------------------------------
 # Fuzzy decontamination — MinHash band probe vs a benchmark slice
 # --------------------------------------------------------------------------
 
@@ -1514,6 +1624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_substring": dedup_exact_substring,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_estimate": dedup_minhash_estimate,
+    "dedup_incremental_delta": dedup_incremental_delta,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_threshold_sweep": dedup_threshold_sweep,
@@ -1530,6 +1641,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_substring": DEDUP_EXACT_SUBSTRING_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_minhash_estimate": DEDUP_MINHASH_ESTIMATE_SQL,
+    "dedup_incremental_delta": DEDUP_INCREMENTAL_DELTA_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_SQL,

@@ -610,8 +610,130 @@ WHERE ({h64_sql("doc_id::VARCHAR", "wbern")})::HUGEINT * w_total
 """
 
 
+# ---------------- token-budget mixture (epoch-capped repeats) ----------------
+
+# The LLaMA-style data recipe: every weight-listed source should
+# contribute share w_s/Σw of a TOKEN budget, realized as a per-source
+# REPEAT factor (epochs) over the source — up-sampling scarce
+# high-weight sources (capped at TBM_CAP_EPOCHS passes, the standard
+# "don't repeat any source more than N×" rule) and down-sampling
+# abundant low-weight ones. Differs from ``dataset_mixture`` /
+# ``dataset_mixture_temperature`` on both axes that matter: the budget
+# is token-denominated (docs have very different lengths; recipes are
+# written in tokens), and the output is a repeat COUNT per doc
+# (n_copies ∈ {0, 1, 2, ...}), not a keep/drop subset.
+TBM_WEIGHTS: dict[str, int] = {
+    "src0": 2, "src2": 3, "src5": 1, "src8": 1, "src11": 10, "src14": 2,
+}
+TBM_CAP_EPOCHS = 4       # never repeat a source more than 4 passes
+TBM_FP = 1_000_000       # fixed-point scale for the repeat factor
+
+
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeat counts realizing a token-denominated source
+    recipe: budget B = ⌊T_pool/2⌋ tokens (half the weight-listed pool's
+    token mass — scale-invariant, so the recipe means the same thing at
+    every sf); source s gets target B·w_s/Σw tokens, i.e. repeat factor
+
+        r_s = min(CAP, B·w_s / (Σw·T_s))   (fixed-point ×1e6)
+
+    and each doc is emitted ⌊r_s⌋ times plus one more with probability
+    frac(r_s) — decided by the shared deterministic hash, so a re-run
+    (or a recovered stage) picks the SAME fractional-epoch docs. All
+    arithmetic is int64 fixed-point: products are bounded by
+    T_pool·max(w)·1e6, exact to ~9·10¹¹ pool tokens (≈3.6 TB of text);
+    a 100 TB corpus drops TBM_FP to 1e3 or widens to DECIMAL(38) —
+    same expressions, wider type.
+
+    Plan at 100 TB: per-source token totals are one map-side-partial
+    aggregate over a 3-column projection; the ~|sources|-row rate frame
+    is computed frame-side (no driver round-trip) and BROADCAST back;
+    the per-doc copy count is a map-side expression. One corpus
+    shuffle total, on the uniform ``source`` key space of the tiny
+    aggregate — the corpus itself never reshuffles."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    wsum = sum(TBM_WEIGHTS.values())
+    weight = F.lit(None).cast("long")
+    for src, w in sorted(TBM_WEIGHTS.items()):
+        weight = F.when(F.col("source") == src, F.lit(w)).otherwise(weight)
+    pool = (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(words_col()).cast("long").alias("tok"),
+            weight.alias("w"),
+        )
+        .filter(F.col("w").isNotNull())
+    )
+    per_src = pool.groupBy("source", "w").agg(F.sum("tok").alias("t_src"))
+    tot = per_src.agg(F.sum("t_src").alias("t_tot"))
+    rates = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "r_fp",
+            F.least(
+                F.lit(TBM_CAP_EPOCHS * TBM_FP).cast("long"),
+                F.expr(
+                    f"((t_tot div 2) * w * {TBM_FP}) div ({wsum} * t_src)"
+                ),
+            ),
+        )
+        .select("source", "r_fp")
+    )
+    n_copies = (
+        F.expr(f"r_fp div {TBM_FP}")
+        + F.when(
+            h64(F.col("doc_id").cast("string"), "tbm") % TBM_FP
+            < F.col("r_fp") % TBM_FP,
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    return (
+        pool.join(F.broadcast(rates), "source")
+        .select("doc_id", "source", "tok", "r_fp", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+    )
+
+
+_TBM_WEIGHT_SQL = (
+    "CASE "
+    + " ".join(f"WHEN source = '{s}' THEN {w}" for s, w in sorted(TBM_WEIGHTS.items()))
+    + " ELSE NULL END"
+)
+
+TOKEN_BUDGET_MIXTURE_SQL = f"""
+WITH pool AS (
+  SELECT doc_id, source,
+         len({words_sql()})::BIGINT AS tok,
+         ({_TBM_WEIGHT_SQL})::BIGINT AS w
+  FROM documents
+  WHERE ({_TBM_WEIGHT_SQL}) IS NOT NULL
+), per_src AS (
+  SELECT source, any_value(w) AS w, CAST(sum(tok) AS BIGINT) AS t_src
+  FROM pool GROUP BY source
+), tot AS (
+  SELECT CAST(sum(t_src) AS BIGINT) AS t_tot FROM per_src
+), rates AS (
+  SELECT source,
+         least({TBM_CAP_EPOCHS * TBM_FP},
+               ((t_tot // 2) * w * {TBM_FP}) // ({sum(TBM_WEIGHTS.values())} * t_src))
+           AS r_fp
+  FROM per_src CROSS JOIN tot
+), out AS (
+  SELECT p.doc_id, p.source, p.tok, r.r_fp,
+         (r.r_fp // {TBM_FP}
+          + CASE WHEN ({h64_sql("p.doc_id::VARCHAR", "tbm")}) % {TBM_FP}
+                      < r.r_fp % {TBM_FP}
+                 THEN 1 ELSE 0 END)::BIGINT AS n_copies
+  FROM pool p JOIN rates r USING (source)
+)
+SELECT doc_id, source, tok, r_fp, n_copies FROM out WHERE n_copies > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": sample_stratified,
+    "token_budget_mixture": token_budget_mixture,
     "weighted_sample_bernoulli": weighted_sample_bernoulli,
     "dataset_mixture": dataset_mixture,
     "dataset_mixture_temperature": dataset_mixture_temperature,
@@ -624,6 +746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "token_budget_mixture": TOKEN_BUDGET_MIXTURE_SQL,
     "weighted_sample_bernoulli": WEIGHTED_SAMPLE_BERNOULLI_SQL,
     "dataset_mixture": DATASET_MIXTURE_SQL,
     "dataset_mixture_temperature": DATASET_MIXTURE_TEMPERATURE_SQL,

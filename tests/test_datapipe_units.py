@@ -1545,3 +1545,58 @@ class TestLengthOutlierReference:
         # the band must really cut both tails, and keep the bulk
         assert 0 < kept < n
         assert kept * 1000 >= n * (LOF_HI_PERMILLE - LOF_LO_PERMILLE - 30)
+
+
+class TestIncrementalDelta:
+    """dedup_incremental_delta loses nothing: its candidate set must
+    equal the FULL-corpus banded-LSH pairs restricted to pairs that
+    touch a delta doc (base×base pairs are out of scope by contract —
+    they were emitted when those shards were themselves the delta)."""
+
+    def test_completeness_vs_full_lsh(self, spark):
+        from tests.conftest import SF_SMOKE
+        from argus_spark.datapipe.dedup import (
+            DELTA_MOD,
+            dedup_incremental_delta,
+            dedup_minhash_lsh,
+        )
+
+        full = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+        }
+        expected = {
+            (a, b)
+            for a, b in full
+            if a % DELTA_MOD == 0 or b % DELTA_MOD == 0
+        }
+        got = {
+            tuple(sorted((r.delta_id, r.match_id)))
+            for r in dedup_incremental_delta(spark, SF_SMOKE).collect()
+        }
+        assert got == expected
+        # and every row names the side correctly
+        for r in dedup_incremental_delta(spark, SF_SMOKE).collect():
+            assert r.delta_id % DELTA_MOD == 0
+            if r.side == "delta":
+                assert r.match_id % DELTA_MOD == 0
+            else:
+                assert r.match_id % DELTA_MOD != 0
+
+    def test_token_budget_cap_and_determinism(self, spark):
+        from tests.conftest import SF_SMOKE
+        from argus_spark.datapipe.sampling import (
+            TBM_CAP_EPOCHS,
+            TBM_FP,
+            token_budget_mixture,
+        )
+
+        rows = token_budget_mixture(spark, SF_SMOKE).collect()
+        assert rows, "pool must be non-empty"
+        for r in rows:
+            # never more than CAP full epochs (+1 fractional-epoch copy)
+            assert 1 <= r.n_copies <= TBM_CAP_EPOCHS + 1
+            assert 0 < r.r_fp <= TBM_CAP_EPOCHS * TBM_FP
+        # re-run is bit-identical (hash-determinism, not RNG)
+        again = token_budget_mixture(spark, SF_SMOKE).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -535,3 +535,33 @@ def test_dedup_audit_pairs_no_cartesian_no_nlj(spark):
     plan = formatted_plan(dedup_audit_pairs(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_dedup_incremental_delta_broadcasts_delta_one_shuffle(spark):
+    """dedup_incremental_delta: the base index must NEVER shuffle —
+    the delta band frame broadcasts onto it (BroadcastHashJoin), and
+    the only exchange is the tiny delta×delta self-join. A plan that
+    shuffles the base side re-processes the indexed corpus per shard,
+    which is exactly what the incremental operator exists to avoid."""
+    from argus_spark.datapipe.dedup import dedup_incremental_delta
+
+    plan = formatted_plan(dedup_incremental_delta(spark, SF_SMOKE))
+    assert has_broadcast_hash_join(plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert n_shuffle_exchanges(plan) <= 2, plan
+
+
+def test_token_budget_mixture_partial_agg_broadcast_rates(spark):
+    """token_budget_mixture: per-source token totals are a map-side-
+    partial aggregate; the ~|sources|-row rate frame broadcasts back
+    onto the pool (BroadcastHashJoin — the corpus never reshuffles for
+    the copy-count stamp). The one BroadcastNestedLoopJoin allowed is
+    the 1-row token-total crossJoin; a corpus-side cartesian is not."""
+    from argus_spark.datapipe.sampling import token_budget_mixture
+
+    plan = formatted_plan(token_budget_mixture(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert has_broadcast_hash_join(plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert n_shuffle_exchanges(plan) <= 2, plan
