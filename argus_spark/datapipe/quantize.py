@@ -88,10 +88,99 @@ FROM q
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed Gram matrix — the PCA / whitening / covariance prep pass
+# --------------------------------------------------------------------------
+
+GRAM_FP = 1_000_000  # fixed-point scale for per-pair products
+
+
+def _gram_batches(it):
+    """Arrow-batch partial Gram: fold every batch of a partition into
+    ONE d×d int64 accumulator, yield the upper triangle once at the
+    end — the partition's entire contribution is 2,080 rows no matter
+    how many vectors it held. Per-vector fixed-point flooring (not
+    floor-after-sum) keeps the fold order-free: each (vector, i, j)
+    term is an integer before anything is summed, so partition
+    boundaries, batch sizes, and reduce order cannot change the total."""
+    import numpy as np
+    import pandas as pd
+
+    d = None
+    acc = None
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        if acc is None:
+            d = x.shape[1]
+            acc = np.zeros((d, d), dtype=np.int64)
+        # per-vector outer products, floored to fixed point BEFORE the
+        # sum (chunked so the n×d×d intermediate stays ~32 MB)
+        for lo in range(0, x.shape[0], 1024):
+            xb = x[lo : lo + 1024]
+            outer = xb[:, :, None] * xb[:, None, :]
+            acc += np.floor(outer * float(GRAM_FP)).astype(np.int64).sum(axis=0)
+    if acc is None:
+        return
+    iu, ju = np.triu_indices(d)
+    yield pd.DataFrame(
+        {"i": iu.astype("int64"), "j": ju.astype("int64"),
+         "gram_fp": acc[iu, ju]}
+    )
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix Σᵥ ⌊vᵢ·vⱼ·1e6⌋ over the embedding
+    corpus — the one-pass aggregation behind PCA, ZCA whitening, and
+    covariance-based OPQ rotation fitting. The d×d result is tiny by
+    construction (d=64 → 2,080 cells); the whole job is getting there
+    in ONE corpus pass with no corpus shuffle.
+
+    100 TB shape: ``mapInPandas`` folds every partition into a single
+    d×d int64 accumulator (Arrow-batched numpy, never row-at-a-time)
+    and emits 2,080 partial rows per PARTITION — so the only exchange
+    is a partial-agged sum over ≤ 2,080 × n_partitions skinny rows,
+    i.e. the classic treeAggregate shape expressed declaratively. For
+    d ≫ 64 the accumulator blocks into d/b × d/b tiles; the plan is
+    unchanged.
+
+    Determinism: each (vector, i, j) term is floored to fixed point
+    BEFORE summation, so the total is an integer sum — order-free
+    across partitions, batch sizes, and engines. Magnitude bound:
+    |Σ ⌊vᵢvⱼ·1e6⌋| ≤ n·max|v|²·1e6 — int64-exact to n·max|v|² ≈ 9·10¹²,
+    far past any embedding corpus this op would see (beyond that,
+    shrink GRAM_FP — same op, coarser grid)."""
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
+        _as_double("embedding").alias("v")
+    )
+    partials = e.mapInPandas(
+        _gram_batches, schema="i long, j long, gram_fp long"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("gram_fp").alias("gram_fp"))
+    )
+
+
+EMBEDDING_GRAM_MATRIX_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, t.i AS i, embedding[t.i + 1]::DOUBLE AS ei
+  FROM embeddings, unnest(range(0, {DIM})) AS t(i)
+)
+SELECT a.i AS i, b.i AS j,
+       CAST(sum(floor(a.ei * b.ei * {float(GRAM_FP)!r})) AS BIGINT) AS gram_fp
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_gram_matrix": embedding_gram_matrix,
 }
 
 ORACLES: dict[str, str] = {
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_INT8_SQL,
+    "embedding_gram_matrix": EMBEDDING_GRAM_MATRIX_SQL,
 }

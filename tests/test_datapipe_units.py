@@ -1600,3 +1600,62 @@ class TestIncrementalDelta:
         # re-run is bit-identical (hash-determinism, not RNG)
         again = token_budget_mixture(spark, SF_SMOKE).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+class TestGramMatrix:
+    """embedding_gram_matrix is the distributed half of PCA: the d×d
+    fixed-point Gram must match a direct numpy computation exactly,
+    and its eigendecomposition (driver-side — d×d is tiny by design)
+    must yield a usable orthonormal projection basis."""
+
+    def _dense_gram(self, spark):
+        import numpy as np
+        from tests.conftest import SF_SMOKE
+        from argus_spark.datapipe.quantize import (
+            GRAM_FP,
+            embedding_gram_matrix,
+        )
+        from argus_spark.session import load
+
+        rows = embedding_gram_matrix(spark, SF_SMOKE).collect()
+        d = max(r.j for r in rows) + 1
+        g = np.zeros((d, d), dtype=np.int64)
+        for r in rows:
+            g[r.i, r.j] = r.gram_fp
+            g[r.j, r.i] = r.gram_fp
+        x = np.stack(
+            [
+                np.asarray(r.embedding, dtype=np.float64)
+                for r in load(spark, SF_SMOKE, "embeddings").select(
+                    "embedding"
+                ).collect()
+            ]
+        )
+        return g, x, GRAM_FP
+
+    def test_matches_direct_numpy(self, spark):
+        import numpy as np
+
+        g, x, fp = self._dense_gram(spark)
+        outer = x[:, :, None] * x[:, None, :]
+        direct = np.floor(outer * float(fp)).astype(np.int64).sum(axis=0)
+        assert np.array_equal(g, direct)
+
+    def test_drives_pca_projection(self, spark):
+        import numpy as np
+
+        g, x, fp = self._dense_gram(spark)
+        # driver-side eigendecomposition of the (symmetrized) Gram —
+        # the fixed-point grid perturbs eigenvalues by O(n/fp), far
+        # below the spectrum's scale
+        evals, evecs = np.linalg.eigh(g.astype(np.float64) / fp)
+        # descending, all non-negative up to grid error
+        assert evals[-1] > 0
+        assert evals[0] > -1e-3 * evals[-1]
+        # top-8 basis is orthonormal and captures more energy than
+        # any 8 raw axes (the point of doing PCA at all)
+        top = evecs[:, -8:]
+        assert np.allclose(top.T @ top, np.eye(8), atol=1e-9)
+        proj_energy = float(np.sum((x @ top) ** 2))
+        raw_energy = float(np.sort(np.sum(x**2, axis=0))[-8:].sum())
+        assert proj_energy >= raw_energy

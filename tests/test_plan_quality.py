@@ -565,3 +565,17 @@ def test_token_budget_mixture_partial_agg_broadcast_rates(spark):
     assert has_broadcast_hash_join(plan), plan
     assert "CartesianProduct" not in plan, plan
     assert n_shuffle_exchanges(plan) <= 2, plan
+
+
+def test_embedding_gram_matrix_single_skinny_shuffle(spark):
+    """embedding_gram_matrix: the corpus is consumed in one Arrow pass
+    (mapInPandas partials, ≤ 2,080 rows per partition) and the ONLY
+    exchange is the partial-agged sum over those skinny rows — the
+    treeAggregate shape. A corpus-side shuffle or a per-vector explode
+    surviving into the plan would be a d²× row blowup at scale."""
+    from argus_spark.datapipe.quantize import embedding_gram_matrix
+
+    plan = formatted_plan(embedding_gram_matrix(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert n_shuffle_exchanges(plan) == 1, plan
+    assert "CartesianProduct" not in plan, plan
