@@ -379,3 +379,25 @@ class TestLeaseKeeper:
         time.sleep(0.6)  # lease (0.2s) expires before first renew (0.3s)
         k.stop()
         assert k.lost and fired == [1]
+
+
+def test_example_datacard_end_to_end(spark):
+    """The runnable data-card generator (scripts/example_datacard.py)
+    must stay green: its exit gates are exact integer identities over
+    the composed audit surface (keep ∪ dropped partitions the corpus,
+    signal counts in range, τ-sweep monotone, copy counts capped)."""
+    import os
+    import runpy
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "example_datacard.py",
+    )
+    mod = runpy.run_path(script, run_name="example")
+    argv = sys.argv
+    sys.argv = ["example_datacard.py", "/root/testdata/sf0.001"]
+    try:
+        assert mod["main"]() == 0
+    finally:
+        sys.argv = argv
