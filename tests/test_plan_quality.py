@@ -579,3 +579,58 @@ def test_embedding_gram_matrix_single_skinny_shuffle(spark):
     assert has_partial_aggregation(plan), plan
     assert n_shuffle_exchanges(plan) == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_delta_bucketed_base_never_shuffles(spark, tmp_path):
+    """The stored-index claim, proven with a real bucketed table: in
+    the NON-broadcast regime (delta too big to broadcast), joining the
+    delta band frame against a base index persisted with
+    ``bucketBy(8, band, bh)`` must shuffle ONLY the delta side — the
+    bucketed base scan feeds the sort-merge join without an Exchange.
+    This is the plan a daily 100 TB drop actually runs: the corpus
+    index is written once, bucketed on the join key, and every
+    subsequent shard pays one delta-sized shuffle."""
+    from pyspark.sql import functions as F
+
+    from argus_spark.datapipe.dedup import (
+        DELTA_MOD,
+        _minhash_bands_df,
+        _minhash_sig_df,
+    )
+    from argus_spark.session import load
+
+    d = load(spark, SF_SMOKE, "documents", widen=True)
+    base_bands = _minhash_bands_df(
+        _minhash_sig_df(d.filter(F.col("doc_id") % DELTA_MOD != 0))
+    )
+    delta_bands = _minhash_bands_df(
+        _minhash_sig_df(d.filter(F.col("doc_id") % DELTA_MOD == 0))
+    )
+    spark.sql("DROP TABLE IF EXISTS base_band_idx_t")
+    (
+        base_bands.write.bucketBy(8, "band", "bh")
+        .sortBy("band", "bh")
+        .option("path", str(tmp_path / "base_band_idx"))
+        .saveAsTable("base_band_idx_t")
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # kill broadcast so the compile-time plan is the SMJ regime
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        stored = spark.table("base_band_idx_t")
+        joined = (
+            stored.alias("x")
+            .join(delta_bands.alias("a"), ["band", "bh"])
+            .select(
+                F.col("a.doc_id").alias("delta_id"),
+                F.col("x.doc_id").alias("match_id"),
+            )
+        )
+        plan = formatted_plan(joined)
+        assert has_sort_merge_join(plan) or "ShuffledHashJoin" in plan, plan
+        # exactly ONE hash exchange — the delta side; a second would
+        # mean the bucketed base got reshuffled
+        assert n_shuffle_exchanges(plan) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS base_band_idx_t")
