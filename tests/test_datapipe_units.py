@@ -1659,3 +1659,55 @@ class TestGramMatrix:
         proj_energy = float(np.sum((x @ top) ** 2))
         raw_energy = float(np.sort(np.sum(x**2, axis=0))[-8:].sum())
         assert proj_energy >= raw_energy
+
+
+class TestRotationPlanner:
+    """scripts/plan_rotation.py's pure core: stale-first ordering with
+    changed-keys-jump-the-queue and never-covered (-1) most urgent."""
+
+    def test_tiers_and_window(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "plan_rotation",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "scripts", "plan_rotation.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        registry = [f"q{i}" for i in range(8)]
+        staleness = {
+            "q0": 0, "q1": 2, "q2": 1, "q3": 0,
+            "q4": -1, "q5": 2, "q6": 0, "q7": 1,
+        }
+        p = mod.plan(registry, staleness, ["q3"], window=4)
+        # changed first; then -1 (never covered); then staleness desc,
+        # ties in registry order
+        assert p["order"][:4] == ["q3", "q4", "q1", "q5"]
+        assert p["order"][4:6] == ["q2", "q7"]
+        assert set(p["order"][6:]) == {"q0", "q6"}
+        assert p["window"] == ["q3", "q4", "q1", "q5"]
+        assert p["enter"] == ["q4", "q5"] and p["exit"] == ["q0", "q2"]
+        assert p["max_stale_outside"] == 1
+
+    def test_rejects_unknown_changed_key(self):
+        import importlib.util
+        import os
+
+        import pytest as _pytest
+
+        spec = importlib.util.spec_from_file_location(
+            "plan_rotation2",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "scripts", "plan_rotation.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        with _pytest.raises(ValueError):
+            mod.plan(["a"], {}, ["nope"], window=1)
