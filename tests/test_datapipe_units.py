@@ -1711,3 +1711,45 @@ class TestRotationPlanner:
         spec.loader.exec_module(mod)
         with _pytest.raises(ValueError):
             mod.plan(["a"], {}, ["nope"], window=1)
+
+
+class TestIncrementalDeltaEdges:
+    """Degenerate shard splits must not break the incremental path."""
+
+    def _mini_dir(self, spark, tmp_path, ids):
+        from argus_spark.session import load
+        from tests.conftest import SF_SMOKE
+
+        docs = load(spark, SF_SMOKE, "documents")
+        d = docs.filter(docs.doc_id.isin(ids))
+        out = tmp_path / "mini"
+        d.coalesce(1).write.parquet(str(out / "documents.parquet"))
+        return str(out)
+
+    def test_empty_delta_yields_no_rows(self, spark, tmp_path):
+        """A corpus where nothing lands in the delta shard (no
+        doc_id % 5 == 0) produces an empty candidate frame — the
+        incremental op never invents base×base work."""
+        from argus_spark.datapipe.dedup import dedup_incremental_delta
+
+        ids = [1, 2, 3, 4, 6, 7, 8, 9, 11, 12]
+        sf = self._mini_dir(spark, tmp_path, ids)
+        assert dedup_incremental_delta(spark, sf).count() == 0
+
+    def test_all_delta_matches_plain_lsh(self, spark, tmp_path):
+        """A corpus that is ENTIRELY the delta shard reduces to the
+        ordinary banded self-join: every pair carries side='delta' and
+        the pair set equals dedup_minhash_lsh on the same corpus."""
+        from argus_spark.datapipe.dedup import (
+            dedup_incremental_delta,
+            dedup_minhash_lsh,
+        )
+
+        ids = [0, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50, 55, 60]
+        sf = self._mini_dir(spark, tmp_path, ids)
+        inc = dedup_incremental_delta(spark, sf).collect()
+        assert all(r.side == "delta" for r in inc)
+        full = {
+            (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf).collect()
+        }
+        assert {(r.delta_id, r.match_id) for r in inc} == full
