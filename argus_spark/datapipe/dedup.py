@@ -1228,6 +1228,65 @@ WHERE c.is_canonical IS NULL OR c.is_canonical
 """
 
 
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution — the headline table of every dedup
+    report (and the `example_datacard` audience's first question): for
+    each cluster size, how many clusters and how many documents sit in
+    them, INCLUDING the size-1 row for singletons (docs untouched by
+    near-dup resolution — the cluster frame only holds docs incident
+    to a verified pair, so singletons are corpus − clustered, computed
+    frame-side from two one-row aggregates). Compression ratio falls
+    straight out: kept = Σ n_clusters, raw = Σ n_docs.
+
+    100 TB shape: rides the existing cluster side-output (tiny by
+    construction); two partial-agged aggregates on uniform keys plus
+    two one-row frames crossed for the singleton arithmetic — no new
+    pair work, the corpus is touched once for its count."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+    tot = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus")
+    )
+    ncl = clusters.agg(F.count(F.lit(1)).cast("long").alias("n_clustered"))
+    singletons = (
+        tot.crossJoin(ncl)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n_corpus") - F.col("n_clustered")).alias("n_clusters"),
+            (F.col("n_corpus") - F.col("n_clustered")).alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singletons)
+
+
+DEDUP_CLUSTER_STATS_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM clusters GROUP BY cluster_id
+),
+hist AS (
+  SELECT cluster_size,
+         count(*)::BIGINT AS n_clusters,
+         CAST(sum(cluster_size) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY cluster_size
+)
+SELECT cluster_size, n_clusters, n_docs FROM hist
+UNION ALL
+SELECT 1::BIGINT AS cluster_size,
+       (SELECT count(*) FROM documents)::BIGINT
+         - (SELECT count(*) FROM clusters)::BIGINT AS n_clusters,
+       (SELECT count(*) FROM documents)::BIGINT
+         - (SELECT count(*) FROM clusters)::BIGINT AS n_docs
+"""
+
+
 def dedup_audit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup PROVENANCE export — the audit trail a training-data card
     needs: for every doc DROPPED by near-dup resolution, the kept
@@ -1629,6 +1688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_clusters": dedup_clusters,
+    "dedup_cluster_stats": dedup_cluster_stats,
     "cross_source_dup_matrix": cross_source_dup_matrix,
     "dedup_keep_list": dedup_keep_list,
     "dedup_audit_pairs": dedup_audit_pairs,
@@ -1646,6 +1706,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_cluster_stats": DEDUP_CLUSTER_STATS_SQL,
     "cross_source_dup_matrix": CROSS_SOURCE_DUP_MATRIX_SQL,
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
     "dedup_audit_pairs": DEDUP_AUDIT_PAIRS_SQL,

@@ -26,6 +26,8 @@ fails, it doesn't fuzz):
     signal to the canonical — the rows an auditor reads FIRST);
   * gopher pass + fail = corpus size;
   * the τ-sweep's touched-doc count is monotone non-increasing in τ;
+  * the cluster-size histogram's doc mass equals the corpus and its
+    cluster count equals the keep-list (one kept doc per cluster);
   * every mixture row has 1 ≤ n_copies ≤ cap+1.
 
 Usage:
@@ -111,6 +113,13 @@ def main() -> int:
     print("τ sweep (permille → pairs / docs touched): " + "  ".join(
         f"{r.tau_permille}→{r.n_pairs}/{r.n_docs}" for r in sweep
     ))
+    hist = sorted(
+        qs["dedup_cluster_stats"](spark, sf_dir).collect(),
+        key=lambda r: r.cluster_size,
+    )
+    print("cluster sizes (size → clusters / docs): " + "  ".join(
+        f"{r.cluster_size}→{r.n_clusters}/{r.n_docs}" for r in hist
+    ))
 
     # 4. contamination -----------------------------------------------------
     n_contam = qs["decontaminate_ngram_overlap"](spark, sf_dir).count()
@@ -146,6 +155,11 @@ def main() -> int:
     monotone = all(
         a.n_docs >= b.n_docs for a, b in zip(sweep, sweep[1:])
     )
+    # histogram identities tie three operators together exactly:
+    # every doc is in exactly one (possibly singleton) cluster, and
+    # one doc per cluster is kept
+    hist_docs = sum(r.n_docs for r in hist)
+    hist_kept = sum(r.n_clusters for r in hist)
     ok = (
         not (keep_ids & drop_ids)
         and (keep_ids | drop_ids) == all_ids
@@ -153,6 +167,8 @@ def main() -> int:
         and gp.n_pass <= gp.n == n_corpus
         and monotone
         and bad_copies == 0
+        and hist_docs == n_corpus
+        and hist_kept == n_keep
     )
     print(f"\ndata-card gate: ok={ok}")
     return 0 if ok else 1

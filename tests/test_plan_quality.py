@@ -634,3 +634,15 @@ def test_incremental_delta_bucketed_base_never_shuffles(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS base_band_idx_t")
+
+
+def test_dedup_cluster_stats_rides_cluster_frame(spark):
+    """dedup_cluster_stats: pure composition over the existing cluster
+    side-output — two partial-agged aggregates plus the two one-row
+    frames for the singleton arithmetic; no cartesian beyond those
+    1-row crosses, no new pair work."""
+    from argus_spark.datapipe.dedup import dedup_cluster_stats
+
+    plan = formatted_plan(dedup_cluster_stats(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert "CartesianProduct" not in plan, plan
