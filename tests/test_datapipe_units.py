@@ -1753,3 +1753,58 @@ class TestIncrementalDeltaEdges:
             (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf).collect()
         }
         assert {(r.delta_id, r.match_id) for r in inc} == full
+
+
+class TestTokenBudgetThirdSide:
+    """Recompute token_budget_mixture end-to-end in pure Python (md5
+    hashing + integer arithmetic) from the raw documents — a third
+    engine next to Spark and the DuckDB oracle. Any drift in the
+    fixed-point formula, the hash seed, or the flooring order fails
+    here even if Spark and the SQL happened to drift together."""
+
+    def test_matches_pure_python(self, spark):
+        import hashlib
+
+        from tests.conftest import SF_SMOKE
+        from argus_spark.datapipe.sampling import (
+            TBM_CAP_EPOCHS,
+            TBM_FP,
+            TBM_WEIGHTS,
+            token_budget_mixture,
+        )
+        from argus_spark.session import load
+
+        def h64(s: str, seed: str) -> int:
+            return int(
+                hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:15], 16
+            )
+
+        docs = [
+            (r.doc_id, r.source, len([w for w in r.text.split(" ") if w]))
+            for r in load(spark, SF_SMOKE, "documents")
+            .select("doc_id", "source", "text")
+            .collect()
+        ]
+        pool = [
+            (d, s, t, TBM_WEIGHTS[s]) for d, s, t in docs if s in TBM_WEIGHTS
+        ]
+        wsum = sum(TBM_WEIGHTS.values())
+        t_src: dict[str, int] = {}
+        for _, s, t, _w in pool:
+            t_src[s] = t_src.get(s, 0) + t
+        t_tot = sum(t_src.values())
+        expected = {}
+        for d, s, t, w in pool:
+            r_fp = min(
+                TBM_CAP_EPOCHS * TBM_FP,
+                ((t_tot // 2) * w * TBM_FP) // (wsum * t_src[s]),
+            )
+            n = r_fp // TBM_FP + (1 if h64(str(d), "tbm") % TBM_FP < r_fp % TBM_FP else 0)
+            if n > 0:
+                expected[d] = (s, t, r_fp, n)
+
+        got = {
+            r.doc_id: (r.source, r.tok, r.r_fp, r.n_copies)
+            for r in token_budget_mixture(spark, SF_SMOKE).collect()
+        }
+        assert got == expected
