@@ -54,28 +54,30 @@ def _modules():
 # older than one round. Keys absent from this list (future operators)
 # are appended in module order after the listed ones.
 #
-# Round-11 rotation (policy above). This round's window (8 + 37 + 5):
-#   tier 2 FIRST (8): heavy_hitter_tokens (exact side rewritten to a
+# Round-11 rotation (policy above). This round's window (9 + 37 + 4):
+#   tier 2 FIRST (9): heavy_hitter_tokens (exact side rewritten to a
 #     single corpus pass via ReuseExchange), dedup_repeated_spans
 #     (first-occurrence filter rewritten onto 64-bit span hashes), and
 #     the NEW dedup_audit_pairs + dedup_threshold_sweep +
 #     dedup_incremental_delta + token_budget_mixture +
-#     embedding_gram_matrix + dedup_cluster_stats;
+#     embedding_gram_matrix + dedup_cluster_stats + dedup_lsh_recall;
 #   tier 1 (37): the staleness=2 set from bench_full.json — every
 #     query whose latest driver row is r8 (two rounds old);
-#   tier 3 head (5): the oldest staleness=1 rows that still fit.
+#   tier 3 head (4): the oldest staleness=1 rows that still fit.
 # Deferred past the cap: the remaining r9/r10-fresh rows (one round
 # old, within the two-round cadence; they lead the r12 window) — incl.
-# the 5 tier-3 rows the new tier-2 entries displaced (fluency_bigram,
-# explode_ordinal, broadcast_lookup, semi_join_exists,
-# checkpoint_window), all covered by this round's committed 140-query
-# mirror sweep. scripts/plan_rotation.py now computes this list
-# mechanically for r12+.
+# the 6 tier-3 rows the new tier-2 entries displaced
+# (export_packed_shards, fluency_bigram, explode_ordinal,
+# broadcast_lookup, semi_join_exists, checkpoint_window), all covered
+# by this round's committed 141-query mirror sweep.
+# scripts/plan_rotation.py now computes this list mechanically for
+# r12+.
 _PRIORITY = [
     # -- tier 2: rewritten or new this round -----------------------------
     "heavy_hitter_tokens", "dedup_repeated_spans", "dedup_audit_pairs",
     "dedup_threshold_sweep", "dedup_incremental_delta",
     "token_budget_mixture", "embedding_gram_matrix", "dedup_cluster_stats",
+    "dedup_lsh_recall",
     # -- tier 1: latest fresh driver row is round 8 (two rounds old) -----
     "dataset_mixture", "ann_cosine_topk", "ann_ivf_topk",
     "decontaminate_ngram_overlap", "kmeans_embeddings", "dedup_keep_list",
@@ -94,11 +96,10 @@ _PRIORITY = [
     # -- tier 3 head: oldest one-round-old rows (10 fit the window) ------
     "multimodal_phash_dedup", "lifecycle_reorg_replay",
     "lifecycle_reorg_replay_sqltxn", "embedding_standardize",
-    "export_packed_shards",
     # ---- 50-slot window boundary ----------------------------------------
     # -- r9/r10-fresh rows (lead the r12 window) -------------------------
-    "fluency_bigram", "explode_ordinal", "broadcast_lookup",
-    "semi_join_exists", "checkpoint_window",
+    "export_packed_shards", "fluency_bigram", "explode_ordinal",
+    "broadcast_lookup", "semi_join_exists", "checkpoint_window",
     "filter_project", "text_normalize", "repetition_ratio",
     "multimodal_resize", "multimodal_meta", "multimodal_frame_sample",
     "pii_redact", "sample_quality_deciles", "doc_fingerprint",

@@ -947,6 +947,71 @@ FROM docs GROUP BY tau_permille
 )
 
 
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded MinHash candidate generator against exact
+    ground truth — the measurement that justifies the (b, r) banding
+    at scale, exactly as ``ann_recall_at_k`` gates the ANN variants:
+    for each τ' band, what fraction of the TRUE J ≥ τ' pairs (from the
+    exact prefix-filtered verify, provably complete for τ' ≥ 0.9) does
+    the 3×4 LSH self-join actually surface? The analytic expectation
+    is P = 1-(1-J⁴)³ (≈ 0.87 at J = 0.9, → 1 at J = 1); a measured
+    curve far below it means the signature/banding config is wrong for
+    the corpus (the SimHash precision-floor lesson, BENCH_SCALE r7) —
+    this query is the standing check that catches it.
+
+    100 TB shape: a left join of two skinny pair frames on the
+    (doc_a, doc_b) composite key (both already oriented a < b), a ≤
+    |bands| explode, one partial-agged aggregate over 5 keys — rides
+    the cached verified frame, no new pair work, no corpus scan."""
+    v = dedup_ngram_jaccard(spark, sf_dir, _return_verified=True)
+    lsh = dedup_minhash_lsh(spark, sf_dir).withColumn("hit", F.lit(1))
+    j = v.join(lsh, ["doc_a", "doc_b"], "left")
+    bands = F.array(*[F.lit(t) for t in SWEEP_BANDS])
+    e = j.select(
+        "i", "u", "hit", F.explode(bands).alias("tau_permille")
+    ).filter(F.lit(1000) * F.col("i") >= F.col("tau_permille") * F.col("u"))
+    return (
+        e.groupBy(F.col("tau_permille").cast("long").alias("tau_permille"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_caught"),
+        )
+        .select(
+            "tau_permille",
+            "n_true",
+            "n_caught",
+            (
+                F.col("n_caught").cast("double")
+                / F.col("n_true").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+DEDUP_LSH_RECALL_SQL = (
+    _JACCARD_VERIFIED_SQL
+    + f"""
+, lsh AS (
+{DEDUP_MINHASH_LSH_SQL}
+), banded AS (
+  SELECT t.tau_permille,
+         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM verified v
+  LEFT JOIN lsh l ON l.doc_a = v.doc_a AND l.doc_b = v.doc_b
+  CROSS JOIN (SELECT unnest({list(SWEEP_BANDS)}) AS tau_permille) t
+  WHERE 1000 * v.i >= t.tau_permille * (v.na + v.nb - v.i)
+)
+SELECT tau_permille::BIGINT AS tau_permille,
+       count(*)::BIGINT AS n_true,
+       CAST(sum(hit) AS BIGINT) AS n_caught,
+       CAST(sum(hit) AS BIGINT)::DOUBLE / count(*)::BIGINT::DOUBLE AS recall
+FROM banded GROUP BY tau_permille
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Near-dup cluster resolution (connected components)
 # --------------------------------------------------------------------------
@@ -1687,6 +1752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_threshold_sweep": dedup_threshold_sweep,
+    "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_stats": dedup_cluster_stats,
     "cross_source_dup_matrix": cross_source_dup_matrix,
@@ -1705,6 +1771,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_SQL,
+    "dedup_lsh_recall": DEDUP_LSH_RECALL_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_cluster_stats": DEDUP_CLUSTER_STATS_SQL,
     "cross_source_dup_matrix": CROSS_SOURCE_DUP_MATRIX_SQL,

@@ -28,6 +28,7 @@ fails, it doesn't fuzz):
   * the τ-sweep's touched-doc count is monotone non-increasing in τ;
   * the cluster-size histogram's doc mass equals the corpus and its
     cluster count equals the keep-list (one kept doc per cluster);
+  * the LSH recall curve's caught counts never exceed the truth set;
   * every mixture row has 1 ≤ n_copies ≤ cap+1.
 
 Usage:
@@ -120,6 +121,13 @@ def main() -> int:
     print("cluster sizes (size → clusters / docs): " + "  ".join(
         f"{r.cluster_size}→{r.n_clusters}/{r.n_docs}" for r in hist
     ))
+    rec = sorted(
+        qs["dedup_lsh_recall"](spark, sf_dir).collect(),
+        key=lambda r: r.tau_permille,
+    )
+    print("LSH candidate recall vs exact truth (τ → recall): " + "  ".join(
+        f"{r.tau_permille}→{r.recall:.3f}" for r in rec
+    ))
 
     # 4. contamination -----------------------------------------------------
     n_contam = qs["decontaminate_ngram_overlap"](spark, sf_dir).count()
@@ -160,7 +168,10 @@ def main() -> int:
     # one doc per cluster is kept
     hist_docs = sum(r.n_docs for r in hist)
     hist_kept = sum(r.n_clusters for r in hist)
+    recall_sane = all(0 <= r.n_caught <= r.n_true for r in rec)
     ok = (
+        recall_sane
+        and
         not (keep_ids & drop_ids)
         and (keep_ids | drop_ids) == all_ids
         and 0 <= audit_rows.min_sig and audit_rows.max_sig <= 4

@@ -646,3 +646,16 @@ def test_dedup_cluster_stats_rides_cluster_frame(spark):
     plan = formatted_plan(dedup_cluster_stats(spark, SF_SMOKE))
     assert has_partial_aggregation(plan), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_lsh_recall_no_new_pair_work(spark):
+    """dedup_lsh_recall: a left join of two existing skinny pair
+    frames on the composite (doc_a, doc_b) key + a 5-band explode +
+    one partial-agged 5-key aggregate. No cartesian, no nested loop —
+    a lost equi-condition here would be quadratic in pair count."""
+    from argus_spark.datapipe.dedup import dedup_lsh_recall
+
+    plan = formatted_plan(dedup_lsh_recall(spark, SF_SMOKE))
+    assert has_partial_aggregation(plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
