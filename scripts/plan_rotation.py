@@ -66,8 +66,16 @@ def plan(
         "enter": sorted(new_window - cur_window),
         "exit": sorted(cur_window - new_window),
         "tiers": {"t2": len(tier2), "t1": len(tier1), "t3": len(tier3)},
+        # never-covered (-1) keys outside the window are the MOST urgent,
+        # not the least — map them to the same 10**6 sentinel the tier-1
+        # sort uses so the "compensate if > 1" hint can't miss them.
         "max_stale_outside": max(
-            (staleness.get(k, -1) for k in order[window:]), default=0
+            ((staleness[k] if staleness.get(k, -1) >= 0 else 10**6)
+             for k in order[window:]),
+            default=0,
+        ),
+        "never_covered_outside": sorted(
+            k for k in order[window:] if staleness.get(k, -1) < 0
         ),
     }
 
@@ -94,6 +102,9 @@ def main() -> int:
     print(f"# leaves window: {p['exit']}")
     print(f"# max staleness left outside: {p['max_stale_outside']} "
           "(compensate with the full mirror sweep if > 1)")
+    if p["never_covered_outside"]:
+        print(f"# NEVER-covered keys outside window: "
+              f"{p['never_covered_outside']}")
     print("_PRIORITY = [")
     for i, k in enumerate(p["order"]):
         if i == window:

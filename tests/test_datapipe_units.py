@@ -1694,6 +1694,31 @@ class TestRotationPlanner:
         assert p["enter"] == ["q4", "q5"] and p["exit"] == ["q0", "q2"]
         assert p["max_stale_outside"] == 1
 
+    def test_never_covered_outside_window_is_urgent(self):
+        """r11 ADVICE: a never-covered key (-1) that overflows past the
+        window must dominate max_stale_outside (sentinel, not -1) and be
+        reported by name — otherwise the 'compensate if > 1' hint would
+        miss the single most urgent uncovered operator."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "plan_rotation3",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "scripts", "plan_rotation.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        # window=2 with THREE never-covered keys: one must overflow
+        registry = ["a", "b", "c", "d"]
+        staleness = {"a": -1, "b": -1, "c": -1, "d": 2}
+        p = mod.plan(registry, staleness, [], window=2)
+        assert p["max_stale_outside"] == 10**6
+        assert p["never_covered_outside"] == ["c"]
+
     def test_rejects_unknown_changed_key(self):
         import importlib.util
         import os
