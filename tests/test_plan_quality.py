@@ -582,49 +582,59 @@ def test_embedding_gram_matrix_single_skinny_shuffle(spark):
 
 
 def test_incremental_delta_bucketed_base_never_shuffles(spark, tmp_path):
-    """The stored-index claim, proven with a real bucketed table: in
-    the NON-broadcast regime (delta too big to broadcast), joining the
-    delta band frame against a base index persisted with
-    ``bucketBy(8, band, bh)`` must shuffle ONLY the delta side — the
-    bucketed base scan feeds the sort-merge join without an Exchange.
-    This is the plan a daily 100 TB drop actually runs: the corpus
-    index is written once, bucketed on the join key, and every
-    subsequent shard pays one delta-sized shuffle."""
+    """The stored-index claim, proven with the PRODUCTION functions
+    (r11 verdict #3 — no longer an ad-hoc test-local table):
+    ``write_base_band_index`` persists the base band index
+    bucketed+sorted on (band, bh) via ``operators.bucketed``; the
+    stored-probe path must (a) return EXACTLY the recompute path's
+    rows, (b) broadcast the delta with zero shuffles on the base probe,
+    and (c) in the NON-broadcast regime (delta too big to broadcast)
+    shuffle ONLY the delta side — the bucketed base scan feeds the
+    sort-merge join without an Exchange. This is the plan a daily
+    100 TB drop actually runs: the corpus index is written once,
+    bucketed on the join key, and every subsequent shard pays one
+    delta-sized shuffle."""
     from pyspark.sql import functions as F
 
     from argus_spark.datapipe.dedup import (
-        DELTA_MOD,
-        _minhash_bands_df,
-        _minhash_sig_df,
+        dedup_incremental_delta,
+        dedup_incremental_delta_stored,
+        delta_band_index,
+        write_base_band_index,
     )
-    from argus_spark.session import load
 
-    d = load(spark, SF_SMOKE, "documents", widen=True)
-    base_bands = _minhash_bands_df(
-        _minhash_sig_df(d.filter(F.col("doc_id") % DELTA_MOD != 0))
-    )
-    delta_bands = _minhash_bands_df(
-        _minhash_sig_df(d.filter(F.col("doc_id") % DELTA_MOD == 0))
-    )
-    spark.sql("DROP TABLE IF EXISTS base_band_idx_t")
-    (
-        base_bands.write.bucketBy(8, "band", "bh")
-        .sortBy("band", "bh")
-        .option("path", str(tmp_path / "base_band_idx"))
-        .saveAsTable("base_band_idx_t")
+    tbl = "base_band_idx_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_base_band_index(
+        spark, SF_SMOKE, tbl, n_buckets=8,
+        path=str(tmp_path / "base_band_idx"),
     )
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        # kill broadcast so the compile-time plan is the SMJ regime
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        stored = spark.table("base_band_idx_t")
-        joined = (
-            stored.alias("x")
-            .join(delta_bands.alias("a"), ["band", "bh"])
-            .select(
-                F.col("a.doc_id").alias("delta_id"),
-                F.col("x.doc_id").alias("match_id"),
+        # (a) identical output: stored-then-joined ≡ computed-then-joined
+        want = sorted(
+            map(tuple, dedup_incremental_delta(spark, SF_SMOKE).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                dedup_incremental_delta_stored(spark, SF_SMOKE, tbl).collect(),
             )
+        )
+        assert got == want
+
+        # (b) broadcast regime: the base probe has ZERO exchanges
+        probe = spark.table(tbl).join(
+            F.broadcast(delta_band_index(spark, SF_SMOKE)), ["band", "bh"]
+        )
+        plan = formatted_plan(probe)
+        assert has_broadcast_hash_join(plan), plan
+        assert n_shuffle_exchanges(plan) == 0, plan
+
+        # (c) SMJ regime: kill broadcast — only the delta side shuffles
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(tbl).join(
+            delta_band_index(spark, SF_SMOKE), ["band", "bh"]
         )
         plan = formatted_plan(joined)
         assert has_sort_merge_join(plan) or "ShuffledHashJoin" in plan, plan
@@ -633,7 +643,7 @@ def test_incremental_delta_bucketed_base_never_shuffles(spark, tmp_path):
         assert n_shuffle_exchanges(plan) == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
-        spark.sql("DROP TABLE IF EXISTS base_band_idx_t")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 def test_dedup_cluster_stats_rides_cluster_frame(spark):
