@@ -26,7 +26,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from argus_spark.datapipe.dedup import DIM, _as_double
+from argus_spark.datapipe.dedup import DIM, _as_double, _dot, _dot_sql
+from argus_spark.datapipe.whiten_params import WHITEN_W
 from argus_spark.session import load
 
 Q_LEVELS = 254.0  # codes span [-127, 127]
@@ -175,12 +176,66 @@ GROUP BY a.i, b.i
 """
 
 
+# --------------------------------------------------------------------------
+# PCA whitening projection — the registered consumer of the Gram matrix
+# --------------------------------------------------------------------------
+
+
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening projection of every corpus vector to W_DIM
+    uncorrelated unit-second-moment components w0..w15 — the
+    registered pipeline step the Gram matrix exists for (r11 verdict
+    #4): whiten before OPQ rotation fitting, before cosine bucketing,
+    or as the decorrelated input to downstream quality models.
+
+    The whitening matrix is FIT OFFLINE (scripts/fit_whiten.py: one
+    ``embedding_gram_matrix`` pass over the committed sf0.001 fit
+    shard + a 64×64 ``numpy.linalg.eigh`` on the driver — pure
+    control plane) and committed as literals (whiten_params.py), the
+    standard fit-on-a-sample / apply-at-scale pattern. Fit provenance
+    is pinned by tests/test_datapipe_units.py::TestWhitenFit, which
+    recomputes the fit from the Spark-side Gram operator.
+
+    100 TB shape: identical to ``embedding_project_rp`` — the literal
+    matrix rides the plan, so this is a pure scan→project MAP-ONLY
+    pass; zero shuffles (plan-gated). Cross-engine bit-exactness: same
+    literals + the same ordered left-fold dot in both engines."""
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    return e.select(
+        "vec_id",
+        *[
+            _dot(
+                F.col("v"), F.array(*[F.lit(x) for x in w])
+            ).alias(f"w{k}")
+            for k, w in enumerate(WHITEN_W)
+        ],
+    )
+
+
+def _whiten_row_sql(w: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in w) + "]"
+
+
+EMBEDDING_WHITEN_SQL = (
+    "SELECT vec_id, "
+    + ", ".join(
+        f"{_dot_sql('v', _whiten_row_sql(w))} AS w{k}"
+        for k, w in enumerate(WHITEN_W)
+    )
+    + " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_gram_matrix": embedding_gram_matrix,
+    "embedding_whiten": embedding_whiten,
 }
 
 ORACLES: dict[str, str] = {
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_INT8_SQL,
     "embedding_gram_matrix": EMBEDDING_GRAM_MATRIX_SQL,
+    "embedding_whiten": EMBEDDING_WHITEN_SQL,
 }

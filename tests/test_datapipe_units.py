@@ -1661,6 +1661,68 @@ class TestGramMatrix:
         assert proj_energy >= raw_energy
 
 
+class TestWhitenFit:
+    """embedding_whiten's committed literals (whiten_params.py) are
+    pinned to the fit pipeline they claim to come from."""
+
+    FIT_SF = "/root/testdata/sf0.001"
+
+    def _fit_module(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "fit_whiten",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "scripts", "fit_whiten.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_committed_literals_match_refit(self):
+        """Re-running the fit (Gram oracle SQL over the fit shard +
+        eigh + sign canonicalization + 6-decimal rounding) must
+        reproduce the committed literal matrix exactly — the committed
+        file can't drift from the pipeline that claims to generate it."""
+        from argus_spark.datapipe.whiten_params import W_DIM, WHITEN_W
+
+        w_rows, lam, n = self._fit_module().fit(self.FIT_SF)
+        assert len(WHITEN_W) == W_DIM == len(w_rows)
+        assert w_rows == WHITEN_W
+        # eigenvalues strictly positive and descending (sane fit)
+        assert all(a > b > 0 for a, b in zip(lam, lam[1:]))
+
+    def test_whitening_property_on_spark_gram(self, spark):
+        """W M Wᵀ ≈ I on the SPARK-side Gram of the fit corpus — the
+        defining property of a whitening matrix, checked against the
+        registered operator (not the fit script's own arithmetic)."""
+        import numpy as np
+
+        from argus_spark.datapipe.quantize import (
+            GRAM_FP,
+            embedding_gram_matrix,
+        )
+        from argus_spark.datapipe.whiten_params import W_DIM, WHITEN_W
+        from argus_spark.session import load
+
+        rows = embedding_gram_matrix(spark, self.FIT_SF).collect()
+        n = load(spark, self.FIT_SF, "embeddings").count()
+        d = 64
+        m = np.zeros((d, d))
+        for r in rows:
+            v = r.gram_fp / float(GRAM_FP)
+            m[r.i, r.j] = v
+            m[r.j, r.i] = v
+        m /= float(n)
+        w = np.array(WHITEN_W)
+        # 1e-6-rounded literals + the fixed-point Gram grid bound the
+        # off-identity residual well under 1e-3
+        assert np.allclose(w @ m @ w.T, np.eye(W_DIM), atol=1e-3)
+
+
 class TestRotationPlanner:
     """scripts/plan_rotation.py's pure core: stale-first ordering with
     changed-keys-jump-the-queue and never-covered (-1) most urgent."""

@@ -581,6 +581,20 @@ def test_embedding_gram_matrix_single_skinny_shuffle(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_embedding_whiten_map_only(spark):
+    """embedding_whiten: the fitted matrix rides the plan as literals,
+    so the projection is a pure scan→project pass — ZERO exchanges; a
+    shuffle here would mean the corpus moves for a map-side op."""
+    from argus_spark.datapipe.quantize import embedding_whiten
+
+    plan = formatted_plan(embedding_whiten(spark, SF_SMOKE))
+    assert n_shuffle_exchanges(plan) == 0, plan
+    assert "CartesianProduct" not in plan, plan
+    # column pruning: only vec_id + embedding read
+    cols = scan_columns(plan)
+    assert cols <= {"vec_id", "embedding"}, cols
+
+
 def test_incremental_delta_bucketed_base_never_shuffles(spark, tmp_path):
     """The stored-index claim, proven with the PRODUCTION functions
     (r11 verdict #3 — no longer an ad-hoc test-local table):
