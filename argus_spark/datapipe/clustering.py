@@ -347,12 +347,36 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     k·DIM assignment folds and the n²/k pair work both grow ~n^1.5;
     fixed per-job cost still amortizing at these sizes keeps the fit
     low)."""
+    a = _semantic_assigned(spark, sf_dir)
+    dominated = (
+        _semantic_dominance_pairs(a)
+        .select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a.join(dominated, "vec_id", "left_anti")
+        .select("vec_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+    )
+
+
+def _semantic_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cached, normed, cell-assigned corpus frame every SemDeDup
+    consumer shares (the keep query and the audit export)."""
     e, centroids, _ = kmeans_codebook(spark, sf_dir, k=None, iters=SEM_ITERS)
     # Cached: the assignment (k×DIM interpreted folds per row) feeds
     # BOTH sides of the in-cell self-join plus the final keep scan —
     # without the cache Catalyst recomputes it per branch (measured
     # ~11% of wall at sf0.1; the share grows with k).
-    a = scoped_cache(_assign(e, centroids).withColumn("nrm", norm(F.col("v"))))
+    return scoped_cache(
+        _assign(e, centroids).withColumn("nrm", norm(F.col("v")))
+    )
+
+
+def _semantic_dominance_pairs(a: DataFrame) -> DataFrame:
+    """(vec_a = dropped, vec_b = dominator) verified in-cell dominance
+    pairs — the SemDeDup pair frame. Factored out of ``dedup_semantic``
+    so the audit export (``embedding_audit_pairs``) provably rides the
+    exact pairs that drove the resolution."""
     lhs = a.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
         F.col("cluster_id").alias("cell"), F.col("sqdist").alias("da"),
@@ -363,7 +387,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("cell"), F.col("sqdist").alias("db"),
         F.col("nrm").alias("nb"),
     )
-    dominated = (
+    return (
         lhs.join(rhs, "cell")
         .filter(
             (F.col("db") > F.col("da"))
@@ -375,16 +399,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             >= SEM_TAU
         )
-        .select(F.col("vec_a").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        a.join(dominated, "vec_id", "left_anti")
-        .select("vec_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+        .select("vec_a", "vec_b")
     )
 
 
-def _dedup_semantic_sql(iters: int = SEM_ITERS) -> str:
+def _semantic_base_ctes(iters: int = SEM_ITERS) -> list[str]:
+    """The shared CTE chain (Lloyd fit → final assignment → normed
+    frame ``n``) both SemDeDup oracles build on."""
     # k derived inside the SQL by the same max(8, ceil(sqrt(n))) rule
     # as derived_k(), so Spark and the oracle always agree on the cell
     # count at any corpus size the driver points them at.
@@ -404,13 +425,21 @@ def _dedup_semantic_sql(iters: int = SEM_ITERS) -> str:
         "n AS (SELECT vec_id, v, cluster_id, sqdist, "
         f"{_norm_sql('v')} AS nrm FROM afin)"
     )
-    ctes.append(
-        f"""dominated AS (
-  SELECT DISTINCT a.vec_id
+    return ctes
+
+
+_SEM_DOMINANCE_JOIN = f"""
   FROM n a JOIN n b ON a.cluster_id = b.cluster_id
    AND (b.sqdist > a.sqdist
         OR (b.sqdist = a.sqdist AND b.vec_id < a.vec_id))
-  WHERE {_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm) >= {SEM_TAU}
+  WHERE {_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm) >= {SEM_TAU}"""
+
+
+def _dedup_semantic_sql(iters: int = SEM_ITERS) -> str:
+    ctes = _semantic_base_ctes(iters)
+    ctes.append(
+        f"""dominated AS (
+  SELECT DISTINCT a.vec_id{_SEM_DOMINANCE_JOIN}
 )"""
     )
     return (
@@ -425,12 +454,108 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dominated)"""
 DEDUP_SEMANTIC_SQL = _dedup_semantic_sql()
 
 
+# --------------------------------------------------------------------------
+# Vec-keyed embedding audit export — the dedup_audit_pairs companion
+# --------------------------------------------------------------------------
+
+
+def embedding_audit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side dedup PROVENANCE export (r11 verdict #5) — the
+    vec_id-keyed companion to ``dedup_audit_pairs``, covering the two
+    signals that table deliberately excludes (the embeddings schema
+    has no vec_id↔doc_id correspondence; see dedup.py audit
+    docstring): every vector pair flagged by EITHER embedding signal,
+    with which-signal booleans plus ``n_signals``:
+
+      sig_cosine   — banded hyperplane-LSH candidate verified at exact
+                     cosine ≥ 0.4 (``dedup_embedding_cosine``)
+      sig_semantic — SemDeDup in-cell dominance pair at cos ≥ SEM_TAU
+                     (the exact pair frame that drove
+                     ``dedup_semantic``'s drops, via the shared
+                     ``_semantic_dominance_pairs``)
+
+    Rows where the signals DISAGREE are the audit surface: a
+    semantic-only pair sits in the blind spot of the global LSH bands
+    (or below/above their τ), a cosine-only pair crossed a k-means
+    cell boundary SemDeDup never compares across. Pairs are
+    canonicalized to vec_a < vec_b (dominance direction is a property
+    of the resolution, not of the pair).
+
+    100 TB shape: pure composition — both inputs are skinny verified
+    pair frames that already exist as side outputs; the only new work
+    is one full-outer equi-join on the composite (vec_a, vec_b) key.
+    The corpus itself is never rescanned beyond what the two source
+    operators already do."""
+    from argus_spark.datapipe.dedup import dedup_embedding_cosine
+
+    cosp = (
+        dedup_embedding_cosine(spark, sf_dir)
+        .select("vec_a", "vec_b")  # already vec_a < vec_b
+        .distinct()
+        .withColumn("sig_cosine", F.lit(True))
+    )
+    semp = (
+        _semantic_dominance_pairs(_semantic_assigned(spark, sf_dir))
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+        )
+        .distinct()
+        .withColumn("sig_semantic", F.lit(True))
+    )
+    return (
+        cosp.join(semp, ["vec_a", "vec_b"], "full_outer")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.coalesce("sig_cosine", F.lit(False)).alias("sig_cosine"),
+            F.coalesce("sig_semantic", F.lit(False)).alias("sig_semantic"),
+            (
+                F.coalesce("sig_cosine", F.lit(False)).cast("long")
+                + F.coalesce("sig_semantic", F.lit(False)).cast("long")
+            ).alias("n_signals"),
+        )
+    )
+
+
+def _embedding_audit_pairs_sql() -> str:
+    from argus_spark.datapipe.dedup import DEDUP_EMBEDDING_COSINE_SQL
+
+    ctes = _semantic_base_ctes()
+    ctes.append(
+        f"""semp AS (
+  SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS vec_a,
+         GREATEST(a.vec_id, b.vec_id) AS vec_b{_SEM_DOMINANCE_JOIN}
+)"""
+    )
+    ctes.append(f"cosq AS ({DEDUP_EMBEDDING_COSINE_SQL})")
+    ctes.append("cosp AS (SELECT DISTINCT vec_a, vec_b FROM cosq)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT COALESCE(c.vec_a, s.vec_a) AS vec_a,
+       COALESCE(c.vec_b, s.vec_b) AS vec_b,
+       (c.vec_a IS NOT NULL) AS sig_cosine,
+       (s.vec_a IS NOT NULL) AS sig_semantic,
+       (c.vec_a IS NOT NULL)::BIGINT
+         + (s.vec_a IS NOT NULL)::BIGINT AS n_signals
+FROM cosp c FULL OUTER JOIN semp s
+  ON c.vec_a = s.vec_a AND c.vec_b = s.vec_b"""
+    )
+
+
+EMBEDDING_AUDIT_PAIRS_SQL = _embedding_audit_pairs_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_embeddings": kmeans_embeddings,
     "dedup_semantic": dedup_semantic,
+    "embedding_audit_pairs": embedding_audit_pairs,
 }
 
 ORACLES: dict[str, str] = {
     "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
+    "embedding_audit_pairs": EMBEDDING_AUDIT_PAIRS_SQL,
 }

@@ -129,6 +129,37 @@ def main() -> int:
         f"{r.tau_permille}→{r.recall:.3f}" for r in rec
     ))
 
+    # 3b. embedding-side audit (vec_id keys — the companion export the
+    # doc-keyed table deliberately excludes; r11 verdict #5) ---------------
+    eaudit = qs["embedding_audit_pairs"](spark, sf_dir)
+    ea = eaudit.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("sig_cosine") & ~F.col("sig_semantic"), 1)
+              .otherwise(0)).alias("cos_only"),
+        F.sum(F.when(F.col("sig_semantic") & ~F.col("sig_cosine"), 1)
+              .otherwise(0)).alias("sem_only"),
+        F.sum(F.when(F.col("sig_cosine") & F.col("sig_semantic"), 1)
+              .otherwise(0)).alias("both"),
+        F.min("n_signals").alias("min_sig"),
+        F.max("n_signals").alias("max_sig"),
+        F.sum(
+            F.when(
+                F.col("n_signals")
+                != F.col("sig_cosine").cast("long")
+                + F.col("sig_semantic").cast("long"),
+                1,
+            ).otherwise(0)
+        ).alias("n_inconsistent"),
+    ).first()
+    print("\n## Embedding-side near-dup audit (vec_id keys)")
+    print(
+        f"{ea.n_pairs} flagged vector pairs — corroborated by both "
+        f"signals: {ea.both}; cosine-LSH only: {ea.cos_only} (crossed a "
+        f"SemDeDup cell boundary or below its τ); SemDeDup only: "
+        f"{ea.sem_only} (in the global LSH bands' blind spot) — the "
+        "disagreement rows are the audit surface."
+    )
+
     # 4. contamination -----------------------------------------------------
     n_contam = qs["decontaminate_ngram_overlap"](spark, sf_dir).count()
     print(f"\n## Contamination\n{n_contam} docs share ≥1 benchmark 8-gram (flagged for removal).")
@@ -171,6 +202,10 @@ def main() -> int:
     recall_sane = all(0 <= r.n_caught <= r.n_true for r in rec)
     ok = (
         recall_sane
+        # embedding audit: a union row carries ≥1 signal by
+        # construction, and n_signals is exactly the flag sum
+        and ea.n_inconsistent == 0
+        and (ea.n_pairs == 0 or (ea.min_sig >= 1 and ea.max_sig <= 2))
         and
         not (keep_ids & drop_ids)
         and (keep_ids | drop_ids) == all_ids

@@ -581,6 +581,20 @@ def test_embedding_gram_matrix_single_skinny_shuffle(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_embedding_audit_pairs_is_composition(spark):
+    """embedding_audit_pairs: pure composition of two existing skinny
+    verified pair frames — the only NEW work is one full-outer
+    equi-join on (vec_a, vec_b). No cartesian, no nested loop anywhere
+    in the composed plan: a lost equi-condition on the audit join
+    would be quadratic in pair count, and a nested loop inside either
+    source would mean the composition broke the sources' own gates."""
+    from argus_spark.datapipe.clustering import embedding_audit_pairs
+
+    plan = formatted_plan(embedding_audit_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
 def test_embedding_whiten_map_only(spark):
     """embedding_whiten: the fitted matrix rides the plan as literals,
     so the projection is a pure scan→project pass — ZERO exchanges; a

@@ -242,6 +242,66 @@ def test_watermark_replay_batching_invariant(spark):
     assert set(contract.values()) == {1}
 
 
+def test_delta_dedup_replay_batch_cut_invariant(spark):
+    """streaming_delta_dedup_replay: the committed verified pair set
+    must be BIT-IDENTICAL under every perturbed micro-batch cut of the
+    arriving shard (the base index is fixed before arrival and delta
+    docs never probe each other, so each doc's verdict is a pure
+    function of (doc, stored index)) — and must equal the vs_base leg
+    of the BATCH incremental op verified at the same τ, tying the
+    streaming twin to dedup_incremental_delta's semantics."""
+    from pyspark.sql import functions as F
+
+    from argus_spark.datapipe.dedup import dedup_incremental_delta
+    from argus_spark.datapipe.hashing import words_col
+    from argus_spark.session import load
+    from argus_spark.streaming.replay import (
+        REPLAY_TAU,
+        _delta_dedup_replay_run,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(mfpt):
+        return sorted(
+            (r.delta_id, r.match_id)
+            for r in _delta_dedup_replay_run(spark, sf, mfpt).collect()
+        )
+
+    one, two, three = rows(1), rows(2), rows(3)
+    assert one == two == three
+    assert len(one) > 0  # the gate must actually see pairs
+
+    # batch-op tie: vs_base candidates verified at τ = the replay set
+    w = load(spark, sf, "documents", widen=True).select(
+        "doc_id", F.array_distinct(words_col()).alias("w")
+    )
+    cand = (
+        dedup_incremental_delta(spark, sf)
+        .filter(F.col("side") == "base")
+        .select("delta_id", "match_id")
+    )
+    i = F.size(F.array_intersect("wa", "wx"))
+    verified = (
+        cand.join(
+            w.select(F.col("doc_id").alias("delta_id"), F.col("w").alias("wa")),
+            "delta_id",
+        )
+        .join(
+            w.select(F.col("doc_id").alias("match_id"), F.col("w").alias("wx")),
+            "match_id",
+        )
+        .withColumn("i", i)
+        .filter(
+            F.col("i").cast("double")
+            / (F.size("wa") + F.size("wx") - F.col("i")).cast("double")
+            >= REPLAY_TAU
+        )
+    )
+    want = sorted((r.delta_id, r.match_id) for r in verified.collect())
+    assert one == want
+
+
 def test_sessionize_replay_matches_batch_and_is_batching_invariant(spark):
     """session_tracker drained over the real events table must equal
     the batch sessionize_events exactly, and the monotone-merge read
