@@ -54,80 +54,169 @@ def _modules():
 # older than one round. Keys absent from this list (future operators)
 # are appended in module order after the listed ones.
 #
-# Round-11 rotation (policy above). This round's window (9 + 37 + 4):
-#   tier 2 FIRST (9): heavy_hitter_tokens (exact side rewritten to a
-#     single corpus pass via ReuseExchange), dedup_repeated_spans
-#     (first-occurrence filter rewritten onto 64-bit span hashes), and
-#     the NEW dedup_audit_pairs + dedup_threshold_sweep +
-#     dedup_incremental_delta + token_budget_mixture +
-#     embedding_gram_matrix + dedup_cluster_stats + dedup_lsh_recall;
-#   tier 1 (37): the staleness=2 set from bench_full.json — every
-#     query whose latest driver row is r8 (two rounds old);
-#   tier 3 head (4): the oldest staleness=1 rows that still fit.
-# Deferred past the cap: the remaining r9/r10-fresh rows (one round
-# old, within the two-round cadence; they lead the r12 window) — incl.
-# the 6 tier-3 rows the new tier-2 entries displaced
-# (export_packed_shards, fluency_bigram, explode_ordinal,
-# broadcast_lookup, semi_join_exists, checkpoint_window), all covered
-# by this round's committed 141-query mirror sweep.
-# scripts/plan_rotation.py now computes this list mechanically for
-# r12+.
+# Round-12 rotation (policy above; window computed by
+# scripts/plan_rotation.py with this round's changed keys as tier 2).
+# This round's window (5 + 42 + 3):
+#   tier 2 FIRST (5): dedup_incremental_delta + dedup_semantic (both
+#     refactored to share frames with the new ops) and the NEW
+#     embedding_whiten + embedding_audit_pairs +
+#     streaming_delta_dedup_replay;
+#   tier 1 (42): the full staleness=2 set from bench_full.json — every
+#     query whose latest driver row is r9 (the r11-verdict #2 demand:
+#     after r12 nothing older than r10);
+#   tier 1 tail (3): the oldest staleness=1 rows that still fit
+#     (streaming_watermark_dedup_replay, lifecycle_multiroot_replay,
+#     lifecycle_compact_replay).
+# Deferred past the cap: the r10/r11-fresh rows (one round old, within
+# the two-round cadence), all covered by this round's committed
+# full-registry mirror sweep at both SFs.
 _PRIORITY = [
-    # -- tier 2: rewritten or new this round -----------------------------
-    "heavy_hitter_tokens", "dedup_repeated_spans", "dedup_audit_pairs",
-    "dedup_threshold_sweep", "dedup_incremental_delta",
-    "token_budget_mixture", "embedding_gram_matrix", "dedup_cluster_stats",
+    "dedup_incremental_delta",
+    "dedup_semantic",
+    "embedding_whiten",
+    "embedding_audit_pairs",
+    "streaming_delta_dedup_replay",
+    "export_packed_shards",
+    "fluency_bigram",
+    "explode_ordinal",
+    "broadcast_lookup",
+    "semi_join_exists",
+    "checkpoint_window",
+    "filter_project",
+    "text_normalize",
+    "repetition_ratio",
+    "multimodal_resize",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "pii_redact",
+    "sample_quality_deciles",
+    "doc_fingerprint",
+    "lang_id_ngram",
+    "token_count",
+    "tfidf_top_terms",
+    "ann_lsh_bucketed",
+    "cube_counts",
+    "grouping_sets_value",
+    "median_value_by_type",
+    "sliding_window_agg",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "pack_sequences",
+    "union_dedup_priority",
+    "group_sum_pricing",
+    "slot_arithmetic",
+    "topk_newest",
+    "json_extract",
+    "count_by_key",
+    "left_join_fillna",
+    "dedup_keep_first",
+    "duplicate_detect",
+    "latest_per_key",
+    "topk_serving",
+    "set_intersect",
+    "set_except",
+    "running_sum_frame",
+    "rollup_counts",
+    "pivot_status",
+    "streaming_watermark_dedup_replay",
+    "lifecycle_multiroot_replay",
+    "lifecycle_compact_replay",
+    # ---- window boundary ----------------------------------------
+    # (everything below rides prior-round evidence + the mirror sweep)
+    "streaming_lifecycle_replay",
+    "gopher_rules_filter",
+    "ann_ivf_pq_topk",
+    "ann_recall_at_k",
+    "lifecycle_crash_replay",
+    "streaming_sessionize_replay",
+    "streaming_funnel_replay",
+    "hex_canonical",
+    "prefix_display",
+    "string_funcs",
+    "stable_hash",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "approx_distinct_users",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "chunk_documents",
+    "ngram_counts",
+    "text_diversity",
+    "approx_quantiles_value",
+    "dedup_exact_substring",
+    "curate_quality_topk",
+    "ann_lsh_multiprobe",
+    "dedup_minhash_estimate",
+    "cohort_retention",
+    "embedding_quantize_int8",
+    "fluency_unigram",
+    "anti_join_not_exists",
+    "dsir_affinity",
+    "embedding_project_rp",
+    "user_path_transitions",
+    "decontaminate_minhash",
+    "winnow_fingerprints",
+    "multimodal_payload_dedup",
+    "corpus_stats_by_source",
+    "text_quality",
+    "agg_min_max",
+    "avg_by_key",
+    "min_safe_intersection",
+    "skew_salted_group_sum",
+    "skew_salted_join",
+    "asof_join_prior_view",
+    "range_join_pairs",
+    "sample_stratified",
+    "heavy_hitter_tokens",
+    "dedup_repeated_spans",
+    "dedup_audit_pairs",
+    "dedup_threshold_sweep",
+    "token_budget_mixture",
+    "embedding_gram_matrix",
+    "dedup_cluster_stats",
     "dedup_lsh_recall",
-    # -- tier 1: latest fresh driver row is round 8 (two rounds old) -----
-    "dataset_mixture", "ann_cosine_topk", "ann_ivf_topk",
-    "decontaminate_ngram_overlap", "kmeans_embeddings", "dedup_keep_list",
-    "funnel_conversion", "watched_balances", "balances_after_rollback",
-    "tx_flatten", "utxo_state", "utxo_spent", "utxo_unspent",
-    "streaming_minhash_replay", "streaming_first_wins_replay",
-    "curation_pipeline", "dedup_simhash", "winnow_overlap_pairs",
-    "decontaminate_containment", "ngram_novelty",
-    "dataset_mixture_temperature", "pack_efficiency_stats",
-    "weighted_sample_bernoulli", "boilerplate_chunk_removal",
-    "quality_classifier_hashed", "shipping_priority_topk",
-    "regional_revenue", "returned_item_losses", "source_token_overlap",
-    "sessionize_events", "ann_pq_adc_topk", "skew_detect_keys",
-    "user_state_diff", "cross_source_dup_matrix", "length_outlier_filter",
-    "source_centroid_similarity", "top_terms_by_source",
-    # -- tier 3 head: oldest one-round-old rows (10 fit the window) ------
-    "multimodal_phash_dedup", "lifecycle_reorg_replay",
-    "lifecycle_reorg_replay_sqltxn", "embedding_standardize",
-    # ---- 50-slot window boundary ----------------------------------------
-    # -- r9/r10-fresh rows (lead the r12 window) -------------------------
-    "export_packed_shards", "fluency_bigram", "explode_ordinal",
-    "broadcast_lookup", "semi_join_exists", "checkpoint_window",
-    "filter_project", "text_normalize", "repetition_ratio",
-    "multimodal_resize", "multimodal_meta", "multimodal_frame_sample",
-    "pii_redact", "sample_quality_deciles", "doc_fingerprint",
-    "lang_id_ngram", "token_count", "tfidf_top_terms", "ann_lsh_bucketed",
-    "cube_counts", "grouping_sets_value", "median_value_by_type",
-    "sliding_window_agg", "tumbling_window_agg", "session_window_agg",
-    "pack_sequences", "union_dedup_priority", "group_sum_pricing",
-    "slot_arithmetic", "topk_newest", "json_extract", "count_by_key",
-    "left_join_fillna", "dedup_keep_first", "duplicate_detect",
-    "latest_per_key", "topk_serving", "set_intersect", "set_except",
-    "running_sum_frame", "rollup_counts", "pivot_status",
-    "streaming_watermark_dedup_replay", "lifecycle_multiroot_replay",
-    "lifecycle_compact_replay", "streaming_lifecycle_replay",
-    "gopher_rules_filter", "ann_ivf_pq_topk", "ann_recall_at_k",
-    "lifecycle_crash_replay", "streaming_sessionize_replay",
-    "streaming_funnel_replay", "hex_canonical", "prefix_display",
-    "string_funcs", "stable_hash", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "approx_distinct_users", "dedup_embedding_cosine",
-    "dedup_clusters", "chunk_documents", "ngram_counts", "text_diversity",
-    "approx_quantiles_value", "dedup_exact_substring", "curate_quality_topk",
-    "ann_lsh_multiprobe", "dedup_minhash_estimate", "cohort_retention",
-    "embedding_quantize_int8", "fluency_unigram", "dedup_semantic",
-    "anti_join_not_exists", "dsir_affinity", "embedding_project_rp",
-    "user_path_transitions", "decontaminate_minhash", "winnow_fingerprints",
-    "multimodal_payload_dedup", "corpus_stats_by_source", "text_quality",
-    "agg_min_max", "avg_by_key", "min_safe_intersection",
-    "skew_salted_group_sum", "skew_salted_join", "asof_join_prior_view",
-    "range_join_pairs", "sample_stratified",
+    "dataset_mixture",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "decontaminate_ngram_overlap",
+    "kmeans_embeddings",
+    "dedup_keep_list",
+    "funnel_conversion",
+    "watched_balances",
+    "balances_after_rollback",
+    "tx_flatten",
+    "utxo_state",
+    "utxo_spent",
+    "utxo_unspent",
+    "streaming_minhash_replay",
+    "streaming_first_wins_replay",
+    "curation_pipeline",
+    "dedup_simhash",
+    "winnow_overlap_pairs",
+    "decontaminate_containment",
+    "ngram_novelty",
+    "dataset_mixture_temperature",
+    "pack_efficiency_stats",
+    "weighted_sample_bernoulli",
+    "boilerplate_chunk_removal",
+    "quality_classifier_hashed",
+    "shipping_priority_topk",
+    "regional_revenue",
+    "returned_item_losses",
+    "source_token_overlap",
+    "sessionize_events",
+    "ann_pq_adc_topk",
+    "skew_detect_keys",
+    "user_state_diff",
+    "cross_source_dup_matrix",
+    "length_outlier_filter",
+    "source_centroid_similarity",
+    "top_terms_by_source",
+    "multimodal_phash_dedup",
+    "lifecycle_reorg_replay",
+    "lifecycle_reorg_replay_sqltxn",
+    "embedding_standardize",
 ]
 
 
