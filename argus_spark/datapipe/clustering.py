@@ -485,16 +485,24 @@ def embedding_audit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair frames that already exist as side outputs; the only new work
     is one full-outer equi-join on the composite (vec_a, vec_b) key.
     The corpus itself is never rescanned beyond what the two source
-    operators already do."""
+    operators already do.
+
+    Each pair frame is scoped-cached BEFORE the join — not (only) for
+    reuse, but to pin plan quality: a cached frame executes its OWN
+    optimized plan (broadcast choices, AQE) when materialized, whereas
+    inlining both pipelines under the full-outer re-plans the cosine
+    verify joins as corpus-shuffling sort-merge joins (measured 4-8×
+    at the x10 scale point: audit 382 s cold vs 92 s for its parts;
+    with the caches the composition costs parts + ε)."""
     from argus_spark.datapipe.dedup import dedup_embedding_cosine
 
-    cosp = (
+    cosp = scoped_cache(
         dedup_embedding_cosine(spark, sf_dir)
         .select("vec_a", "vec_b")  # already vec_a < vec_b
         .distinct()
         .withColumn("sig_cosine", F.lit(True))
     )
-    semp = (
+    semp = scoped_cache(
         _semantic_dominance_pairs(_semantic_assigned(spark, sf_dir))
         .select(
             F.least("vec_a", "vec_b").alias("vec_a"),
