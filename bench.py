@@ -147,6 +147,25 @@ def _spark_probe_s(spark) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _scan_probe_s(spark) -> float:
+    """Fixed parquet-scan probe (warm): a full lineitem scan + one
+    aggregate at the bench SF. Added after the r12 finding that the
+    CPU probes read healthy while every SCAN-bound query sat 1.4-1.9×
+    above prior — the missing dimension is storage/page-cache/column-
+    decode throughput, which only a real parquet scan exercises."""
+    from pyspark.sql import functions as F
+
+    def job() -> None:
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).agg(
+            F.sum("l_quantity")
+        ).collect()
+
+    job()
+    t0 = time.perf_counter()
+    job()
+    return round(time.perf_counter() - t0, 4)
+
+
 def _calibration(spark) -> dict[str, float]:
     """Host-calibration probe (r11 verdict #1). Both workloads are
     FIXED — bit-identical across rounds — so a reader can attribute a
@@ -156,7 +175,8 @@ def _calibration(spark) -> dict[str, float]:
     session), plus a fresh spin inside every isolation re-run record
     so a confirmed_slow flag carries its own host evidence."""
     return {"python_spin_s": _python_spin_s(),
-            "spark_probe_s": _spark_probe_s(spark)}
+            "spark_probe_s": _spark_probe_s(spark),
+            "scan_probe_s": _scan_probe_s(spark)}
 
 
 def main() -> None:
@@ -565,8 +585,10 @@ def main() -> None:
         "cal": {
             "py0": cal_start["python_spin_s"],
             "sp0": cal_start["spark_probe_s"],
+            "sc0": cal_start["scan_probe_s"],
             "py1": cal_end["python_spin_s"],
             "sp1": cal_end["spark_probe_s"],
+            "sc1": cal_end["scan_probe_s"],
         },
         # r10 verdict: surface the isolation guard's verdict count in
         # the stdout line itself — a driver-side reader must see that
