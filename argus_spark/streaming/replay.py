@@ -700,7 +700,18 @@ def _delta_dedup_replay_run(
             )
             .select("delta_id", "match_id")
         )
-        verified.write.mode("append").parquet(res_dir)
+        # Idempotent under micro-batch retry (ADVICE r12): each epoch
+        # owns its partition and dynamic overwrite replaces ONLY that
+        # partition, so a redelivered epoch_id rewrites its own rows
+        # instead of appending duplicates — the canonical foreachBatch
+        # exactly-once-sink pattern.
+        (
+            verified.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(res_dir)
+        )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
