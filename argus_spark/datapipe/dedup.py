@@ -382,7 +382,8 @@ def write_base_band_index(
     spec, so even when the delta is too big to broadcast, the SMJ
     shuffles ONLY the delta side into the base's buckets — the base
     (the 100 TB side) never re-shuffles. Plan-gated in
-    tests/test_plan_quality.py::TestStoredBaseIndex."""
+    tests/test_plan_quality.py::
+    test_incremental_delta_bucketed_base_never_shuffles."""
     from argus_spark.operators.bucketed import write_bucketed
 
     write_bucketed(
@@ -1733,6 +1734,235 @@ DEDUP_EMBEDDING_COSINE_SQL = _ec_sql()
 
 
 # --------------------------------------------------------------------------
+# Embedding incremental delta — daily vector shard vs a STORED
+# hyperplane band index (the vector-side twin of
+# dedup_incremental_delta; r12 verdict #1)
+# --------------------------------------------------------------------------
+
+
+def _embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, nrm) projection of the embeddings table — the shared
+    input of the banding and the exact-cosine verify stages."""
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    return e.withColumn("nrm", norm(F.col("v")))
+
+
+def _embedding_bands(e: DataFrame) -> DataFrame:
+    """(vec_id, band, bval) hyperplane-LSH band rows — the same
+    EC_BANDS×4-bit sign-pattern banding ``dedup_embedding_cosine``
+    buckets on, factored so base and delta provably share it."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _ec_band_val(F.col("v"), b).alias("bval"),
+            )
+            for b in range(EC_BANDS)
+        ]
+    )
+    return e.select("vec_id", F.explode(bands).alias("b")).select(
+        "vec_id", F.col("b.band").alias("band"), F.col("b.bval").alias("bval")
+    )
+
+
+def embedding_base_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band rows of the BASE corpus (vec_id % DELTA_MOD != 0) — the
+    frame that, in production, is a stored bucketed table written once
+    per arriving shard (``write_embedding_band_index``)."""
+    return _embedding_bands(
+        _embedding_corpus(spark, sf_dir).filter(
+            F.col("vec_id") % DELTA_MOD != 0
+        )
+    )
+
+
+def embedding_delta_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band rows of the incoming delta shard (vec_id % DELTA_MOD == 0)
+    — always computed fresh; a daily shard is small."""
+    return _embedding_bands(
+        _embedding_corpus(spark, sf_dir).filter(
+            F.col("vec_id") % DELTA_MOD == 0
+        )
+    )
+
+
+def _embedding_delta_verified(
+    spark: SparkSession,
+    sf_dir: str,
+    base_bands: DataFrame,
+    delta_bands: DataFrame,
+) -> DataFrame:
+    """Candidates (delta×base with the delta BROADCAST — the base index
+    never shuffles — plus the tiny delta×delta self-join) verified by
+    exact cosine ≥ COS_TAU. Shared by the recompute path and the
+    stored-bucketed-index path so both provably run the same plan tail."""
+    vs_base = (
+        base_bands.alias("x")
+        .join(F.broadcast(delta_bands.alias("a")), ["band", "bval"])
+        .select(
+            F.col("a.vec_id").alias("delta_id"),
+            F.col("x.vec_id").alias("match_id"),
+            F.lit("base").alias("side"),
+        )
+    )
+    a, x = delta_bands.alias("a"), delta_bands.alias("x")
+    vs_delta = (
+        a.join(x, ["band", "bval"])
+        .filter(F.col("a.vec_id") < F.col("x.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("delta_id"),
+            F.col("x.vec_id").alias("match_id"),
+            F.lit("delta").alias("side"),
+        )
+    )
+    # candidate-frame materialization (see dedup_embedding_cosine): the
+    # verify stage consumes the skinny pair frame from two join
+    # branches; caching pins one candidate pass
+    cand = scoped_cache(vs_base.unionByName(vs_delta).distinct())
+    e = _embedding_corpus(spark, sf_dir)
+    va = e.select(
+        F.col("vec_id").alias("delta_id"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("match_id"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cand.join(va, "delta_id")
+        .join(vb, "match_id")
+        .withColumn(
+            "cos_sim",
+            cosine_prenorm(
+                _dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+            ),
+        )
+        .filter(F.col("cos_sim") >= COS_TAU)
+        .select("delta_id", "match_id", "side", "cos_sim")
+    )
+
+
+def embedding_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming EMBEDDING shard against an already-indexed
+    vector corpus WITHOUT re-processing the corpus — the vector-side
+    twin of ``dedup_incremental_delta`` (r12 verdict #1), completing
+    the daily-shard operational story for both dedup families. The
+    reference analogue is the same incremental epoch fold
+    (Argus.Sync ReducerGraphProcessor.cs:135-174 — each epoch folds
+    only NEW blocks into committed state); this is that contract at
+    corpus granularity for vectors.
+
+    Shape: the corpus splits deterministically into BASE (vec_id %
+    DELTA_MOD != 0 — its hyperplane band rows are, in production, a
+    STORED table bucketed on (band, bval), written once when each
+    shard was itself the delta; ``write_embedding_band_index``) and
+    DELTA (vec_id % DELTA_MOD == 0, the new shard). Only the delta's
+    band projections are computed fresh. Candidates:
+
+      * delta × base  — equi-join on (band, bval) with the delta side
+        BROADCAST (EC_BANDS rows/vector of ~24 bytes); the base index
+        NEVER shuffles — the whole point; when a drop is too big to
+        broadcast, the bucketed layout makes the SMJ shuffle ONLY the
+        delta (same plan gate as the token-shingle twin);
+      * delta × delta — the ordinary banded self-join, tiny by
+        definition.
+
+    Every candidate is then VERIFIED by exact cosine ≥ COS_TAU via an
+    id-keyed point join back to the vector table (at 100 TB: the
+    corpus bucketed by vec_id makes this a pruned point probe, the
+    utxo_point_probe pattern). Base × base pairs are never re-derived.
+    Output: one verified row per (delta vec, matched vec) with the
+    side it matched — 'base' = dup of already-kept content, 'delta' =
+    intra-shard dup.
+
+    Same semantics contract as ``dedup_embedding_cosine``: precision
+    1.0 (exact verify), recall = the banding probability; the oracle
+    mirrors the identical bands, so the driver's hash gate checks
+    cross-engine equivalence bit-exactly."""
+    return _embedding_delta_verified(
+        spark,
+        sf_dir,
+        embedding_base_band_index(spark, sf_dir),
+        embedding_delta_band_index(spark, sf_dir),
+    )
+
+
+def write_embedding_band_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    n_buckets: int = BASE_INDEX_BUCKETS,
+    path: str | None = None,
+) -> None:
+    """Persist the base embedding band index as a STORED table
+    bucketed+sorted on (band, bval) — the write-once half of the
+    vector-side incremental contract (the ``write_base_band_index``
+    machinery applied to hyperplane bands). Plan-gated in
+    tests/test_plan_quality.py::
+    test_embedding_delta_bucketed_base_never_shuffles."""
+    from argus_spark.operators.bucketed import write_bucketed
+
+    write_bucketed(
+        embedding_base_band_index(spark, sf_dir), table, ["band", "bval"],
+        n_buckets, path=path,
+    )
+
+
+def embedding_incremental_delta_stored(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """``embedding_incremental_delta`` probing the STORED bucketed band
+    index instead of recomputing base projections. Identical output to
+    the recompute path by construction (both run
+    ``_embedding_delta_verified``; band projections are per-row, so
+    stored-then-joined ≡ computed-then-joined)."""
+    return _embedding_delta_verified(
+        spark, sf_dir, spark.table(table),
+        embedding_delta_band_index(spark, sf_dir),
+    )
+
+
+def _embedding_incremental_delta_sql() -> str:
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {_ec_band_sql('v', b)} AS bval FROM n"
+        for b in range(EC_BANDS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, {_norm_sql('v')} AS nrm FROM e
+), bands AS (
+{band_selects}
+), delta_b AS (
+  SELECT * FROM bands WHERE vec_id % {DELTA_MOD} = 0
+), base_b AS (
+  SELECT * FROM bands WHERE vec_id % {DELTA_MOD} <> 0
+), cand AS (
+  SELECT DISTINCT a.vec_id AS delta_id, x.vec_id AS match_id,
+         'base' AS side
+  FROM delta_b a JOIN base_b x ON a.band = x.band AND a.bval = x.bval
+  UNION
+  SELECT DISTINCT a.vec_id AS delta_id, x.vec_id AS match_id,
+         'delta' AS side
+  FROM delta_b a JOIN delta_b x
+    ON a.band = x.band AND a.bval = x.bval AND a.vec_id < x.vec_id
+)
+SELECT delta_id, match_id, side,
+       {_dot_sql('na.v', 'nb.v')} / (na.nrm * nb.nrm) AS cos_sim
+FROM cand
+JOIN n na ON cand.delta_id = na.vec_id
+JOIN n nb ON cand.match_id = nb.vec_id
+WHERE {_dot_sql('na.v', 'nb.v')} / (na.nrm * nb.nrm) >= {COS_TAU}
+"""
+
+
+EMBEDDING_INCREMENTAL_DELTA_SQL = _embedding_incremental_delta_sql()
+
+
+# --------------------------------------------------------------------------
 # Exact-substring dedup (rolling window family)
 # --------------------------------------------------------------------------
 
@@ -1824,6 +2054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_audit_pairs": dedup_audit_pairs,
     "decontaminate_minhash": decontaminate_minhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "embedding_incremental_delta": embedding_incremental_delta,
 }
 
 ORACLES: dict[str, str] = {
@@ -1843,4 +2074,5 @@ ORACLES: dict[str, str] = {
     "dedup_audit_pairs": DEDUP_AUDIT_PAIRS_SQL,
     "decontaminate_minhash": DECONTAMINATE_MINHASH_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
+    "embedding_incremental_delta": EMBEDDING_INCREMENTAL_DELTA_SQL,
 }

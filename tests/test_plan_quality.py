@@ -525,6 +525,19 @@ def test_ann_recall_matrix_no_cartesian_beyond_tag_frame(spark):
     assert has_partial_aggregation(plan), plan
 
 
+def test_ann_whitened_recall_no_cartesian_beyond_tag_frame(spark):
+    """ann_whitened_recall: same contract as the main recall matrix —
+    the only nested loop allowed is the 2-row variant-tag broadcast;
+    both LSH sides stay broadcast equi-joins on their bucket columns
+    (the whitening matrix rides the plan as literals, map-side)."""
+    from argus_spark.datapipe.similarity import ann_whitened_recall
+
+    plan = formatted_plan(ann_whitened_recall(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert has_partial_aggregation(plan), plan
+    assert has_broadcast_hash_join(plan), plan
+
+
 def test_dedup_audit_pairs_no_cartesian_no_nlj(spark):
     """dedup_audit_pairs: pure composition — cluster frame × signal
     pair frames on (kept_id, doc_id) equi-joins + two doc_id joins for
@@ -672,6 +685,82 @@ def test_incremental_delta_bucketed_base_never_shuffles(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_embedding_delta_bucketed_base_never_shuffles(spark, tmp_path):
+    """The vector-side stored-index claim (r12 verdict #1), proven with
+    the production functions: ``write_embedding_band_index`` persists
+    the base hyperplane band index bucketed+sorted on (band, bval);
+    the stored-probe path must (a) return EXACTLY the recompute path's
+    rows, (b) broadcast the delta with zero shuffles on the base probe,
+    and (c) in the NON-broadcast regime shuffle ONLY the delta side —
+    the bucketed base scan feeds the SMJ without an Exchange. Same
+    contract as test_incremental_delta_bucketed_base_never_shuffles,
+    for the embedding family."""
+    from pyspark.sql import functions as F
+
+    from argus_spark.datapipe.dedup import (
+        embedding_delta_band_index,
+        embedding_incremental_delta,
+        embedding_incremental_delta_stored,
+        write_embedding_band_index,
+    )
+
+    tbl = "emb_band_idx_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_embedding_band_index(
+        spark, SF_SMOKE, tbl, n_buckets=8,
+        path=str(tmp_path / "emb_band_idx"),
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # (a) identical output: stored-then-joined ≡ computed-then-joined
+        want = sorted(
+            map(tuple, embedding_incremental_delta(spark, SF_SMOKE).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                embedding_incremental_delta_stored(
+                    spark, SF_SMOKE, tbl
+                ).collect(),
+            )
+        )
+        assert got == want and len(want) > 0
+
+        # (b) broadcast regime: the base probe has ZERO exchanges
+        probe = spark.table(tbl).join(
+            F.broadcast(embedding_delta_band_index(spark, SF_SMOKE)),
+            ["band", "bval"],
+        )
+        plan = formatted_plan(probe)
+        assert has_broadcast_hash_join(plan), plan
+        assert n_shuffle_exchanges(plan) == 0, plan
+
+        # (c) SMJ regime: kill broadcast — only the delta side shuffles
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(tbl).join(
+            embedding_delta_band_index(spark, SF_SMOKE), ["band", "bval"]
+        )
+        plan = formatted_plan(joined)
+        assert has_sort_merge_join(plan) or "ShuffledHashJoin" in plan, plan
+        assert n_shuffle_exchanges(plan) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_embedding_incremental_delta_broadcasts_delta(spark):
+    """embedding_incremental_delta (recompute form): the delta probe is
+    a BroadcastHashJoin (base side never shuffles for candidate
+    generation) and nothing in the plan is cartesian/NLJ — the same
+    gate family as dedup_incremental_delta, vector edition."""
+    from argus_spark.datapipe.dedup import embedding_incremental_delta
+
+    plan = formatted_plan(embedding_incremental_delta(spark, SF_SMOKE))
+    assert has_broadcast_hash_join(plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
 
 
 def test_dedup_cluster_stats_rides_cluster_frame(spark):
