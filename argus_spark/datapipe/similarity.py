@@ -982,6 +982,177 @@ WHERE source_a < source_b
 """
 
 
+def _wbucket_col(v: F.Column) -> F.Column:
+    """8-bit sign pattern of the first 8 WHITENED components — PCA
+    hashing: whitening decorrelates the components and equalizes their
+    second moments, so each sign bit is near-balanced and the 2^8
+    buckets fill evenly (the reason ``embedding_whiten``'s docstring
+    sells 'whiten before cosine bucketing')."""
+    from argus_spark.datapipe.whiten_params import WHITEN_W
+
+    b = F.lit(0).cast("long")
+    for k in range(N_PLANES):
+        wk = _dot(v, F.array(*[F.lit(x) for x in WHITEN_W[k]]))
+        b = b + F.when(wk > 0, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return b
+
+
+def _wbucket_sql(v: str) -> str:
+    from argus_spark.datapipe.whiten_params import WHITEN_W
+
+    terms = []
+    for k in range(N_PLANES):
+        row = "[" + ", ".join(repr(x) for x in WHITEN_W[k]) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {DIM + 1}), "
+            f"i -> {v}[i] * ({row})[i])), (acc, t) -> acc + t)"
+        )
+        terms.append(
+            f"CASE WHEN {dot} > 0 THEN {1 << k}::BIGINT ELSE 0::BIGINT END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_lsh_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN over the WHITENED space: bucket = sign pattern
+    of whitened components w0..w7 (``_wbucket_col``); candidates from
+    the query's own bucket; ranking/verify stays RAW cosine so results
+    are directly comparable to ``ann_cosine_topk`` ground truth. Same
+    plan shape as ``ann_lsh_bucketed`` (map-side bucket column,
+    broadcast equi-join probe) — the whitening matrix rides the plan as
+    literals, exactly the ``embedding_whiten`` projection reused as a
+    hash."""
+    e = load(spark, sf_dir, "embeddings", widen=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    bucketed = e.withColumn("bucket", _wbucket_col(F.col("v"))).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "bucket",
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("n_id"), F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"), "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos_sim",
+            cosine_prenorm(_dot(F.col("qv"), F.col("nv")), F.col("qn"), F.col("nn")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= LSH_TOP_K)
+        .select("q_id", "n_id", "rnk", "cos_sim")
+    )
+
+
+def _ann_lsh_whitened_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, {_wbucket_sql('v')} AS bucket, {_norm_sql('v')} AS nrm FROM e
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket
+  FROM bucketed WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, c.vec_id AS n_id,
+         {_dot_sql('qv', 'c.v')} / (qn * c.nrm) AS cos_sim
+  FROM q JOIN bucketed c USING (bucket)
+  WHERE q.q_id <> c.vec_id
+)
+SELECT q_id, n_id, rnk, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, n_id) AS rnk
+  FROM scored
+) WHERE rnk <= {LSH_TOP_K}
+"""
+
+
+ANN_LSH_WHITENED_SQL = _ann_lsh_whitened_sql()
+
+
+def ann_whitened_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened-vs-raw LSH recall matrix (r12 verdict #3) — the
+    integration row that makes ``embedding_whiten`` a CONSUMED pipeline
+    step instead of a leaf: per query, recall@{LSH_TOP_K} against exact
+    raw-cosine truth for (a) the raw sign-pattern buckets
+    (``ann_lsh_bucketed``) and (b) the whitened-component sign buckets
+    (``ann_lsh_whitened``). The measurement a pipeline runs before
+    deciding whether to whiten ahead of bucketing; same harness shape
+    as ``ann_recall_at_k``."""
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= LSH_TOP_K)
+        .select("q_id", "n_id")
+    )
+    variants = {
+        "lsh_raw": ann_lsh_bucketed,
+        "lsh_whitened": ann_lsh_whitened,
+    }
+    approx = None
+    for tag, fn in variants.items():
+        a = fn(spark, sf_dir).select(
+            "q_id", "n_id", F.lit(tag).alias("variant"), F.lit(1).alias("hit")
+        )
+        approx = a if approx is None else approx.unionByName(a)
+    tags = spark.createDataFrame([(t,) for t in variants], "variant string")
+    base = exact.crossJoin(F.broadcast(tags))  # 2-row tag frame
+    return (
+        base.join(approx, ["q_id", "n_id", "variant"], "left")
+        .groupBy("variant", "q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "variant",
+            "q_id",
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_whitened_recall_sql() -> str:
+    return f"""
+WITH exact AS (
+  SELECT q_id, n_id FROM ({ANN_COSINE_TOPK_SQL}) WHERE rnk <= {LSH_TOP_K}
+), approx AS (
+  SELECT q_id, n_id, 'lsh_raw' AS variant, 1 AS hit
+  FROM ({ANN_LSH_BUCKETED_SQL})
+  UNION ALL
+  SELECT q_id, n_id, 'lsh_whitened' AS variant, 1 AS hit
+  FROM ({ANN_LSH_WHITENED_SQL})
+), base AS (
+  SELECT e.q_id, e.n_id, t.variant
+  FROM exact e CROSS JOIN (
+    SELECT * FROM (VALUES ('lsh_raw'), ('lsh_whitened')) AS v(variant)
+  ) t
+)
+SELECT b.variant, b.q_id,
+       count(*)::BIGINT AS n_exact,
+       CAST(sum(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
+       CAST(sum(COALESCE(a.hit, 0)) AS BIGINT)::DOUBLE
+         / count(*)::BIGINT::DOUBLE AS recall
+FROM base b
+LEFT JOIN approx a
+  ON b.q_id = a.q_id AND b.n_id = a.n_id AND b.variant = a.variant
+GROUP BY b.variant, b.q_id
+"""
+
+
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k matrix for every approximate ANN variant against exact
     brute-force cosine — the completeness critic for the approximate
@@ -1092,6 +1263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "source_centroid_similarity": source_centroid_similarity,
+    "ann_whitened_recall": ann_whitened_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -1105,4 +1277,5 @@ ORACLES: dict[str, str] = {
     "ann_pq_adc_topk": _ann_pq_adc_topk_sql(),
     "ann_ivf_pq_topk": _ann_ivf_pq_topk_sql(),
     "source_centroid_similarity": SOURCE_CENTROID_SIMILARITY_SQL,
+    "ann_whitened_recall": _ann_whitened_recall_sql(),
 }
