@@ -103,11 +103,66 @@ def _sqdist_sql(v: str, c: str) -> str:
     )
 
 
+# Two-level assignment dispatch (r12 verdict #4): below MIN_K the flat
+# scan always wins (the coarse stage is pure overhead); above it the
+# decision is GEOMETRY-ADAPTIVE — triangle-inequality pruning only
+# pays when the codebook has cluster structure. On an isotropic
+# codebook (this repo's synthetic bench corpus) cover radii overlap
+# every distance, the prune keeps ~100% of groups (measured: avg=min=
+# max=all at sf0.1, two-level 2-3× SLOWER), while a clustered codebook
+# prunes to O(1) groups and the per-vector cost drops from k·DIM to
+# ~√k·DIM (BENCH_SCALE.md assignment-cost rows). The dispatch
+# estimates the scanned fraction driver-side (O(k·g·DIM) numpy, the
+# centroids themselves as the query sample) and stages only when the
+# estimate clears the margin. Either path returns IDENTICAL rows, so
+# the chained-CTE oracles never need to know which ran.
+TWO_LEVEL_MIN_K = 20
+TWO_LEVEL_SCAN_FRAC = 0.7  # stage only if est. scan ≤ 70% of flat
+
+
+def _two_level_scan_frac(
+    centroids: list[tuple[int, list[float]]],
+    groups: list[tuple[list[float], float, list[tuple[int, list[float]]]]],
+) -> float:
+    """Estimated fraction of the flat scan a two-level pass would
+    touch: mean over the fine centroids (as a stand-in query sample —
+    they ARE corpus means, so they sample the data's geometry) of
+    (coarse probes + members of unpruned groups) / k. Driver-side
+    numpy, O(k·g·DIM) — control plane."""
+    import numpy as np
+
+    arr = np.array([cv for _, cv in centroids], dtype=np.float64)
+    gcs = np.array([gc for gc, _, _ in groups], dtype=np.float64)
+    rs = np.array([r for _, r, _ in groups], dtype=np.float64)
+    sizes = np.array([len(ms) for _, _, ms in groups], dtype=np.float64)
+    d = np.sqrt(((arr[:, None, :] - gcs[None, :, :]) ** 2).sum(-1))
+    ub = (d + rs).min(1)
+    kept = d - rs <= ub[:, None] + 1e-9
+    scanned = (kept * sizes).sum(1) + len(groups)
+    return float(scanned.mean()) / max(1, len(centroids))
+
+
 def _assign(e: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """Map-side nearest-centroid assignment: the codebook enters as a
-    literal array of structs, argmin via array_min over (dist, cid) —
-    ascending struct order breaks distance ties toward the smaller
-    cluster id."""
+    """Map-side nearest-centroid assignment — dispatches to the EXACT
+    two-level staged scan when the codebook is large AND its geometry
+    makes pruning effective (see the dispatch constants above), the
+    flat literal scan otherwise. Both paths return identical rows
+    (same ``_sqdist`` fold, same (d, cid) tie-break; equivalence is
+    pytest-pinned)."""
+    if len(centroids) >= TWO_LEVEL_MIN_K:
+        groups = _coarse_groups(centroids)
+        if _two_level_scan_frac(centroids, groups) <= TWO_LEVEL_SCAN_FRAC:
+            return _assign_two_level(e, centroids, groups=groups)
+    return _assign_flat(e, centroids)
+
+
+def _assign_flat(
+    e: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Flat map-side nearest-centroid assignment: the codebook enters
+    as a literal array of structs, argmin via array_min over
+    (dist, cid) — ascending struct order breaks distance ties toward
+    the smaller cluster id."""
     # ONE parsed SQL literal instead of k×DIM F.lit() calls: each lit
     # is a Py4J round-trip, and 512 of them per iteration measured as
     # the dominant fit cost at bench SFs; a single expr() string parses
@@ -128,6 +183,133 @@ def _assign(e: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame
         lambda c: F.struct(
             _sqdist(F.col("v"), c["cv"]).alias("d"), c["cid"].alias("cid")
         ),
+    )
+    best = F.array_min(scored)
+    return e.select(
+        "vec_id", "v", best["cid"].alias("cluster_id"), best["d"].alias("sqdist")
+    )
+
+
+def _coarse_groups(
+    centroids: list[tuple[int, list[float]]],
+) -> list[tuple[list[float], float, list[tuple[int, list[float]]]]]:
+    """Driver-side grouping of the fine centroids into g = ⌈√k⌉ coarse
+    cells (a tiny deterministic k-means over the k centroid vectors —
+    pure control plane: k×DIM floats) with per-group COVER RADII
+    r_g = max‖c − g‖ over members. The grouping is a pruning device
+    only — it never affects which fine centroid wins (see
+    ``_assign_two_level``), so its quality tunes speed, not output."""
+    import numpy as np
+
+    k = len(centroids)
+    g = max(1, math.ceil(math.sqrt(k)))
+    arr = np.array([cv for _, cv in centroids], dtype=np.float64)
+    # Deterministic farthest-point seeding (not first-g: a codebook
+    # ordered by cluster would put every seed inside ONE cluster and
+    # collapse the grouping — one giant group, radius ≈ the data
+    # diameter, pruning dead). Start at the first centroid, then
+    # repeatedly add the centroid farthest from the chosen set.
+    seed_idx = [0]
+    d_min = ((arr - arr[0]) ** 2).sum(-1)
+    for _ in range(g - 1):
+        nxt = int(d_min.argmax())
+        seed_idx.append(nxt)
+        d_min = np.minimum(d_min, ((arr - arr[nxt]) ** 2).sum(-1))
+    cc = arr[seed_idx].copy()
+    for _ in range(3):
+        d2 = ((arr[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
+        asg = d2.argmin(1)
+        for j in range(g):
+            if (asg == j).any():
+                cc[j] = arr[asg == j].mean(0)
+    d2 = ((arr[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
+    asg = d2.argmin(1)
+    groups = []
+    for j in range(g):
+        members = [centroids[i] for i in range(k) if asg[i] == j]
+        if not members:
+            continue  # empty cells carry no members — drop (the ub
+            # bound below is only valid over non-empty groups)
+        radius = float(np.sqrt(d2[asg == j, j].max()))
+        groups.append((list(map(float, cc[j])), radius, members))
+    return groups
+
+
+def _assign_two_level(
+    e: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    groups: list[
+        tuple[list[float], float, list[tuple[int, list[float]]]]
+    ] | None = None,
+) -> DataFrame:
+    """EXACT staged nearest-centroid assignment (r12 verdict #4): the
+    √n-cell SemDeDup codebook makes the flat scan O(k·DIM) per vector
+    — the silent scale cliff at 10⁹⁺ vectors. Stage the scan instead:
+
+      1. coarse: distance to the g = ⌈√k⌉ group centers (O(√k·DIM));
+      2. bound:  ub = min_g (d(v,g) + r_g) — some fine centroid within
+         ub exists by the triangle inequality;
+      3. prune:  groups with d(v,g) − r_g > ub cannot contain any
+         centroid at distance ≤ ub (again triangle inequality), so
+         only the surviving groups' members are scanned fine.
+
+    EXACTNESS: the true argmin c* has d(v,c*) ≤ ub, and every
+    centroid with d ≤ ub lives in a kept group, so the fine scan sees
+    c* — and every tie at the minimum distance — always. The fine
+    distance is the same ``_sqdist`` fold and the winner the same
+    (d, cid)-ascending ``array_min`` as the flat path, so the TWO
+    PATHS RETURN IDENTICAL ROWS (pytest-pinned equivalence; the
+    chained-CTE oracles stay valid unchanged). A 1e-9 slack on the
+    prune keeps float rounding from ever cutting the boundary group —
+    slack only ADMITS extra candidates, never drops one.
+
+    100 TB shape: everything is ONE map-side expression over a nested
+    literal codebook (groups → members) — no shuffle, no UDF; the
+    per-vector cost drops from k·DIM folds to (√k + kept·k/g)·DIM
+    WHEN the codebook geometry lets the prune bite (the dispatcher
+    measures that before choosing this path — see
+    ``_two_level_scan_frac``)."""
+    if groups is None:
+        groups = _coarse_groups(centroids)
+    gb = F.expr(
+        "array("
+        + ", ".join(
+            "named_struct('gc', array({gc}), 'r', {r!r}D, 'ms', array({ms}))".format(
+                gc=", ".join(f"{float(x)!r}D" for x in gc),
+                r=float(r),
+                ms=", ".join(
+                    "named_struct('cid', {cid}, 'cv', array({vs}))".format(
+                        cid=int(cid),
+                        vs=", ".join(f"{float(x)!r}D" for x in cv),
+                    )
+                    for cid, cv in members
+                ),
+            )
+            for gc, r, members in groups
+        )
+        + ")"
+    )
+    coarse = F.transform(
+        gb,
+        lambda grp: F.struct(
+            F.sqrt(_sqdist(F.col("v"), grp["gc"])).alias("dg"),
+            grp["r"].alias("r"),
+            grp["ms"].alias("ms"),
+        ),
+    )
+    ub = F.array_min(F.transform(coarse, lambda x: x["dg"] + x["r"]))
+    kept = F.filter(coarse, lambda x: x["dg"] - x["r"] <= ub + F.lit(1e-9))
+    scored = F.flatten(
+        F.transform(
+            kept,
+            lambda x: F.transform(
+                x["ms"],
+                lambda c: F.struct(
+                    _sqdist(F.col("v"), c["cv"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            ),
+        )
     )
     best = F.array_min(scored)
     return e.select(
