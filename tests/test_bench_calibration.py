@@ -1,0 +1,85 @@
+"""Calibration-normalized confirmed_slow guard (r12 verdict #2).
+
+The r10/r11/r12 rounds each spent adjudication effort separating
+host-generation drift from code regressions; the probes (bench.py
+``_calibration``) made that attribution mechanical, and these tests pin
+the step that CLOSES it: the flag logic itself normalizes by the probe
+ratio, so a drifted host produces zero false flags while a real code
+regression — which moves a query without moving the fixed probes —
+still fires. Scenario numbers below are the actual r12 artifact's
+(cal sp0 0.209 vs builder-run 0.117 ≈ 1.8×; all 11 flags at a uniform
+1.9-2.1× prior)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _host_ratio, _is_slow_vs_prior
+
+# the r11-committed cal block shape (prior round, healthy host)
+PRIOR_CAL = {"py0": 0.150, "sp0": 0.117, "sc0": 0.123,
+             "py1": 0.152, "sp1": 0.118, "sc1": 0.125}
+
+
+class TestHostRatio:
+    def test_healthy_host_ratio_near_one(self):
+        cur = {"python_spin_s": 0.151, "spark_probe_s": 0.117,
+               "scan_probe_s": 0.124}
+        assert abs(_host_ratio(cur, PRIOR_CAL) - 1.0) < 0.05
+
+    def test_degraded_host_ratio_tracks_probes(self):
+        # the r12 driver artifact's start-of-sweep state: ~1.8-2.0×
+        cur = {"python_spin_s": 0.290, "spark_probe_s": 0.209,
+               "scan_probe_s": 0.247}
+        r = _host_ratio(cur, PRIOR_CAL)
+        assert 1.7 <= r <= 2.1, r
+
+    def test_no_prior_cal_means_unit_ratio(self):
+        cur = {"python_spin_s": 0.3, "spark_probe_s": 0.3,
+               "scan_probe_s": 0.3}
+        assert _host_ratio(cur, None) == 1.0
+        assert _host_ratio(cur, {}) == 1.0
+
+    def test_median_over_probes_resists_one_outlier(self):
+        # one probe wildly off (e.g. a page-cache-cold scan) must not
+        # swing the normalization: median of {1.0, 1.0, 5.0} = 1.0
+        cur = {"python_spin_s": 0.151, "spark_probe_s": 0.117,
+               "scan_probe_s": 0.615}
+        assert _host_ratio(cur, PRIOR_CAL) < 1.1
+
+    def test_prior_best_uses_min_of_start_end(self):
+        # prior round started degraded and recovered (the r12 shape):
+        # its best host state (the *1 values) is the honest base
+        pri = {"py0": 0.30, "sp0": 0.21, "sc0": 0.25,
+               "py1": 0.15, "sp1": 0.117, "sc1": 0.123}
+        cur = {"python_spin_s": 0.15, "spark_probe_s": 0.117,
+               "scan_probe_s": 0.123}
+        assert abs(_host_ratio(cur, pri) - 1.0) < 0.05
+
+
+class TestNormalizedFlag:
+    def test_drifted_host_produces_zero_flags(self):
+        # the r12 scenario: every wall at ~2× prior, probes also at 2×
+        # → normalized threshold 1.5 × prior × 2 = 3× prior → no flag
+        for prior in (0.5, 1.7, 6.67):
+            assert not _is_slow_vs_prior(2.0 * prior, prior, 2.0)
+
+    def test_real_regression_still_fires_on_drifted_host(self):
+        # a genuine 4× code regression on the same 2×-drifted host
+        # exceeds even the normalized threshold
+        assert _is_slow_vs_prior(4.0 * 1.7, 1.7, 2.0)
+
+    def test_real_regression_fires_on_healthy_host(self):
+        assert _is_slow_vs_prior(2.0 * 1.7, 1.7, 1.0)
+
+    def test_faster_host_cannot_manufacture_flags(self):
+        # host 2× FASTER (ratio 0.5), wall unchanged vs prior: the
+        # floor at 1.0 keeps the threshold at 1.5× prior → no flag
+        assert not _is_slow_vs_prior(1.2 * 1.7, 1.7, 0.5)
+
+    def test_no_prior_never_flags(self):
+        assert not _is_slow_vs_prior(100.0, None, 1.0)
+        assert not _is_slow_vs_prior(100.0, 0.0, 1.0)
