@@ -41,41 +41,145 @@ def _modules():
 
 # The correctness harness checks exactly the first 50 registry entries,
 # so registration order is coverage policy. STANDING PER-ROUND POLICY
-# (adopted r6, confirmed by the r6 verdict): rotate stale-first every
-# round —
-#   tier 1: queries whose latest fresh driver row is OLDEST (they hit
-#           two-rounds-stale if skipped again);
-#   tier 2: queries CHANGED or NEW this round (their old evidence no
-#           longer covers the current code);
-#   tier 3: queries with a fresh green row from the previous round
-#           (these may fall past the 50 cap and ride that evidence —
-#           one round stale, max).
-# After each round, no registered query's latest driver row should be
-# older than one round. Keys absent from this list (future operators)
-# are appended in module order after the listed ones.
+# (adopted r6; cadence re-based r13 per the r12 verdict #3/#6): rotate
+# stale-first every round —
+#   tier 2 FIRST: queries CHANGED or NEW this round (their old
+#           evidence no longer covers the current code);
+#   tier 1: queries whose latest fresh driver row is OLDEST;
+#   tier 3: everything else in registry order (freshest evidence,
+#           rides past the cap).
+# STANDING CADENCE CONTRACT (r12 verdict #6 — the honest arithmetic):
+# at 146 registered queries and a 50-slot driver window, a full
+# rotation takes THREE rounds ({0:50, 1:~50, 2:~46} staleness is the
+# steady state; the old two-round promise died when the registry
+# outgrew 100 keys). The contract is therefore:
+#   * no registered query's latest green driver row is ever older
+#     than TWO rounds (the tier-1 sort makes staleness-2 rows
+#     mandatory window entries), AND
+#   * every round commits a FULL-registry mirror sweep at BOTH sf0.001
+#     and sf0.01 (scripts/driver_mirror.py, same canon/hash semantics
+#     as the driver) — the sweep is a REQUIRED control covering the
+#     ~96 out-of-window keys, not a compensating nicety.
+# Keys absent from this list (future operators) are appended in module
+# order after the listed ones.
 #
-# Round-12 rotation (policy above; window computed by
-# scripts/plan_rotation.py with this round's changed keys as tier 2).
-# This round's window (5 + 42 + 3):
-#   tier 2 FIRST (5): dedup_incremental_delta + dedup_semantic (both
-#     refactored to share frames with the new ops) and the NEW
-#     embedding_whiten + embedding_audit_pairs +
-#     streaming_delta_dedup_replay;
-#   tier 1 (42): the full staleness=2 set from bench_full.json — every
-#     query whose latest driver row is r9 (the r11-verdict #2 demand:
-#     after r12 nothing older than r10);
-#   tier 1 tail (3): the oldest staleness=1 rows that still fit
-#     (streaming_watermark_dedup_replay, lifecycle_multiroot_replay,
-#     lifecycle_compact_replay).
-# Deferred past the cap: the r10/r11-fresh rows (one round old, within
-# the two-round cadence), all covered by this round's committed
-# full-registry mirror sweep at both SFs.
+# Round-13 rotation (window computed by scripts/plan_rotation.py with
+# this round's changed keys as tier 2). This round's window (6 + 44):
+#   tier 2 FIRST (6): the NEW embedding_incremental_delta +
+#     ann_whitened_recall, plus dedup_semantic + embedding_audit_pairs
+#     + kmeans_embeddings (assignment dispatcher → two-level staged
+#     scan this round) and streaming_delta_dedup_replay (epoch-
+#     idempotent sink);
+#   tier 1 (44): the full staleness=2 set from bench_full.json — every
+#     query whose latest driver row is r10 (after r13 nothing older
+#     than r11, honoring the contract above).
+# Deferred past the cap: the r11/r12-fresh rows (≤ 2 rounds old), all
+# covered by this round's committed full-registry mirror sweep at both
+# SFs.
 _PRIORITY = [
-    "dedup_incremental_delta",
+    "embedding_incremental_delta",
+    "ann_whitened_recall",
     "dedup_semantic",
-    "embedding_whiten",
     "embedding_audit_pairs",
+    "kmeans_embeddings",
     "streaming_delta_dedup_replay",
+    "streaming_lifecycle_replay",
+    "gopher_rules_filter",
+    "ann_ivf_pq_topk",
+    "ann_recall_at_k",
+    "lifecycle_crash_replay",
+    "streaming_sessionize_replay",
+    "streaming_funnel_replay",
+    "hex_canonical",
+    "prefix_display",
+    "string_funcs",
+    "stable_hash",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "approx_distinct_users",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "chunk_documents",
+    "ngram_counts",
+    "text_diversity",
+    "approx_quantiles_value",
+    "dedup_exact_substring",
+    "curate_quality_topk",
+    "ann_lsh_multiprobe",
+    "dedup_minhash_estimate",
+    "cohort_retention",
+    "embedding_quantize_int8",
+    "fluency_unigram",
+    "anti_join_not_exists",
+    "dsir_affinity",
+    "embedding_project_rp",
+    "user_path_transitions",
+    "decontaminate_minhash",
+    "winnow_fingerprints",
+    "multimodal_payload_dedup",
+    "corpus_stats_by_source",
+    "text_quality",
+    "agg_min_max",
+    "avg_by_key",
+    "min_safe_intersection",
+    "skew_salted_group_sum",
+    "skew_salted_join",
+    "asof_join_prior_view",
+    "range_join_pairs",
+    # ---- window boundary ----------------------------------------
+    # (everything below rides prior-round evidence + the mirror sweep)
+    "sample_stratified",
+    "heavy_hitter_tokens",
+    "dedup_repeated_spans",
+    "dedup_audit_pairs",
+    "dedup_threshold_sweep",
+    "token_budget_mixture",
+    "embedding_gram_matrix",
+    "dedup_cluster_stats",
+    "dedup_lsh_recall",
+    "dataset_mixture",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "decontaminate_ngram_overlap",
+    "dedup_keep_list",
+    "funnel_conversion",
+    "watched_balances",
+    "balances_after_rollback",
+    "tx_flatten",
+    "utxo_state",
+    "utxo_spent",
+    "utxo_unspent",
+    "streaming_minhash_replay",
+    "streaming_first_wins_replay",
+    "curation_pipeline",
+    "dedup_simhash",
+    "winnow_overlap_pairs",
+    "decontaminate_containment",
+    "ngram_novelty",
+    "dataset_mixture_temperature",
+    "pack_efficiency_stats",
+    "weighted_sample_bernoulli",
+    "boilerplate_chunk_removal",
+    "quality_classifier_hashed",
+    "shipping_priority_topk",
+    "regional_revenue",
+    "returned_item_losses",
+    "source_token_overlap",
+    "sessionize_events",
+    "ann_pq_adc_topk",
+    "skew_detect_keys",
+    "user_state_diff",
+    "cross_source_dup_matrix",
+    "length_outlier_filter",
+    "source_centroid_similarity",
+    "top_terms_by_source",
+    "multimodal_phash_dedup",
+    "lifecycle_reorg_replay",
+    "lifecycle_reorg_replay_sqltxn",
+    "embedding_standardize",
+    "dedup_incremental_delta",
+    "embedding_whiten",
     "export_packed_shards",
     "fluency_bigram",
     "explode_ordinal",
@@ -121,102 +225,6 @@ _PRIORITY = [
     "streaming_watermark_dedup_replay",
     "lifecycle_multiroot_replay",
     "lifecycle_compact_replay",
-    # ---- window boundary ----------------------------------------
-    # (everything below rides prior-round evidence + the mirror sweep)
-    "streaming_lifecycle_replay",
-    "gopher_rules_filter",
-    "ann_ivf_pq_topk",
-    "ann_recall_at_k",
-    "lifecycle_crash_replay",
-    "streaming_sessionize_replay",
-    "streaming_funnel_replay",
-    "hex_canonical",
-    "prefix_display",
-    "string_funcs",
-    "stable_hash",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "approx_distinct_users",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "chunk_documents",
-    "ngram_counts",
-    "text_diversity",
-    "approx_quantiles_value",
-    "dedup_exact_substring",
-    "curate_quality_topk",
-    "ann_lsh_multiprobe",
-    "dedup_minhash_estimate",
-    "cohort_retention",
-    "embedding_quantize_int8",
-    "fluency_unigram",
-    "anti_join_not_exists",
-    "dsir_affinity",
-    "embedding_project_rp",
-    "user_path_transitions",
-    "decontaminate_minhash",
-    "winnow_fingerprints",
-    "multimodal_payload_dedup",
-    "corpus_stats_by_source",
-    "text_quality",
-    "agg_min_max",
-    "avg_by_key",
-    "min_safe_intersection",
-    "skew_salted_group_sum",
-    "skew_salted_join",
-    "asof_join_prior_view",
-    "range_join_pairs",
-    "sample_stratified",
-    "heavy_hitter_tokens",
-    "dedup_repeated_spans",
-    "dedup_audit_pairs",
-    "dedup_threshold_sweep",
-    "token_budget_mixture",
-    "embedding_gram_matrix",
-    "dedup_cluster_stats",
-    "dedup_lsh_recall",
-    "dataset_mixture",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "decontaminate_ngram_overlap",
-    "kmeans_embeddings",
-    "dedup_keep_list",
-    "funnel_conversion",
-    "watched_balances",
-    "balances_after_rollback",
-    "tx_flatten",
-    "utxo_state",
-    "utxo_spent",
-    "utxo_unspent",
-    "streaming_minhash_replay",
-    "streaming_first_wins_replay",
-    "curation_pipeline",
-    "dedup_simhash",
-    "winnow_overlap_pairs",
-    "decontaminate_containment",
-    "ngram_novelty",
-    "dataset_mixture_temperature",
-    "pack_efficiency_stats",
-    "weighted_sample_bernoulli",
-    "boilerplate_chunk_removal",
-    "quality_classifier_hashed",
-    "shipping_priority_topk",
-    "regional_revenue",
-    "returned_item_losses",
-    "source_token_overlap",
-    "sessionize_events",
-    "ann_pq_adc_topk",
-    "skew_detect_keys",
-    "user_state_diff",
-    "cross_source_dup_matrix",
-    "length_outlier_filter",
-    "source_centroid_similarity",
-    "top_terms_by_source",
-    "multimodal_phash_dedup",
-    "lifecycle_reorg_replay",
-    "lifecycle_reorg_replay_sqltxn",
-    "embedding_standardize",
 ]
 
 
