@@ -246,73 +246,95 @@ def _assign_two_level(
     √n-cell SemDeDup codebook makes the flat scan O(k·DIM) per vector
     — the silent scale cliff at 10⁹⁺ vectors. Stage the scan instead:
 
-      1. coarse: distance to the g = ⌈√k⌉ group centers (O(√k·DIM));
-      2. bound:  ub = min_g (d(v,g) + r_g) — some fine centroid within
-         ub exists by the triangle inequality;
-      3. prune:  groups with d(v,g) − r_g > ub cannot contain any
-         centroid at distance ≤ ub (again triangle inequality), so
-         only the surviving groups' members are scanned fine.
+      1. coarse: distance to the g = ⌈√k⌉ group centers (O(√k·DIM)),
+         ub = min_g (d(v,g) + r_g) — some fine centroid within ub
+         exists by the triangle inequality;
+      2. prune:  groups with d(v,g) − r_g > ub cannot contain any
+         centroid at distance ≤ ub (again triangle inequality);
+      3. fine:   scan ONLY the surviving groups' members.
 
-    EXACTNESS: the true argmin c* has d(v,c*) ≤ ub, and every
-    centroid with d ≤ ub lives in a kept group, so the fine scan sees
-    c* — and every tie at the minimum distance — always. The fine
-    distance is the same ``_sqdist`` fold and the winner the same
-    (d, cid)-ascending ``array_min`` as the flat path, so the TWO
+    EXACTNESS: the true argmin c* has d(v,c*) ≤ ub, and every centroid
+    with d ≤ ub lives in a kept group, so the fine scan sees c* — and
+    every tie at the minimum distance — always. The fine distance is
+    the same ``_sqdist`` fold and the winner the same (d, cid)-
+    ascending minimum as the flat path (``least`` over per-group
+    ``array_min``s — both lexicographic struct minima), so the TWO
     PATHS RETURN IDENTICAL ROWS (pytest-pinned equivalence; the
     chained-CTE oracles stay valid unchanged). A 1e-9 slack on the
     prune keeps float rounding from ever cutting the boundary group —
     slack only ADMITS extra candidates, never drops one.
 
-    100 TB shape: everything is ONE map-side expression over a nested
-    literal codebook (groups → members) — no shuffle, no UDF; the
-    per-vector cost drops from k·DIM folds to (√k + kept·k/g)·DIM
+    EXPRESSION SHAPE — measured, not guessed (r13): the obvious
+    HOF-lambda form (filter over an array of group structs carrying
+    their member arrays) is 3-4× SLOWER than flat at k=1024 even when
+    pruning keeps 6% of groups, for two reasons that matter to any
+    Catalyst expression this size: (a) a non-foldable outer expression
+    referenced inside a HOF lambda (ub inside the filter) is
+    RE-EVALUATED PER ELEMENT — O(g²·DIM) coarse work; (b) filter/
+    flatten over structs carrying member arrays copies those arrays
+    per row. This form avoids both: ub is materialized as a real
+    column in a LOWER projection (referenced g times above, so
+    CollapseProject's common-expression guard keeps it materialized —
+    one evaluation per row), and each group's members live in their
+    own foldable literal scanned behind a lazy CASE WHEN. Measured at
+    n=200k on the clustered family (scripts/bench_assign.py →
+    BENCH_SCALE.md r13 table): flat/staged = 1.21× at k=64 → 2.23× at
+    k=256 → 3.86× at k=1024 (scan_frac 0.27 → 0.06) — staged per-row
+    cost near-flat in k, exactly the claim. At small n the per-TASK
+    expression-init cost (~11 s for a k=1024 literal tree, BOTH paths)
+    dominates and the ratio is invisible — why the bench measures at
+    per-row-dominated n.
+
+    100 TB shape: two map-side projections, no shuffle, no UDF; the
+    per-vector cost drops from k·DIM folds to (2√k + kept·k/g)·DIM
     WHEN the codebook geometry lets the prune bite (the dispatcher
     measures that before choosing this path — see
     ``_two_level_scan_frac``)."""
     if groups is None:
         groups = _coarse_groups(centroids)
-    gb = F.expr(
-        "array("
-        + ", ".join(
-            "named_struct('gc', array({gc}), 'r', {r!r}D, 'ms', array({ms}))".format(
-                gc=", ".join(f"{float(x)!r}D" for x in gc),
-                r=float(r),
-                ms=", ".join(
-                    "named_struct('cid', {cid}, 'cv', array({vs}))".format(
-                        cid=int(cid),
-                        vs=", ".join(f"{float(x)!r}D" for x in cv),
-                    )
-                    for cid, cv in members
+    if len(groups) < 2:
+        return _assign_flat(e, centroids)  # nothing to prune
+    v = F.col("v")
+    gls = [
+        F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in gc) + ")")
+        for gc, _, _ in groups
+    ]
+
+    def dg(i: int) -> F.Column:
+        return F.sqrt(_sqdist(v, gls[i]))
+
+    ub = F.least(
+        *[dg(i) + F.lit(float(r)) for i, (_, r, _) in enumerate(groups)]
+    )
+    e2 = e.withColumn("__tl_ub", ub)
+    mins = []
+    for i, (_, r, ms) in enumerate(groups):
+        mlit = F.expr(
+            "array("
+            + ", ".join(
+                "named_struct('cid', {cid}, 'cv', array({vs}))".format(
+                    cid=int(cid), vs=", ".join(f"{float(x)!r}D" for x in cv)
+                )
+                for cid, cv in ms
+            )
+            + ")"
+        )
+        gmin = F.array_min(
+            F.transform(
+                mlit,
+                lambda c: F.struct(
+                    _sqdist(v, c["cv"]).alias("d"), c["cid"].alias("cid")
                 ),
             )
-            for gc, r, members in groups
         )
-        + ")"
-    )
-    coarse = F.transform(
-        gb,
-        lambda grp: F.struct(
-            F.sqrt(_sqdist(F.col("v"), grp["gc"])).alias("dg"),
-            grp["r"].alias("r"),
-            grp["ms"].alias("ms"),
-        ),
-    )
-    ub = F.array_min(F.transform(coarse, lambda x: x["dg"] + x["r"]))
-    kept = F.filter(coarse, lambda x: x["dg"] - x["r"] <= ub + F.lit(1e-9))
-    scored = F.flatten(
-        F.transform(
-            kept,
-            lambda x: F.transform(
-                x["ms"],
-                lambda c: F.struct(
-                    _sqdist(F.col("v"), c["cv"]).alias("d"),
-                    c["cid"].alias("cid"),
-                ),
-            ),
+        mins.append(
+            F.when(
+                dg(i) - F.lit(float(r)) <= F.col("__tl_ub") + F.lit(1e-9),
+                gmin,
+            )
         )
-    )
-    best = F.array_min(scored)
-    return e.select(
+    best = F.least(*mins)
+    return e2.select(
         "vec_id", "v", best["cid"].alias("cluster_id"), best["d"].alias("sqdist")
     )
 

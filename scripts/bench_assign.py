@@ -5,22 +5,33 @@ flat vs staged, on the geometry each is designed for.
 Family: n vectors fixed, codebook size k sweeps upward the way
 SemDeDup's k = ⌈√n⌉ rule grows it. Two corpora per k:
 
-  * CLUSTERED — k true Gaussian clusters (σ ≪ center separation),
-    codebook = the true centers: the converged-Lloyd geometry where
-    triangle-inequality pruning prunes to O(1) groups. The claim under
-    test: staged per-vector cost stays ~flat (√k coarse + O(k/g) fine)
-    while flat cost grows linearly in k.
+  * CLUSTERED — HIERARCHICAL centers: ⌈√k⌉ super-centers, k fine
+    centers tightly around them, data tightly around the fine centers;
+    codebook = the fine centers. This is the geometry where
+    triangle-inequality pruning prunes to O(1) groups — and the
+    honest model of production embeddings, whose centroids live on a
+    low-intrinsic-dimension manifold. (A flat draw of k isotropic
+    centers does NOT prune even when the DATA clusters tightly around
+    them: pruning depends on CODEBOOK structure, and 64-d isotropic
+    centers concentrate all pairwise distances — measured scan_frac
+    1.06 at k=256, i.e. the dispatcher correctly refuses to stage.)
+    The claim under test: staged per-vector cost stays ~flat
+    (√k coarse + O(k/g) fine) while flat cost grows linearly in k.
   * ISOTROPIC — same n/k but standard-normal vectors and codebook:
     the pruning-dead worst case (cover radii overlap everything).
     Honest contrast row: staged ≈ flat × overhead here, which is
     exactly why the dispatcher (`_two_level_scan_frac`) measures the
     geometry before choosing.
 
-Protocol: warm ×2 + min-of-2 timed noop-sink runs per cell; also
-records the dispatcher's estimated scan fraction per cell. Appends a
-section to BENCH_SCALE.md.
+Protocol: warm ×1 + min-of-2 timed noop-sink runs per cell; also
+records the dispatcher's estimated scan fraction per cell. n
+defaults to 200,000 — at small n BOTH paths are dominated by the
+per-TASK expression-init cost of a k·DIM literal tree (~12 s at
+k=1024, measured: walls flat from n=5k to n=20k), which buries the
+per-row asymptotics the measurement exists for. Appends a section
+to BENCH_SCALE.md.
 
-Usage: python scripts/bench_assign.py [n] [ks]   # default 20000  64,256,1024
+Usage: python scripts/bench_assign.py [n] [ks]   # default 200000  64,256,1024
 """
 
 from __future__ import annotations
@@ -41,7 +52,13 @@ def _corpus(kind: str, n: int, k: int, seed: int = 7):
     """Returns (vectors ndarray [n, DIM], codebook list[(cid, vec)])."""
     rng = np.random.default_rng(seed)
     if kind == "clustered":
-        centers = rng.standard_normal((k, DIM)) * 10.0
+        import math
+
+        g = max(1, math.ceil(math.sqrt(k)))
+        supers = rng.standard_normal((g, DIM)) * 20.0
+        centers = supers[rng.integers(0, g, size=k)] + (
+            rng.standard_normal((k, DIM)) * 0.5
+        )
         asg = rng.integers(0, k, size=n)
         vecs = centers[asg] + rng.standard_normal((n, DIM)) * 0.05
         cb = [(i, [float(x) for x in centers[i]]) for i in range(k)]
@@ -53,7 +70,7 @@ def _corpus(kind: str, n: int, k: int, seed: int = 7):
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     ks = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2
                            else "64,256,1024").split(",")]
 
@@ -71,7 +88,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     def _time(fn, e, cb, **kw) -> float:
-        for _ in range(2):
+        for _ in range(1):
             _run(fn(e, cb, **kw))
         walls = []
         for _ in range(2):
@@ -87,7 +104,7 @@ def main() -> None:
             pdf = pd.DataFrame(
                 {"vec_id": range(n), "v": [list(map(float, r)) for r in vecs]}
             )
-            e = spark.createDataFrame(pdf).cache()
+            e = spark.createDataFrame(pdf).repartition(32).cache()
             e.count()
             groups = _coarse_groups(cb)
             frac = round(_two_level_scan_frac(cb, groups), 3)
@@ -114,7 +131,10 @@ def main() -> None:
             "dispatcher's driver-side estimate (stage iff ≤ 0.7) — the "
             "isotropic rows are the honest pruning-dead contrast and "
             "the reason the dispatch is geometry-adaptive rather than "
-            "unconditional.\n\n"
+            "unconditional. Walls include a per-task expression-init "
+            "cost paid by BOTH paths (~12 s at k=1024 — the k·DIM "
+            "literal tree), amortized away at production rows-per-task; "
+            "per-row cost = (wall − init) / n.\n\n"
             "| corpus | k | est. scan_frac | flat wall s | staged wall s "
             "| flat/staged |\n|---|---|---|---|---|---|\n"
         )
