@@ -76,6 +76,11 @@ def _modules():
 # Deferred past the cap: the r11/r12-fresh rows (≤ 2 rounds old), all
 # covered by this round's committed full-registry mirror sweep at both
 # SFs.
+# Late r13 addition: streaming_embedding_delta_replay landed AFTER this
+# round's rotation was computed and sweeps ran — it auto-appends past
+# the window (registry order) and carries labeled subset mirror rows in
+# MIRROR_SWEEP_r13.json for its first-round green signal; r14's
+# rotation picks it up as tier 2.
 _PRIORITY = [
     "embedding_incremental_delta",
     "ann_whitened_recall",

@@ -300,7 +300,18 @@ def _watermark_replay_run(
     dd = dedup_within_watermark(stream, ["user_id"], "ts", "10 minutes")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(res_dir)
+        # Epoch-partitioned dynamic overwrite (same idempotence fix as
+        # the delta-dedup sink): the committed rows here are read back
+        # RAW — unlike the funnel/sessionize replays, whose monotone
+        # max/min merges absorb a duplicated batch — so a retried
+        # epoch must replace its own partition, not append a copy.
+        (
+            batch_df.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(res_dir)
+        )
 
     q = (
         dd.writeStream.foreachBatch(sink)
@@ -805,6 +816,216 @@ WHERE {jac} >= {REPLAY_TAU}
 """
 
 
+# --------------------------------------------------------------------------
+# Streaming twin of embedding_incremental_delta — daily VECTOR shard
+# --------------------------------------------------------------------------
+
+_ED_MFPT_CYCLE = (1, 2, 3)  # perturbed micro-batch cuts, one per run
+_ed_run_counter = [0]
+
+
+def _embedding_delta_replay_run(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int
+) -> DataFrame:
+    """One full readStream run of the vector-delta-vs-stored-band-index
+    probe; returns the committed verified (delta_id, match_id, cos_sim)
+    rows. Factored out so pytest can replay the SAME shard under every
+    perturbed cut and assert bit-identical results."""
+    import json as _json
+    import time as _time
+
+    from argus_spark.datapipe.dedup import (
+        COS_TAU,
+        DELTA_MOD,
+        _dot,
+        _embedding_bands,
+        _embedding_corpus,
+        cosine_prenorm,
+        embedding_base_band_index,
+        norm,
+    )
+
+    out = _state_dir(f"ed|{sf_dir}|{max_files_per_trigger}")
+    feed = os.path.join(out, "feed")
+    res_dir = os.path.join(out, "res")
+    base_idx = os.path.join(out, "base_bands")
+    base_vecs = os.path.join(out, "base_vecs")
+    os.makedirs(feed, exist_ok=True)
+
+    # The COMMITTED stored state — written once before the shard
+    # arrives: the hyperplane band index (in production:
+    # write_embedding_band_index's bucketed table) plus the corpus
+    # vector store the exact-cosine verify probes by id.
+    embedding_base_band_index(spark, sf_dir).write.mode("overwrite").parquet(
+        base_idx
+    )
+    (
+        _embedding_corpus(spark, sf_dir)
+        .filter(F.col("vec_id") % DELTA_MOD != 0)
+        .select(
+            F.col("vec_id").alias("match_id"), F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        .write.mode("overwrite")
+        .parquet(base_vecs)
+    )
+
+    # The incoming daily shard (vec_id % DELTA_MOD == 0), split into
+    # ordered feed files; the CUT between files is the perturbed
+    # variable. Vectors ride the feed as JSON doubles — repr-shortest
+    # emission + correctly-rounded parse is an exact round-trip, so
+    # the streamed doubles are bit-identical to the widened parquet
+    # values the oracle reads.
+    delta_rows = (
+        _embedding_corpus(spark, sf_dir)
+        .filter(F.col("vec_id") % DELTA_MOD == 0)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .collect()
+    )
+    now = _time.time()
+    per = max(1, -(-len(delta_rows) // N_DELTA_FEED_FILES))
+    for k in range(N_DELTA_FEED_FILES):
+        chunk = delta_rows[k * per : (k + 1) * per]
+        _write_feed(
+            feed,
+            k,
+            [
+                _json.dumps({"vec_id": r.vec_id, "v": list(r.v)})
+                for r in chunk
+            ],
+            now + 10 * k,
+        )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.select("vec_id", "v").dropDuplicates(["vec_id"])
+        eb = _embedding_bands(b)
+        stored = spark.read.parquet(base_idx)
+        # batch side BROADCAST onto the stored index — the base never
+        # shuffles (the embedding_incremental_delta 100 TB shape, live)
+        cand = (
+            stored.alias("x")
+            .join(F.broadcast(eb.alias("a")), ["band", "bval"])
+            .select(
+                F.col("a.vec_id").alias("delta_id"),
+                F.col("x.vec_id").alias("match_id"),
+            )
+            .distinct()
+        )
+        va = b.select(
+            F.col("vec_id").alias("delta_id"), F.col("v").alias("va"),
+            norm(F.col("v")).alias("na"),
+        )
+        verified = (
+            cand.join(va, "delta_id")
+            .join(spark.read.parquet(base_vecs), "match_id")
+            .withColumn(
+                "cos_sim",
+                cosine_prenorm(
+                    _dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+                ),
+            )
+            .filter(F.col("cos_sim") >= COS_TAU)
+            .select("delta_id", "match_id", "cos_sim")
+        )
+        # epoch-partitioned dynamic overwrite: retried micro-batches
+        # replace their own rows (same idempotence contract as the
+        # token-shingle twin's sink)
+        (
+            verified.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(res_dir)
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(out, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(res_dir).select(
+        "delta_id", "match_id", "cos_sim"
+    )
+
+
+def streaming_embedding_delta_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily VECTOR-shard dedup as a REAL stream — the embedding twin
+    of ``streaming_delta_dedup_replay``, completing the live half of
+    the vector-side incremental story (``embedding_incremental_delta``
+    is the batch half; together they mirror the token-shingle pair).
+    The delta shard (vec_id % DELTA_MOD == 0) arrives through
+    readStream in micro-batches; each batch is banded fresh, BROADCAST
+    onto the committed hyperplane band index, and every candidate is
+    verified by exact cosine ≥ COS_TAU against the committed corpus
+    vector store (id-keyed point join). Emitted rows are the
+    operational drop list: (delta vec, stored vec, cos_sim).
+
+    BATCH-CUT INVARIANCE, by construction and perturbed every run:
+    the stored state is fixed before arrival and delta vectors never
+    probe each other (intra-shard pairs are the batch op's
+    ``vs_delta`` leg), so each vector's verdict is a pure function of
+    (vector, stored state) — ANY micro-batching commits the identical
+    pair set. Each construction cycles maxFilesPerTrigger through
+    {1, 2, 3}; pytest asserts all three cuts bit-equal and equal to
+    the batch op's verified 'base'-side leg.
+
+    100 TB shape: per-batch work ∝ shard size, never corpus; the base
+    index and vector store are read-only point probes (bucketed by
+    (band, bval) / vec_id in production)."""
+    mfpt = _ED_MFPT_CYCLE[_ed_run_counter[0] % len(_ED_MFPT_CYCLE)]
+    _ed_run_counter[0] += 1
+    return _embedding_delta_replay_run(spark, sf_dir, mfpt)
+
+
+def _streaming_embedding_delta_replay_sql() -> str:
+    """One-shot oracle: the 'base' side of the batch op's verified
+    output — banded delta×base candidates at exact cosine ≥ τ;
+    batching cannot appear in the answer, which is the invariance
+    claim expressed as SQL."""
+    from argus_spark.datapipe.dedup import (
+        COS_TAU,
+        DELTA_MOD,
+        EC_BANDS,
+        _dot_sql,
+        _ec_band_sql,
+        _norm_sql,
+    )
+
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {_ec_band_sql('v', b)} AS bval FROM n"
+        for b in range(EC_BANDS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, {_norm_sql('v')} AS nrm FROM e
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS delta_id, x.vec_id AS match_id
+  FROM bands a JOIN bands x ON a.band = x.band AND a.bval = x.bval
+  WHERE a.vec_id % {DELTA_MOD} = 0 AND x.vec_id % {DELTA_MOD} <> 0
+)
+SELECT delta_id, match_id,
+       {_dot_sql('na.v', 'nb.v')} / (na.nrm * nb.nrm) AS cos_sim
+FROM cand
+JOIN n na ON cand.delta_id = na.vec_id
+JOIN n nb ON cand.match_id = nb.vec_id
+WHERE {_dot_sql('na.v', 'nb.v')} / (na.nrm * nb.nrm) >= {COS_TAU}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_minhash_replay": streaming_minhash_replay,
     "streaming_first_wins_replay": streaming_first_wins_replay,
@@ -812,10 +1033,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_funnel_replay": streaming_funnel_replay,
     "streaming_sessionize_replay": streaming_sessionize_replay,
     "streaming_delta_dedup_replay": streaming_delta_dedup_replay,
+    "streaming_embedding_delta_replay": streaming_embedding_delta_replay,
 }
 
 ORACLES: dict[str, str] = {
     "streaming_delta_dedup_replay": _streaming_delta_dedup_replay_sql(),
+    "streaming_embedding_delta_replay": _streaming_embedding_delta_replay_sql(),
     "streaming_minhash_replay": _streaming_minhash_replay_sql(),
     "streaming_first_wins_replay": STREAMING_FIRST_WINS_REPLAY_SQL,
     "streaming_watermark_dedup_replay": STREAMING_WATERMARK_DEDUP_REPLAY_SQL,

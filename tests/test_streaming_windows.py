@@ -747,3 +747,38 @@ def test_session_fold_cut_invariant_matches_closed_form(ts, cuts, gap):
             )
         lo = b
     assert merged == ref
+
+
+def test_embedding_delta_replay_batch_cut_invariant(spark):
+    """streaming_embedding_delta_replay: the committed verified pair
+    set must be BIT-IDENTICAL (including cos_sim doubles — the JSON
+    feed round-trip is exact) under every perturbed micro-batch cut,
+    and must equal the 'base'-side leg of the BATCH incremental op —
+    tying the streaming twin to embedding_incremental_delta's
+    semantics the same way the token-shingle pair is tied."""
+    from pyspark.sql import functions as F
+
+    from argus_spark.datapipe.dedup import embedding_incremental_delta
+    from argus_spark.streaming.replay import _embedding_delta_replay_run
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(mfpt):
+        return sorted(
+            (r.delta_id, r.match_id, r.cos_sim)
+            for r in _embedding_delta_replay_run(spark, sf, mfpt).collect()
+        )
+
+    one, two, three = rows(1), rows(2), rows(3)
+    assert one == two == three
+    assert len(one) > 0  # the gate must actually see pairs
+
+    # batch-op tie: the op's verified 'base' side = the replay set
+    batch = sorted(
+        (r.delta_id, r.match_id, r.cos_sim)
+        for r in embedding_incremental_delta(spark, sf)
+        .filter(F.col("side") == "base")
+        .select("delta_id", "match_id", "cos_sim")
+        .collect()
+    )
+    assert one == batch
