@@ -49,8 +49,8 @@ def _modules():
 #   tier 3: everything else in registry order (freshest evidence,
 #           rides past the cap).
 # STANDING CADENCE CONTRACT (r12 verdict #6 — the honest arithmetic):
-# at 146 registered queries and a 50-slot driver window, a full
-# rotation takes THREE rounds ({0:50, 1:~50, 2:~46} staleness is the
+# at 147 registered queries and a 50-slot driver window, a full
+# rotation takes THREE rounds ({0:50, 1:~50, 2:~47} staleness is the
 # steady state; the old two-round promise died when the registry
 # outgrew 100 keys). The contract is therefore:
 #   * no registered query's latest green driver row is ever older
@@ -59,7 +59,7 @@ def _modules():
 #   * every round commits a FULL-registry mirror sweep at BOTH sf0.001
 #     and sf0.01 (scripts/driver_mirror.py, same canon/hash semantics
 #     as the driver) — the sweep is a REQUIRED control covering the
-#     ~96 out-of-window keys, not a compensating nicety.
+#     ~97 out-of-window keys, not a compensating nicety.
 # Keys absent from this list (future operators) are appended in module
 # order after the listed ones.
 #

@@ -137,7 +137,7 @@ def _two_level_scan_frac(
     sizes = np.array([len(ms) for _, _, ms in groups], dtype=np.float64)
     d = np.sqrt(((arr[:, None, :] - gcs[None, :, :]) ** 2).sum(-1))
     ub = (d + rs).min(1)
-    kept = d - rs <= ub[:, None] + 1e-9
+    kept = d - rs <= (ub * (1 + 1e-9) + 1e-9)[:, None]
     scanned = (kept * sizes).sum(1) + len(groups)
     return float(scanned.mean()) / max(1, len(centroids))
 
@@ -260,9 +260,12 @@ def _assign_two_level(
     ascending minimum as the flat path (``least`` over per-group
     ``array_min``s — both lexicographic struct minima), so the TWO
     PATHS RETURN IDENTICAL ROWS (pytest-pinned equivalence; the
-    chained-CTE oracles stay valid unchanged). A 1e-9 slack on the
-    prune keeps float rounding from ever cutting the boundary group —
-    slack only ADMITS extra candidates, never drops one.
+    chained-CTE oracles stay valid unchanged). A RELATIVE slack
+    1e-9·(1 + ub) on the prune keeps float rounding from ever cutting
+    the boundary group — the sqrt/fold pipeline's error is relative
+    (~1e-14·distance), so an absolute epsilon would silently stop
+    covering it at coordinate magnitudes ≳1e5; slack only ADMITS
+    extra candidates, never drops one.
 
     EXPRESSION SHAPE — measured, not guessed (r13): the obvious
     HOF-lambda form (filter over an array of group structs carrying
@@ -289,7 +292,15 @@ def _assign_two_level(
     per-vector cost drops from k·DIM folds to (2√k + kept·k/g)·DIM
     WHEN the codebook geometry lets the prune bite (the dispatcher
     measures that before choosing this path — see
-    ``_two_level_scan_frac``)."""
+    ``_two_level_scan_frac``). One further ceiling, for the record:
+    BOTH paths carry the codebook as a k·DIM literal expression whose
+    per-task init is itself O(k) (~11 s at k=1024, BENCH_SCALE.md) —
+    amortized by production rows-per-task, but at k ≳ 10⁴ (n ≳ 10⁸
+    under the √n rule) the right move is to stop inlining: ship the
+    (gi → members) codebook as a broadcast variable into an
+    Arrow-batched ``mapInPandas`` kernel (per-dim-loop summation to
+    keep the fold bit-exact) — still map-only, with the codebook paid
+    once per executor instead of once per task in the plan binary."""
     if groups is None:
         groups = _coarse_groups(centroids)
     if len(groups) < 2:
@@ -329,7 +340,9 @@ def _assign_two_level(
         )
         mins.append(
             F.when(
-                dg(i) - F.lit(float(r)) <= F.col("__tl_ub") + F.lit(1e-9),
+                dg(i) - F.lit(float(r))
+                <= F.col("__tl_ub")
+                + F.lit(1e-9) * (F.lit(1.0) + F.col("__tl_ub")),
                 gmin,
             )
         )

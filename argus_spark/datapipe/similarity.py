@@ -102,10 +102,13 @@ SELECT q_id, n_id, rnk, cos_sim FROM (
 """
 
 
-def _bucket_col(v: F.Column) -> F.Column:
-    """8-bit sign pattern of the 8 hyperplane projections."""
+def _bucket_col(v: F.Column, planes: list[list[float]] | None = None) -> F.Column:
+    """8-bit sign pattern of 8 plane projections (the seeded random
+    hyperplanes by default; pass another matrix — e.g. the whitening
+    rows — to reuse the same sign-hash discipline on a different
+    basis: one fold/predicate implementation, every variant)."""
     b = F.lit(0).cast("long")
-    for p_idx, plane in enumerate(PLANES):
+    for p_idx, plane in enumerate(PLANES if planes is None else planes):
         dot = F.aggregate(
             F.zip_with(v, _plane_lit(plane), lambda x, y: x * y),
             F.lit(0.0),
@@ -117,9 +120,9 @@ def _bucket_col(v: F.Column) -> F.Column:
     return b
 
 
-def _bucket_sql(v: str) -> str:
+def _bucket_sql(v: str, planes: list[list[float]] | None = None) -> str:
     terms = []
-    for p_idx, plane in enumerate(PLANES):
+    for p_idx, plane in enumerate(PLANES if planes is None else planes):
         dot = (
             f"list_reduce(list_prepend(0.0, list_transform(range(1, {DIM + 1}), "
             f"i -> {v}[i] * ({_plane_sql(plane)})[i])), (acc, t) -> acc + t)"
@@ -987,32 +990,18 @@ def _wbucket_col(v: F.Column) -> F.Column:
     hashing: whitening decorrelates the components and equalizes their
     second moments, so each sign bit is near-balanced and the 2^8
     buckets fill evenly (the reason ``embedding_whiten``'s docstring
-    sells 'whiten before cosine bucketing')."""
+    sells 'whiten before cosine bucketing'). Delegates to
+    ``_bucket_col`` with the whitening rows as the plane matrix — one
+    sign-hash implementation for both variants."""
     from argus_spark.datapipe.whiten_params import WHITEN_W
 
-    b = F.lit(0).cast("long")
-    for k in range(N_PLANES):
-        wk = _dot(v, F.array(*[F.lit(x) for x in WHITEN_W[k]]))
-        b = b + F.when(wk > 0, F.lit(1 << k).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return b
+    return _bucket_col(v, WHITEN_W[:N_PLANES])
 
 
 def _wbucket_sql(v: str) -> str:
     from argus_spark.datapipe.whiten_params import WHITEN_W
 
-    terms = []
-    for k in range(N_PLANES):
-        row = "[" + ", ".join(repr(x) for x in WHITEN_W[k]) + "]"
-        dot = (
-            f"list_reduce(list_prepend(0.0, list_transform(range(1, {DIM + 1}), "
-            f"i -> {v}[i] * ({row})[i])), (acc, t) -> acc + t)"
-        )
-        terms.append(
-            f"CASE WHEN {dot} > 0 THEN {1 << k}::BIGINT ELSE 0::BIGINT END"
-        )
-    return "(" + " + ".join(terms) + ")"
+    return _bucket_sql(v, WHITEN_W[:N_PLANES])
 
 
 def ann_lsh_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,6 +79,33 @@ def _state_dir(key: str) -> str:
     return _STATE_DIRS[key]
 
 
+def _write_epoch(df: DataFrame, epoch_id: int, res_dir: str) -> None:
+    """The idempotent replay-sink write (r12 advice, held in ONE
+    place): each micro-batch owns its epoch_id partition and dynamic
+    overwrite replaces ONLY that partition, so a redelivered epoch
+    rewrites its own rows instead of appending duplicates — the
+    canonical foreachBatch exactly-once-sink pattern."""
+    (
+        df.withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(res_dir)
+    )
+
+
+def _read_committed(spark: SparkSession, res_dir: str, schema: str) -> DataFrame:
+    """Read a replay's committed rows. An all-empty run (every batch
+    verified nothing → zero part files on disk) must return an EMPTY
+    frame of the declared schema — the oracle's empty result — not
+    fail parquet schema inference on a directory of _SUCCESS markers."""
+    import glob
+
+    if not glob.glob(os.path.join(res_dir, "**", "*.parquet"), recursive=True):
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(res_dir)
+
+
 def streaming_minhash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the incremental MinHash near-dup sink over a scripted
     3-batch feed of the documents table and return the surviving
@@ -300,18 +327,11 @@ def _watermark_replay_run(
     dd = dedup_within_watermark(stream, ["user_id"], "ts", "10 minutes")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        # Epoch-partitioned dynamic overwrite (same idempotence fix as
-        # the delta-dedup sink): the committed rows here are read back
-        # RAW — unlike the funnel/sessionize replays, whose monotone
-        # max/min merges absorb a duplicated batch — so a retried
-        # epoch must replace its own partition, not append a copy.
-        (
-            batch_df.withColumn("epoch_id", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch_id")
-            .parquet(res_dir)
-        )
+        # The committed rows here are read back RAW — unlike the
+        # funnel/sessionize replays, whose monotone max/min merges
+        # absorb a duplicated batch — so a retried epoch must replace
+        # its own partition, not append a copy.
+        _write_epoch(batch_df, epoch_id, res_dir)
 
     q = (
         dd.writeStream.foreachBatch(sink)
@@ -320,7 +340,9 @@ def _watermark_replay_run(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(res_dir).select("user_id", "ts", "batch")
+    return _read_committed(
+        spark, res_dir, "user_id string, ts timestamp, batch long"
+    ).select("user_id", "ts", "batch")
 
 
 def streaming_watermark_dedup_replay(
@@ -711,18 +733,7 @@ def _delta_dedup_replay_run(
             )
             .select("delta_id", "match_id")
         )
-        # Idempotent under micro-batch retry (ADVICE r12): each epoch
-        # owns its partition and dynamic overwrite replaces ONLY that
-        # partition, so a redelivered epoch_id rewrites its own rows
-        # instead of appending duplicates — the canonical foreachBatch
-        # exactly-once-sink pattern.
-        (
-            verified.withColumn("epoch_id", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch_id")
-            .parquet(res_dir)
-        )
+        _write_epoch(verified, epoch_id, res_dir)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -736,7 +747,9 @@ def _delta_dedup_replay_run(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(res_dir).select("delta_id", "match_id")
+    return _read_committed(
+        spark, res_dir, "delta_id long, match_id long"
+    ).select("delta_id", "match_id")
 
 
 def streaming_delta_dedup_replay(
@@ -928,16 +941,7 @@ def _embedding_delta_replay_run(
             .filter(F.col("cos_sim") >= COS_TAU)
             .select("delta_id", "match_id", "cos_sim")
         )
-        # epoch-partitioned dynamic overwrite: retried micro-batches
-        # replace their own rows (same idempotence contract as the
-        # token-shingle twin's sink)
-        (
-            verified.withColumn("epoch_id", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch_id")
-            .parquet(res_dir)
-        )
+        _write_epoch(verified, epoch_id, res_dir)
 
     stream = (
         spark.readStream.schema("vec_id long, v array<double>")
@@ -951,9 +955,9 @@ def _embedding_delta_replay_run(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(res_dir).select(
-        "delta_id", "match_id", "cos_sim"
-    )
+    return _read_committed(
+        spark, res_dir, "delta_id long, match_id long, cos_sim double"
+    ).select("delta_id", "match_id", "cos_sim")
 
 
 def streaming_embedding_delta_replay(

@@ -174,9 +174,13 @@ def _host_ratio(cur: dict, prior_cal: dict | None) -> float:
     ratios, prior-best = min of that probe's sweep-start/sweep-end
     values in the committed record (the prior round's healthiest host
     state). > 1 means THIS host is slower than the one the priors were
-    recorded on. Median over the three probe dimensions (interpreter,
-    JVM/scheduler, parquet-scan) so one noisy probe can't swing the
-    normalization. Returns 1.0 when no prior cal exists."""
+    recorded on. LOWER median over the three probe dimensions
+    (interpreter, JVM/scheduler, parquet-scan) so one noisy probe
+    can't swing the normalization — and, when a prior cal block is
+    missing a probe pair and only TWO ratios survive, the smaller one
+    wins: an upper median there would return the max, inflating the
+    normalization and masking a real regression behind one drifted
+    probe. Returns 1.0 when no prior cal exists."""
     if not prior_cal:
         return 1.0
     ratios = []
@@ -193,7 +197,7 @@ def _host_ratio(cur: dict, prior_cal: dict | None) -> float:
     if not ratios:
         return 1.0
     ratios.sort()
-    return ratios[len(ratios) // 2]
+    return ratios[(len(ratios) - 1) // 2]
 
 
 def _is_slow_vs_prior(median: float, prior: float | None,

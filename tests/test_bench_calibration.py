@@ -50,6 +50,16 @@ class TestHostRatio:
                "scan_probe_s": 0.615}
         assert _host_ratio(cur, PRIOR_CAL) < 1.1
 
+    def test_two_ratio_count_takes_lower_median(self):
+        # a prior cal block missing one probe pair leaves 2 ratios; the
+        # LOWER median must win — taking the max would let one drifted
+        # probe (here the scan leg at 5x) normalize away a genuine
+        # regression
+        pri = {"py0": 0.150, "py1": 0.152, "sc0": 0.123, "sc1": 0.125}
+        cur = {"python_spin_s": 0.151, "spark_probe_s": 0.117,
+               "scan_probe_s": 0.615}
+        assert _host_ratio(cur, pri) < 1.1
+
     def test_prior_best_uses_min_of_start_end(self):
         # prior round started degraded and recovered (the r12 shape):
         # its best host state (the *1 values) is the honest base

@@ -782,3 +782,23 @@ def test_embedding_delta_replay_batch_cut_invariant(spark):
         .collect()
     )
     assert one == batch
+
+
+def test_read_committed_empty_run_returns_empty_frame(spark, tmp_path):
+    """An all-empty replay run (every micro-batch verified nothing →
+    zero part files) must return an EMPTY frame of the declared
+    schema, not fail parquet schema inference on a directory of
+    _SUCCESS markers (r13 review finding)."""
+    from argus_spark.streaming.replay import _read_committed
+
+    d = str(tmp_path / "res")
+    # case 1: directory never created (no batch ever wrote)
+    out = _read_committed(spark, d, "delta_id long, match_id long")
+    assert out.count() == 0 and out.columns == ["delta_id", "match_id"]
+    # case 2: directory exists but holds no part files (empty writes)
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+    out = _read_committed(spark, d, "delta_id long, match_id long")
+    assert out.count() == 0
