@@ -1798,6 +1798,11 @@ def _embedding_delta_verified(
     never shuffles — plus the tiny delta×delta self-join) verified by
     exact cosine ≥ COS_TAU. Shared by the recompute path and the
     stored-bucketed-index path so both provably run the same plan tail."""
+    # The delta band frame has THREE consumers (the broadcast probe +
+    # both sides of the self-join) — without a cache Catalyst re-runs
+    # the 16-plane banding per branch. Skinny (EC_BANDS rows/vector),
+    # scoped like every candidate frame.
+    delta_bands = scoped_cache(delta_bands)
     vs_base = (
         base_bands.alias("x")
         .join(F.broadcast(delta_bands.alias("a")), ["band", "bval"])
