@@ -118,6 +118,34 @@ def _sqdist_sql(v: str, c: str) -> str:
 # the chained-CTE oracles never need to know which ran.
 TWO_LEVEL_MIN_K = 20
 TWO_LEVEL_SCAN_FRAC = 0.7  # stage only if est. scan ≤ 70% of flat
+# Above this k, BOTH literal-expression paths drown in per-task plan
+# init (the k·DIM literal tree costs O(k) per task — ~12 s at k=1024,
+# linear in k, paid before the first row), so the dispatcher stops
+# inlining and ships the codebook as a broadcast variable into an
+# Arrow mapInPandas kernel instead (r13 verdict #3 — the documented
+# k ≳ 10⁴ form for n ≳ 10⁸ under the √n rule).
+BROADCAST_MIN_K = 2048
+
+
+def _pairwise_sq_np(a, b):
+    """Driver-side pairwise squared distances via the
+    |a|² + |b|² − 2a·b matmul identity (r13 ADVICE): memory stays
+    O(|a|·|b|) instead of the O(|a|·|b|·DIM) dense differencing
+    temporary — at the k≈10⁴ regime the staged path targets, the old
+    (k, g, DIM) broadcast allocated ~0.5 GB per evaluation. Clamped at
+    0 (cancellation can round tiny distances negative). ONLY used
+    where values steer speed, never exactness: group membership, Lloyd
+    updates, and the dispatch estimate — cover RADII are recomputed
+    with the exact differencing fold (see ``_coarse_groups``)."""
+    import numpy as np
+
+    d2 = (
+        (a * a).sum(-1)[:, None]
+        + (b * b).sum(-1)[None, :]
+        - 2.0 * (a @ b.T)
+    )
+    np.maximum(d2, 0.0, out=d2)
+    return d2
 
 
 def _two_level_scan_frac(
@@ -128,14 +156,14 @@ def _two_level_scan_frac(
     touch: mean over the fine centroids (as a stand-in query sample —
     they ARE corpus means, so they sample the data's geometry) of
     (coarse probes + members of unpruned groups) / k. Driver-side
-    numpy, O(k·g·DIM) — control plane."""
+    numpy, O(k·g) memory via the matmul identity — control plane."""
     import numpy as np
 
     arr = np.array([cv for _, cv in centroids], dtype=np.float64)
     gcs = np.array([gc for gc, _, _ in groups], dtype=np.float64)
     rs = np.array([r for _, r, _ in groups], dtype=np.float64)
     sizes = np.array([len(ms) for _, _, ms in groups], dtype=np.float64)
-    d = np.sqrt(((arr[:, None, :] - gcs[None, :, :]) ** 2).sum(-1))
+    d = np.sqrt(_pairwise_sq_np(arr, gcs))
     ub = (d + rs).min(1)
     kept = d - rs <= (ub * (1 + 1e-9) + 1e-9)[:, None]
     scanned = (kept * sizes).sum(1) + len(groups)
@@ -143,17 +171,118 @@ def _two_level_scan_frac(
 
 
 def _assign(e: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """Map-side nearest-centroid assignment — dispatches to the EXACT
-    two-level staged scan when the codebook is large AND its geometry
-    makes pruning effective (see the dispatch constants above), the
-    flat literal scan otherwise. Both paths return identical rows
-    (same ``_sqdist`` fold, same (d, cid) tie-break; equivalence is
-    pytest-pinned)."""
+    """Map-side nearest-centroid assignment — three-arm dispatch, all
+    arms returning IDENTICAL rows (same left-fold distance arithmetic,
+    same (d, cid) tie-break; equivalence is pytest-pinned, so the
+    chained-CTE oracles never need to know which ran):
+
+      k ≥ BROADCAST_MIN_K  → broadcast-codebook Arrow kernel (the
+                             literal-tree init is O(k) PER TASK there);
+      k ≥ TWO_LEVEL_MIN_K AND the codebook geometry prunes
+                           → exact two-level staged literal scan;
+      otherwise            → flat literal scan.
+
+    The chosen arm is recorded in ``LAST_DISPATCH`` (driver-side
+    side-channel, r13 verdict #4): the registered queries that exist
+    to give a specific arm driver-level correctness evidence assert
+    through it that the arm they advertise is the arm that ran."""
+    if len(centroids) >= BROADCAST_MIN_K:
+        LAST_DISPATCH["arm"] = "broadcast"
+        return _assign_broadcast(e, centroids)
     if len(centroids) >= TWO_LEVEL_MIN_K:
         groups = _coarse_groups(centroids)
         if _two_level_scan_frac(centroids, groups) <= TWO_LEVEL_SCAN_FRAC:
+            LAST_DISPATCH["arm"] = "two_level"
             return _assign_two_level(e, centroids, groups=groups)
+    LAST_DISPATCH["arm"] = "flat"
     return _assign_flat(e, centroids)
+
+
+# Which arm the most recent _assign dispatched (control-plane
+# telemetry; never read by the data path).
+LAST_DISPATCH: dict[str, str] = {"arm": ""}
+
+
+def _assign_broadcast(
+    e: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid assignment with the codebook shipped as a
+    Spark BROADCAST VARIABLE into an Arrow-batched ``mapInPandas``
+    kernel — the k ≳ 10⁴ form (r13 verdict #3). Both literal paths
+    (``_assign_flat``, ``_assign_two_level``) inline the codebook as a
+    k·DIM literal tree whose per-TASK expression init is O(k) (~12 s at
+    k=1024, linear — BENCH_SCALE.md): amortized by production
+    rows-per-task, but at k = ⌈√n⌉ ≈ 10⁴ the init dominates exactly
+    where the operator is supposed to shine. Here the codebook is paid
+    ONCE per executor (broadcast pickle) and ~0 per task.
+
+    BIT-EXACTNESS with the literal paths: the kernel accumulates the
+    squared distance with a PER-DIMENSION loop over the row block —
+    ``D += diff * diff`` for dim 0, 1, … — which is the identical
+    left-fold ((0 + t₀) + t₁) + … of correctly-rounded IEEE double ops
+    that ``_sqdist``'s ``F.aggregate`` evaluates (NO matmul identity,
+    NO numpy .sum() pairwise reduction — both would round differently).
+    The winner is ``argmin`` over a codebook sorted ascending by cid,
+    whose first-minimum tie-break equals the (d, cid)-ascending struct
+    minimum of the literal paths. Rows per numpy block are capped so
+    the (block, k) distance matrix stays ≤ ~32 MB regardless of k.
+
+    100 TB shape: still map-only — no shuffle, no collect; one Python
+    worker transcode per partition (Arrow-batched), traded against the
+    per-task plan-init the JVM paths pay. The crossover is measured,
+    not guessed: scripts/bench_assign.py's broadcast column."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    e = e.select("vec_id", "v")
+    spark = e.sparkSession
+    order = sorted(range(len(centroids)), key=lambda i: int(centroids[i][0]))
+    cids = np.array([int(centroids[i][0]) for i in order], dtype=np.int64)
+    cvs = np.array([centroids[i][1] for i in order], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cids, cvs))
+    out_schema = T.StructType(
+        list(e.schema.fields)
+        + [
+            T.StructField("cluster_id", T.IntegerType(), False),
+            T.StructField("sqdist", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_cids, b_cvs = bc.value
+        k = len(b_cids)
+        # (rows, k) float64 block ≤ 2^22 elements (~32 MB)
+        rows_per_block = max(1, (1 << 22) // max(1, k))
+        for pdf in batches:
+            n = len(pdf)
+            best_i = np.zeros(n, dtype=np.int64)
+            best_d = np.zeros(n, dtype=np.float64)
+            if n:
+                x = np.stack(
+                    [np.asarray(r, dtype=np.float64) for r in pdf["v"]]
+                )
+                for s in range(0, n, rows_per_block):
+                    xb = x[s : s + rows_per_block]
+                    d = np.zeros((len(xb), k), dtype=np.float64)
+                    for i in range(xb.shape[1]):
+                        diff = xb[:, i : i + 1] - b_cvs[None, :, i]
+                        d += diff * diff
+                    bi = d.argmin(1)
+                    best_i[s : s + len(xb)] = bi
+                    best_d[s : s + len(xb)] = d[np.arange(len(xb)), bi]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cluster_id": b_cids[best_i].astype("int32"),
+                    "sqdist": best_d,
+                }
+            )
+
+    return e.mapInPandas(kernel, schema=out_schema)
 
 
 def _assign_flat(
@@ -217,20 +346,26 @@ def _coarse_groups(
         d_min = np.minimum(d_min, ((arr - arr[nxt]) ** 2).sum(-1))
     cc = arr[seed_idx].copy()
     for _ in range(3):
-        d2 = ((arr[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
-        asg = d2.argmin(1)
+        asg = _pairwise_sq_np(arr, cc).argmin(1)
         for j in range(g):
             if (asg == j).any():
                 cc[j] = arr[asg == j].mean(0)
-    d2 = ((arr[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
-    asg = d2.argmin(1)
+    asg = _pairwise_sq_np(arr, cc).argmin(1)
     groups = []
     for j in range(g):
         members = [centroids[i] for i in range(k) if asg[i] == j]
         if not members:
             continue  # empty cells carry no members — drop (the ub
             # bound below is only valid over non-empty groups)
-        radius = float(np.sqrt(d2[asg == j, j].max()))
+        # Radius via exact differencing over THIS group's members only
+        # (O(|members|·DIM), no k·g temp): the matmul identity's
+        # cancellation error is absolute in |c|², which near a tight
+        # center can underestimate a small radius by far more than the
+        # prune's relative slack covers — the cover-radius bound is
+        # what the staged path's exactness proof rests on.
+        radius = float(
+            np.sqrt(((arr[asg == j] - cc[j]) ** 2).sum(-1).max())
+        )
         groups.append((list(map(float, cc[j])), radius, members))
     return groups
 
@@ -773,14 +908,136 @@ FROM cosp c FULL OUTER JOIN semp s
 EMBEDDING_AUDIT_PAIRS_SQL = _embedding_audit_pairs_sql()
 
 
+# --------------------------------------------------------------------------
+# Fixed-codebook assignment queries — driver-level correctness evidence
+# for the staged and broadcast dispatch arms (r13 verdict #4)
+# --------------------------------------------------------------------------
+#
+# The bench corpus is isotropic, so every registered k-means/SemDeDup
+# run dispatches the FLAT arm — the staged path (the designated 100 TB
+# form) had pytest-only correctness evidence through r13, and the new
+# broadcast kernel would have the same gap. These two queries close it:
+# each assigns the real ``embeddings`` table against a DETERMINISTIC,
+# pure-arithmetic codebook chosen so the dispatcher provably takes the
+# advertised arm (asserted via LAST_DISPATCH + a plan gate in pytest),
+# with a DuckDB oracle running the identical codebook as a VALUES
+# literal through the same fold/tie-break SQL the kmeans oracles use.
+
+
+def _det_clustered_codebook(
+    g: int = 8, per_group: int = 8
+) -> list[tuple[int, list[float]]]:
+    """k = g·per_group fine centers in g tight, far-apart groups:
+    c_j = 100·e_{j mod g} + 2·e_{g + (j div g)}. Within-group distance
+    is √8, between-group ~√2·100 — cover radii ≈ 1.9 against group
+    gaps ≈ 141, so the triangle-inequality prune keeps exactly one
+    group and the dispatch estimate sits far under the 0.7 margin.
+    All coordinates are small integers — exact as doubles in Spark
+    literals, numpy, and DuckDB VALUES alike."""
+    cb = []
+    for j in range(g * per_group):
+        v = [0.0] * DIM
+        v[j % g] = 100.0
+        v[g + (j // g)] = 2.0
+        cb.append((j, v))
+    return cb
+
+
+def _det_mixed_codebook(k: int = 32) -> list[tuple[int, list[float]]]:
+    """k isotropic-ish centers from a fixed integer grid:
+    c_j[i] = ((7j + 13i) mod 29 − 14) / 8 — exact doubles (power-of-two
+    divisor), no cluster structure (the broadcast query's codebook;
+    the ARM there is forced by calling the kernel directly, so the
+    geometry is free to differ from the staged query's)."""
+    return [
+        (j, [((7 * j + 13 * i) % 29 - 14) / 8.0 for i in range(DIM)])
+        for j in range(k)
+    ]
+
+
+_CLUSTERED_CB = _det_clustered_codebook()
+_MIXED_CB = _det_mixed_codebook()
+
+
+def assign_staged_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: nearest-centroid assignment of the embeddings
+    corpus against the deterministic CLUSTERED 64-center codebook —
+    the geometry where ``_assign`` dispatches the exact two-level
+    staged scan (pytest asserts the arm via LAST_DISPATCH and the
+    ``__tl_ub`` plan column). 100 TB shape: two map-side projections,
+    no shuffle, no UDF — the corpus never moves."""
+    # no widen: the scan stays exchange-free (plan-gated map-only);
+    # real many-file layouts get scan parallelism natively
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    return _assign(e, _CLUSTERED_CB).select(
+        "vec_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "sqdist",
+    )
+
+
+def assign_broadcast_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the broadcast-codebook Arrow kernel driven
+    directly (the dispatcher only reaches it at k ≥ BROADCAST_MIN_K,
+    which would bloat the oracle's VALUES literal to no evidential
+    gain — the kernel's arithmetic is k-independent). Map-only:
+    one mapInPandas, no shuffle; bit-exact vs the same fold in
+    DuckDB."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    return _assign_broadcast(e, _MIXED_CB).select(
+        "vec_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "sqdist",
+    )
+
+
+def _codebook_values_sql(cb: list[tuple[int, list[float]]]) -> str:
+    rows = ", ".join(
+        "({cid}, [{vs}]::DOUBLE[])".format(
+            cid=int(cid), vs=", ".join(repr(float(x)) for x in cv)
+        )
+        for cid, cv in cb
+    )
+    return f"cb(cid, cv) AS (VALUES {rows})"
+
+
+def _assign_fixed_cb_sql(cb: list[tuple[int, list[float]]]) -> str:
+    """Assignment against a literal codebook — the same fold and
+    (d, cid) tie-break as ``_assign_cte``, with the codebook inlined
+    as VALUES instead of derived by CTE chains."""
+    return f"""WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), {_codebook_values_sql(cb)}
+SELECT vec_id, cluster_id::BIGINT AS cluster_id, sqdist FROM (
+  SELECT vec_id, cid AS cluster_id, d AS sqdist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM (
+    SELECT e.vec_id, c.cid, {_sqdist_sql('e.v', 'c.cv')} AS d
+    FROM e0 e CROSS JOIN cb c
+  )
+) WHERE rn = 1"""
+
+
+ASSIGN_STAGED_CLUSTERED_SQL = _assign_fixed_cb_sql(_CLUSTERED_CB)
+ASSIGN_BROADCAST_CODEBOOK_SQL = _assign_fixed_cb_sql(_MIXED_CB)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_embeddings": kmeans_embeddings,
     "dedup_semantic": dedup_semantic,
     "embedding_audit_pairs": embedding_audit_pairs,
+    "assign_staged_clustered": assign_staged_clustered,
+    "assign_broadcast_codebook": assign_broadcast_codebook,
 }
 
 ORACLES: dict[str, str] = {
     "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "embedding_audit_pairs": EMBEDDING_AUDIT_PAIRS_SQL,
+    "assign_staged_clustered": ASSIGN_STAGED_CLUSTERED_SQL,
+    "assign_broadcast_codebook": ASSIGN_BROADCAST_CODEBOOK_SQL,
 }

@@ -213,6 +213,18 @@ def _is_slow_vs_prior(median: float, prior: float | None,
     return bool(prior) and median > 1.5 * prior * max(1.0, host_ratio)
 
 
+def _is_slow_bps(cur: float, prior: float | None,
+                 host_ratio: float) -> bool:
+    """The throughput twin of ``_is_slow_vs_prior`` (r13 verdict #1):
+    a blocks/s leg is suspect when it falls below its prior by MORE
+    than the measured host drift explains — cur < prior / (1.5 × hr),
+    hr floored at 1 so a faster host can't manufacture flags. For
+    same-run RATIO metrics (depth3_retention) pass host_ratio=1.0:
+    uniform drift cancels in the ratio, so the host factor must not
+    widen that guard."""
+    return bool(prior) and cur * 1.5 * max(1.0, host_ratio) < prior
+
+
 def _calibration(spark) -> dict[str, float]:
     """Host-calibration probe (r11 verdict #1). Both workloads are
     FIXED — bit-identical across rounds — so a reader can attribute a
@@ -224,6 +236,25 @@ def _calibration(spark) -> dict[str, float]:
     return {"python_spin_s": _python_spin_s(),
             "spark_probe_s": _spark_probe_s(spark),
             "scan_probe_s": _scan_probe_s(spark)}
+
+
+def _calibration_min(spark, samples: int = 3, space_s: float = 3.0) -> dict:
+    """Sweep-START calibration as the elementwise MIN of ``samples``
+    spaced probe triples (r13 ADVICE: _host_ratio compares the start
+    probe against the prior round's best-of-two — a single contended
+    instant at sweep start inflated the ratio for every first-pass
+    comparison, widening the guard for the whole sweep; min-of-spaced
+    mirrors the prior-best min, so one bad instant can't). The
+    individual samples are kept under ``samples`` for forensics."""
+    triples = []
+    for i in range(samples):
+        if i:
+            time.sleep(space_s)
+        triples.append(_calibration(spark))
+    return {
+        k: min(t[k] for t in triples)
+        for k in ("python_spin_s", "spark_probe_s", "scan_probe_s")
+    } | {"samples": triples}
 
 
 def main() -> None:
@@ -247,7 +278,7 @@ def main() -> None:
         except Exception:
             pass
 
-    cal_start = _calibration(spark)
+    cal_start = _calibration_min(spark)
 
     # Median-of-3 at the bench SF after TWO untimed warm runs. The
     # first sf0.1 executions of a plan pay JVM JIT/codegen, and the
@@ -278,11 +309,12 @@ def main() -> None:
     )
     hist: dict[str, float] = {}
     prior_cal: dict | None = None
+    prior_full: dict = {}
     try:
         with open(hist_path) as f:
-            _h = json.load(f)
-        hist = dict(_h.get("queries", {}))
-        prior_cal = _h.get("cal")
+            prior_full = json.load(f)
+        hist = dict(prior_full.get("queries", {}))
+        prior_cal = prior_full.get("cal")
     except (OSError, ValueError):
         pass
 
@@ -344,10 +376,14 @@ def main() -> None:
         timings[n] = round(median, 4)
         stats[n] = {
             "median": round(median, 4),
-            # the host-normalized wall (median ÷ host_ratio): the
+            # the host-normalized wall (median ÷ host_ratio, FLOORED
+            # at 1 — r13 ADVICE: the flag rule floors, so an unfloored
+            # divisor here would inflate norm_median on a faster-than-
+            # prior host, asymmetric with the flags; the raw ratio is
+            # in the cal block for readers who want to undo it): the
             # number comparable to PRIOR rounds' medians — raw and
             # normalized are both recorded (r12 verdict #2)
-            "norm_median": round(median / max(host_ratio, 1e-9), 4),
+            "norm_median": round(median / max(1.0, host_ratio), 4),
             "min": round(runs[0], 4),
             "n": N_RUNS,
         }
@@ -535,6 +571,110 @@ def main() -> None:
         streaming_bps, _ = stream_run("catchup", None)
         streaming_tip_bps, stream_batches = stream_run("tip", 1)
 
+        # Calibration-normalized guard for the THROUGHPUT family
+        # (r13 verdict #1): the query side has had a normalized
+        # confirmed_slow guard + isolation reruns since r12, but the
+        # blocks/s legs and depth3_retention had NEITHER — the r13
+        # artifact committed retention 0.45 against a 0.88-1.01
+        # history with no in-artifact adjudication. Same rule,
+        # inverted for throughput: a leg is suspect when it falls
+        # below prior / (1.5 × host_ratio); a flagged leg re-runs
+        # once standalone with a fresh probe triple, and the record
+        # carries both numbers. Retention is a same-run RATIO (host
+        # drift largely cancels), so its flag skips the host factor
+        # and a flagged retention re-runs BOTH depth legs.
+        bps_vals = {
+            "blocks_per_sec_utxo_graph": blocks_per_sec,
+            "blocks_per_sec_lifecycle_batch500": lifecycle_bps_500,
+            "blocks_per_sec_lifecycle_batch500_bucketed":
+                lifecycle_bps_500_bucketed,
+            "blocks_per_sec_lifecycle": lifecycle_bps,
+            "blocks_per_sec_depth1_chain": depth1_bps,
+            "blocks_per_sec_depth3_chain": depth3_bps,
+            "blocks_per_sec_streaming": streaming_bps,
+            "blocks_per_sec_streaming_tip": streaming_tip_bps,
+        }
+
+        def _utxo_graph_rerun() -> float:
+            t0 = time.perf_counter()
+            _run(qs["watched_balances"](spark, SF_DIR))
+            w = time.perf_counter() - t0
+            return round(n_blocks / w, 1) if w > 0 else 0.0
+
+        bps_legs = {
+            "blocks_per_sec_utxo_graph": _utxo_graph_rerun,
+            "blocks_per_sec_lifecycle_batch500":
+                lambda: lc_run(2000, 500, "b500r"),
+            "blocks_per_sec_lifecycle_batch500_bucketed":
+                lambda: lc_run(2000, 500, "b500bktr", bucketed=True),
+            "blocks_per_sec_lifecycle": lambda: lc_run(20000, 20000, "kneer"),
+            "blocks_per_sec_depth1_chain":
+                lambda: lc_run(10000, 10000, "d1r",
+                               lambda: build_chain_registry(1)),
+            "blocks_per_sec_depth3_chain":
+                lambda: lc_run(10000, 10000, "d3r",
+                               lambda: build_chain_registry(3)),
+            "blocks_per_sec_streaming":
+                lambda: stream_run("catchupr", None)[0],
+            "blocks_per_sec_streaming_tip": lambda: stream_run("tipr", 1)[0],
+        }
+        lifecycle_reruns: dict[str, dict] = {}
+        for key in bps_vals:
+            prior_bps = prior_full.get(key)
+            if not _is_slow_bps(bps_vals[key], prior_bps, host_ratio):
+                continue
+            import gc as _gc1
+
+            flush_scoped()
+            _gc1.collect()
+            cal_rr = _calibration(spark)
+            ratio_rr = round(_host_ratio(cal_rr, prior_cal), 4)
+            clean_bps = bps_legs[key]()
+            rec = {
+                "first": bps_vals[key],
+                "clean": clean_bps,
+                "prior": prior_bps,
+                "cal_spin_s": cal_rr["python_spin_s"],
+                "host_ratio_at_rerun": ratio_rr,
+                "prior_normalized": round(
+                    prior_bps / max(1.0, ratio_rr), 1
+                ),
+            }
+            if _is_slow_bps(clean_bps, prior_bps, ratio_rr):
+                rec["confirmed_slow"] = True
+            if clean_bps > bps_vals[key]:
+                bps_vals[key] = clean_bps
+            lifecycle_reruns[key] = rec
+        (blocks_per_sec, lifecycle_bps_500, lifecycle_bps_500_bucketed,
+         lifecycle_bps, depth1_bps, depth3_bps, streaming_bps,
+         streaming_tip_bps) = (
+            bps_vals["blocks_per_sec_utxo_graph"],
+            bps_vals["blocks_per_sec_lifecycle_batch500"],
+            bps_vals["blocks_per_sec_lifecycle_batch500_bucketed"],
+            bps_vals["blocks_per_sec_lifecycle"],
+            bps_vals["blocks_per_sec_depth1_chain"],
+            bps_vals["blocks_per_sec_depth3_chain"],
+            bps_vals["blocks_per_sec_streaming"],
+            bps_vals["blocks_per_sec_streaming_tip"],
+        )
+        retention = (
+            round(depth3_bps / depth1_bps, 3) if depth1_bps else 0.0
+        )
+        prior_ret = prior_full.get("depth3_retention")
+        if _is_slow_bps(retention, prior_ret, 1.0):
+            d1c = lc_run(10000, 10000, "d1rr",
+                         lambda: build_chain_registry(1))
+            d3c = lc_run(10000, 10000, "d3rr",
+                         lambda: build_chain_registry(3))
+            ret_c = round(d3c / d1c, 3) if d1c else 0.0
+            rec = {"first": retention, "clean": ret_c, "prior": prior_ret,
+                   "clean_depth1": d1c, "clean_depth3": d3c}
+            if _is_slow_bps(ret_c, prior_ret, 1.0):
+                rec["confirmed_slow"] = True
+            if ret_c > retention:
+                depth1_bps, depth3_bps, retention = d1c, d3c, ret_c
+            lifecycle_reruns["depth3_retention"] = rec
+
         # The point where the bucketed layout WINS: a narrow spend/
         # serving probe against a large committed UTxO set. The epoch
         # write-side cost shows up in the batch-500 bucketed row; this
@@ -657,8 +797,29 @@ def main() -> None:
         "emb_delta_probe_ms_stored_index": emb_delta_stored_ms,
         "blocks_per_sec_depth1_chain": depth1_bps,
         "blocks_per_sec_depth3_chain": depth3_bps,
-        "depth3_retention": round(depth3_bps / depth1_bps, 3) if depth1_bps else 0.0,
+        "depth3_retention": retention,
         "n_blocks": n_blocks,
+        # host-normalized throughput (raw × host_ratio floored at 1):
+        # the values comparable to PRIOR rounds' committed legs —
+        # r13 verdict #1's missing adjudication dimension. Abbrevs:
+        # utxo graph / batch-500 (+bucketed) / knee / depth-1 / depth-3
+        # / streaming catch-up / streaming tip.
+        "bps_norm": {
+            k: round(v * max(1.0, host_ratio), 1)
+            for k, v in (
+                ("utxo", blocks_per_sec),
+                ("b500", lifecycle_bps_500),
+                ("b500b", lifecycle_bps_500_bucketed),
+                ("knee", lifecycle_bps),
+                ("d1", depth1_bps),
+                ("d3", depth3_bps),
+                ("stream", streaming_bps),
+                ("tip", streaming_tip_bps),
+            )
+        },
+        "lc_confirmed_slow": sum(
+            1 for r in lifecycle_reruns.values() if r.get("confirmed_slow")
+        ),
     }
     # The driver records only the LAST 2000 chars of stdout and parses
     # them as JSON only when the whole line fits (BENCH_r1/r2 parsed;
@@ -755,6 +916,11 @@ def main() -> None:
     full["queries_stats"] = stats
     if reruns:
         full["isolation_reruns"] = reruns
+    if lifecycle_reruns:
+        full["lifecycle_reruns"] = lifecycle_reruns
+    # the individual spaced sweep-start probe samples behind the
+    # committed min (r13 ADVICE — forensics for the ratio itself)
+    full["cal_start_samples"] = cal_start.get("samples", [])
     full["staleness"] = _staleness()
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_full.json")

@@ -75,6 +75,7 @@ def main() -> None:
                            else "64,256,1024").split(",")]
 
     from argus_spark.datapipe.clustering import (
+        _assign_broadcast,
         _assign_flat,
         _assign_two_level,
         _coarse_groups,
@@ -110,11 +111,19 @@ def main() -> None:
             frac = round(_two_level_scan_frac(cb, groups), 3)
             t_flat = _time(_assign_flat, e, cb)
             t_two = _time(_assign_two_level, e, cb, groups=groups)
+            # r13 verdict #3: the broadcast-codebook Arrow kernel pays
+            # ~0 per-task init (the literal paths pay O(k) PER TASK —
+            # the term that dominates at k ≳ 10⁴); geometry-blind, so
+            # one column serves both corpora.
+            t_bk = _time(_assign_broadcast, e, cb)
             e.unpersist()
-            rows.append((kind, k, frac, t_flat, t_two,
-                         round(t_flat / t_two, 2)))
+            rows.append((kind, k, frac, t_flat, t_two, t_bk,
+                         round(t_flat / t_two, 2),
+                         round(t_flat / t_bk, 2)))
             print(f"# {kind} k={k}: scan_frac={frac} flat={t_flat}s "
-                  f"two={t_two}s speedup={t_flat / t_two:.2f}x",
+                  f"two={t_two}s bkast={t_bk}s "
+                  f"flat/two={t_flat / t_two:.2f}x "
+                  f"flat/bkast={t_flat / t_bk:.2f}x",
                   file=sys.stderr)
 
     out_md = os.path.join(
@@ -123,24 +132,27 @@ def main() -> None:
     )
     with open(out_md, "a") as f:
         f.write(
-            f"\n## Two-level assignment cost — n={n:,} vectors fixed, "
-            f"codebook k ∈ {ks} (r13, r12 verdict #4)\n\n"
+            f"\n## Assignment cost, three dispatch arms — n={n:,} "
+            f"vectors fixed, codebook k ∈ {ks} (r14, r13 verdict #3)\n\n"
             "Flat scan is O(k·DIM) per vector; the staged scan is "
             "O(√k + pruned·k/√k)·DIM when the codebook geometry lets "
             "the triangle-inequality prune bite. `scan_frac` is the "
             "dispatcher's driver-side estimate (stage iff ≤ 0.7) — the "
             "isotropic rows are the honest pruning-dead contrast and "
             "the reason the dispatch is geometry-adaptive rather than "
-            "unconditional. Walls include a per-task expression-init "
-            "cost paid by BOTH paths (~12 s at k=1024 — the k·DIM "
-            "literal tree), amortized away at production rows-per-task; "
-            "per-row cost = (wall − init) / n.\n\n"
-            "| corpus | k | est. scan_frac | flat wall s | staged wall s "
-            "| flat/staged |\n|---|---|---|---|---|---|\n"
+            "unconditional. BOTH literal paths pay a per-TASK "
+            "expression-init cost that grows O(k) (the k·DIM literal "
+            "tree); the broadcast Arrow kernel (third arm, dispatched "
+            "at k ≥ BROADCAST_MIN_K) pays the codebook once per "
+            "executor instead — its column is what 'init cost flat in "
+            "k' looks like.\n\n"
+            "| corpus | k | est. scan_frac | flat wall s | staged "
+            "wall s | broadcast wall s | flat/staged | flat/broadcast "
+            "|\n|---|---|---|---|---|---|---|---|\n"
         )
-        for kind, k, frac, t_flat, t_two, sp in rows:
+        for kind, k, frac, t_flat, t_two, t_bk, sp, spb in rows:
             f.write(f"| {kind} | {k} | {frac} | {t_flat} | {t_two} "
-                    f"| **{sp}×** |\n")
+                    f"| {t_bk} | **{sp}×** | **{spb}×** |\n")
     print("wrote", out_md)
     spark.stop()
 

@@ -37,11 +37,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WINDOW = 50
 
 
+class RotationOverflow(ValueError):
+    """The staleness contract cannot be met this round: the mandatory
+    set (tier-2 changed keys + every staleness≥2 / never-covered key)
+    exceeds the window. r13 hit this silently — `sample_stratified`
+    was truncated to staleness 3 while the commit message and README
+    claimed ≤2 (r13 verdict "What's wrong" #1). The planner now
+    HARD-FAILS instead of truncating; passing ``allow_spill=True``
+    (CLI: ``--allow-spill``) accepts the spill and returns it in
+    ``spilled`` so the round's artifacts can DOCUMENT which keys fell
+    past the cap."""
+
+
 def plan(
     registry: list[str],
     staleness: dict[str, int],
     changed: list[str],
     window: int = WINDOW,
+    allow_spill: bool = False,
 ) -> dict:
     """Pure planning core (unit-tested): returns the proposed order,
     the window slice, and the diff vs the current window."""
@@ -58,9 +71,28 @@ def plan(
     )
     tier3 = [k for k in rest if k not in set(tier1)]
     order = tier2 + tier1 + tier3
+    # Contract enforcement (r13 verdict "What's wrong" #1): every
+    # tier-2 key AND every key at staleness ≥ 2 (or never covered)
+    # MUST land inside the window, or the "no green row older than two
+    # rounds" claim is false for this round. Fail loudly instead of
+    # truncating silently.
+    mandatory = list(tier2) + [
+        k for k in tier1
+        if staleness.get(k, -1) >= 2 or staleness.get(k, -1) < 0
+    ]
+    spilled = [k for k in mandatory if k not in set(order[:window])]
+    if spilled and not allow_spill:
+        raise RotationOverflow(
+            f"{len(mandatory)} mandatory keys (tier2={len(tier2)} + "
+            f"staleness>=2/never-covered) overflow the {window}-slot "
+            f"window; spilled: {spilled}. Shrink tier 2, grow the "
+            "window, or re-run with --allow-spill and DOCUMENT the "
+            "spill in the round's artifacts."
+        )
     cur_window = set(registry[:window])
     new_window = set(order[:window])
     return {
+        "spilled": spilled,
         "order": order,
         "window": order[:window],
         "enter": sorted(new_window - cur_window),
@@ -83,6 +115,10 @@ def plan(
 def main() -> int:
     args = sys.argv[1:]
     window = WINDOW
+    allow_spill = False
+    if "--allow-spill" in args:
+        allow_spill = True
+        args = [a for a in args if a != "--allow-spill"]
     if args and args[0] == "--window":
         window = int(args[1])
         args = args[2:]
@@ -94,10 +130,13 @@ def main() -> int:
     with open(os.path.join(root, "bench_full.json")) as f:
         staleness = json.load(f).get("staleness", {})
 
-    p = plan(registry, staleness, args, window)
+    p = plan(registry, staleness, args, window, allow_spill=allow_spill)
     print(f"# proposed window ({p['tiers']['t2']} changed + "
           f"{min(p['tiers']['t1'], window - p['tiers']['t2'])} stale + rest), "
           f"{len(registry)} keys total")
+    if p["spilled"]:
+        print(f"# !! SPILLED past the window (staleness contract "
+              f"breached this round — DOCUMENT): {p['spilled']}")
     print(f"# enters window: {p['enter']}")
     print(f"# leaves window: {p['exit']}")
     print(f"# max staleness left outside: {p['max_stale_outside']} "

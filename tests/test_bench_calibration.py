@@ -93,3 +93,63 @@ class TestNormalizedFlag:
     def test_no_prior_never_flags(self):
         assert not _is_slow_vs_prior(100.0, None, 1.0)
         assert not _is_slow_vs_prior(100.0, 0.0, 1.0)
+
+
+class TestThroughputFlag:
+    """_is_slow_bps — the blocks/s twin of the wall-time guard
+    (r13 verdict #1: the family that carried the unadjudicated 0.45
+    retention). Throughput inverts: slower host ⇒ LOWER blocks/s is
+    expected, so the prior is divided by the ratio, not multiplied."""
+
+    def test_drifted_host_produces_zero_flags(self):
+        from bench import _is_slow_bps
+
+        # host 2× slower, throughput exactly halved → explained, no flag
+        for prior in (588.0, 1119.0, 12449.0):
+            assert not _is_slow_bps(prior / 2.0, prior, 2.0)
+
+    def test_real_collapse_still_fires_on_drifted_host(self):
+        from bench import _is_slow_bps
+
+        # a genuine 4× throughput collapse on a 2×-drifted host
+        assert _is_slow_bps(1000.0 / 4.0, 1000.0, 2.0)
+
+    def test_real_collapse_fires_on_healthy_host(self):
+        from bench import _is_slow_bps
+
+        assert _is_slow_bps(1000.0 / 2.0, 1000.0, 1.0)
+
+    def test_faster_host_cannot_manufacture_flags(self):
+        from bench import _is_slow_bps
+
+        # host 2× faster (ratio 0.5), throughput unchanged: floor at 1
+        # keeps the threshold at prior/1.5 → no flag
+        assert not _is_slow_bps(1000.0, 1000.0, 0.5)
+
+    def test_ratio_metric_uses_unit_host_factor(self):
+        from bench import _is_slow_bps
+
+        # retention is a same-run ratio — host drift cancels, so the
+        # caller passes host_ratio=1.0: the r13 artifact (0.45 against
+        # a 0.876 prior) MUST flag under that rule
+        assert _is_slow_bps(0.45, 0.876, 1.0)
+        # ...and a mild dip must not
+        assert not _is_slow_bps(0.80, 0.876, 1.0)
+
+    def test_no_prior_never_flags(self):
+        from bench import _is_slow_bps
+
+        assert not _is_slow_bps(100.0, None, 1.0)
+        assert not _is_slow_bps(100.0, 0.0, 1.0)
+
+
+class TestCalibrationMinShape:
+    def test_norm_median_floor_matches_flag_rule(self):
+        """r13 ADVICE: norm_median divides by max(1.0, ratio) — on a
+        FASTER host (ratio < 1) the recorded norm_median must equal
+        the raw median, symmetric with the flag rule's floor."""
+        host_ratio = 0.8
+        median = 2.0
+        assert round(median / max(1.0, host_ratio), 4) == 2.0
+        host_ratio = 1.6
+        assert round(median / max(1.0, host_ratio), 4) == 1.25

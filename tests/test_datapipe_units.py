@@ -1774,12 +1774,51 @@ class TestRotationPlanner:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
 
-        # window=2 with THREE never-covered keys: one must overflow
+        # window=2 with THREE never-covered keys: one must overflow —
+        # which is now a contract breach the planner refuses silently
+        # (r13 verdict #1: the silent truncation is what dropped
+        # sample_stratified to staleness 3); --allow-spill accepts it
+        # and reports the spilled keys by name.
+        import pytest as _pytest
+
         registry = ["a", "b", "c", "d"]
         staleness = {"a": -1, "b": -1, "c": -1, "d": 2}
-        p = mod.plan(registry, staleness, [], window=2)
+        with _pytest.raises(mod.RotationOverflow):
+            mod.plan(registry, staleness, [], window=2)
+        p = mod.plan(registry, staleness, [], window=2, allow_spill=True)
         assert p["max_stale_outside"] == 10**6
         assert p["never_covered_outside"] == ["c"]
+        assert p["spilled"] == ["c", "d"]
+
+    def test_overflow_hard_fails_on_tier2_pressure(self):
+        """Tier-2 (changed) keys consuming slots must not silently push
+        a staleness-2 key past the cap — the exact r13 breach shape."""
+        import importlib.util
+        import os
+
+        import pytest as _pytest
+
+        spec = importlib.util.spec_from_file_location(
+            "plan_rotation4",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "scripts", "plan_rotation.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        registry = ["a", "b", "c", "d"]
+        staleness = {"a": 0, "b": 2, "c": 2, "d": 0}
+        # window 2: changed key "a" + both staleness-2 keys = 3 > 2
+        with _pytest.raises(mod.RotationOverflow):
+            mod.plan(registry, staleness, ["a"], window=2)
+        p = mod.plan(registry, staleness, ["a"], window=2,
+                     allow_spill=True)
+        assert p["window"] == ["a", "b"] and p["spilled"] == ["c"]
+        # fits when nothing changed — no spill, no raise
+        p2 = mod.plan(registry, staleness, [], window=2)
+        assert p2["spilled"] == [] and p2["window"] == ["b", "c"]
 
     def test_rejects_unknown_changed_key(self):
         import importlib.util
@@ -1924,6 +1963,109 @@ class TestTwoLevelAssign:
             map(tuple, _assign_two_level(e, centroids).select(*cols).collect())
         )
         assert flat == two and len(flat) > 0
+
+    def test_broadcast_kernel_identical_to_flat(self, spark):
+        """The broadcast-codebook Arrow kernel (r13 verdict #3) is the
+        third dispatch arm: same per-dim left-fold distance, same
+        first-min/(d, cid) tie-break — bit-identical rows to the flat
+        literal scan, including the sqdist doubles."""
+        from argus_spark.datapipe.clustering import (
+            _assign_broadcast,
+            _assign_flat,
+            kmeans_codebook,
+        )
+        from tests.conftest import SF_SMOKE
+
+        e, centroids, _ = kmeans_codebook(spark, SF_SMOKE, k=None, iters=1)
+        cols = ["vec_id", "cluster_id", "sqdist"]
+        flat = sorted(
+            map(tuple, _assign_flat(e, centroids).select(*cols).collect())
+        )
+        bk = sorted(
+            map(
+                tuple,
+                _assign_broadcast(e, centroids).select(*cols).collect(),
+            )
+        )
+        assert flat == bk and len(flat) > 0
+
+    def test_broadcast_kernel_unsorted_codebook_and_empty_ok(self, spark):
+        """The kernel sorts the codebook by cid itself (argmin's
+        first-min tie-break is only equal to the (d, cid) struct
+        minimum on an ascending codebook), and an empty partition
+        yields an empty, correctly-typed batch."""
+        from pyspark.sql import functions as F
+
+        from argus_spark.datapipe.clustering import (
+            _assign_broadcast,
+            _assign_flat,
+        )
+
+        e = (
+            spark.range(40)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.array(
+                    (F.col("id") % 7).cast("double"),
+                    (F.col("id") % 3).cast("double"),
+                ).alias("v"),
+            )
+            .repartition(8)  # more partitions than distinct rows pays
+        )
+        cb = [(3, [6.0, 2.0]), (0, [0.0, 0.0]), (2, [6.0, 2.0])]
+        cols = ["vec_id", "cluster_id", "sqdist"]
+        flat = sorted(
+            map(tuple, _assign_flat(e, cb).select(*cols).collect())
+        )
+        bk = sorted(
+            map(tuple, _assign_broadcast(e, cb).select(*cols).collect())
+        )
+        assert flat == bk and len(flat) == 40
+        # the duplicate-centroid tie (cids 2 vs 3 at identical cv) must
+        # resolve to the smaller cid on both paths
+        assert any(r[1] == 2 for r in bk) and not any(r[1] == 3 for r in bk)
+
+    def test_dispatch_takes_broadcast_arm_at_large_k(self, spark):
+        """k ≥ BROADCAST_MIN_K must route through mapInPandas (the
+        literal paths' per-task init is O(k) there) — visible in the
+        plan, and still map-only: no Exchange."""
+        from pyspark.sql import functions as F
+
+        from argus_spark.datapipe.clustering import (
+            BROADCAST_MIN_K,
+            _assign,
+        )
+        from argus_spark.plans.checks import formatted_plan
+
+        e = spark.range(20).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.col("id").cast("double")).alias("v"),
+        )
+        cb = [(i, [float(i)]) for i in range(BROADCAST_MIN_K)]
+        df = _assign(e, cb)
+        plan = formatted_plan(df)
+        assert "MapInPandas" in plan, plan
+        assert "Exchange" not in plan, plan
+        rows = {r.vec_id: r.cluster_id for r in df.collect()}
+        assert rows == {i: i for i in range(20)}
+
+    def test_staged_query_demonstrably_takes_two_level_arm(self, spark):
+        """r13 verdict #4: the staged path needs driver-level evidence
+        that it actually RUNS in a registered query. The clustered
+        fixed codebook must route `_assign` to the two-level arm —
+        asserted via the dispatch side-channel AND the staged plan's
+        materialized `__tl_ub` coarse-bound column."""
+        from argus_spark.datapipe.clustering import (
+            LAST_DISPATCH,
+            assign_staged_clustered,
+        )
+        from tests.conftest import SF_SMOKE
+
+        LAST_DISPATCH["arm"] = ""
+        df = assign_staged_clustered(spark, SF_SMOKE)
+        assert LAST_DISPATCH["arm"] == "two_level"
+        assert "__tl_ub" in df._jdf.queryExecution().analyzed().toString()
+        assert df.count() > 0
 
     def test_coarse_groups_cover_all_centroids(self):
         """Every fine centroid lands in exactly one non-empty group,

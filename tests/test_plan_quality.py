@@ -232,6 +232,25 @@ def test_minhash_estimate_all_joins_equi(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_assign_fixed_codebook_queries_are_map_only(spark):
+    """The two fixed-codebook assignment queries (r13 verdict #4) are
+    pure map work — row-per-vector output, codebook driver-side — so
+    their plans must carry NO Exchange at all; the broadcast variant
+    must additionally show the Arrow kernel (MapInPandas), the staged
+    variant must NOT fall back to it (literal scan stays JVM-side)."""
+    from argus_spark.datapipe.clustering import (
+        assign_broadcast_codebook,
+        assign_staged_clustered,
+    )
+
+    staged = formatted_plan(assign_staged_clustered(spark, SF_SMOKE))
+    assert "Exchange" not in staged, staged
+    assert "MapInPandas" not in staged, staged
+    bkast = formatted_plan(assign_broadcast_codebook(spark, SF_SMOKE))
+    assert "Exchange" not in bkast, bkast
+    assert "MapInPandas" in bkast, bkast
+
+
 def test_dedup_semantic_one_corpus_shuffle_no_nested_loop(spark):
     """SemDeDup contract: cell assignment is map-side (codebook enters
     as a driver literal), so the only corpus shuffles are the in-cell
