@@ -115,6 +115,8 @@ HEADLINE = [
     "top_terms_by_source",
     "embedding_incremental_delta",
     "ann_whitened_recall",
+    "assign_staged_clustered",
+    "assign_broadcast_codebook",
 ]
 
 
