@@ -147,9 +147,19 @@ class TestCalibrationMinShape:
     def test_norm_median_floor_matches_flag_rule(self):
         """r13 ADVICE: norm_median divides by max(1.0, ratio) — on a
         FASTER host (ratio < 1) the recorded norm_median must equal
-        the raw median, symmetric with the flag rule's floor."""
-        host_ratio = 0.8
-        median = 2.0
-        assert round(median / max(1.0, host_ratio), 4) == 2.0
-        host_ratio = 1.6
-        assert round(median / max(1.0, host_ratio), 4) == 1.25
+        the raw median, symmetric with the flag rule's floor. Pins
+        bench.py's ACTUAL helper (`_norm_wall`), not a local copy of
+        the arithmetic — a revert to the old unfloored divisor form
+        must fail here."""
+        from bench import _norm_wall
+
+        assert _norm_wall(2.0, 0.8) == 2.0
+        assert _norm_wall(2.0, 1.6) == 1.25
+
+    def test_norm_bps_floor_is_symmetric(self):
+        """Throughput twin: raw × max(1.0, ratio) — a faster host
+        (ratio < 1) must NOT deflate the normalized blocks/s."""
+        from bench import _norm_bps
+
+        assert _norm_bps(1000.0, 0.8) == 1000.0
+        assert _norm_bps(1000.0, 1.44) == 1440.0
