@@ -903,6 +903,19 @@ def dedup_ngram_jaccard(
             F.col("i").cast("double") / F.col("u").cast("double"),
         )
         .select("doc_a", "doc_b", "i", "u", "jaccard")
+        # Cached (r14 opt): the VERIFIED frame — 5 numeric cols, ~1
+        # row per true near-dup pair — is the fan-out point of the
+        # whole token-dedup family: this query's τ filter,
+        # dedup_clusters' edge list (re-materialized per run by the
+        # CC localCheckpoints), cross_source_dup_matrix's fold,
+        # dedup_lsh_recall's truth side and dedup_threshold_sweep all
+        # re-derive it from `cand` otherwise, paying the two document
+        # joins + array_intersect over every candidate pair PER
+        # CONSUMER (measured 2.2-2.5 s per re-derivation at sf0.1 —
+        # the whole bench median of this query). Same scoped-cache
+        # pattern (guide §5: reused AND expensive to recompute) and
+        # the same 100 TB shape as `cand`: verified pairs ≪ corpus.
+        .transform(scoped_cache)
     )
     if not _return_verified:
         return verified.filter(F.col("jaccard") >= JACCARD_TAU).select(
@@ -1116,9 +1129,16 @@ def connected_components(
     reliable ``checkpoint(dir)`` (executor loss mid-loop must replay
     from a real checkpoint, not lineage). The convergence probe is a
     limit(1) existence check, not a data collect."""
+    # r14 opt: no localCheckpoint here any more — the edge frames this
+    # is called on come off the scoped-cached verified pair frame, so
+    # the two consumers below (l0's aggregate, the contraction join)
+    # each re-derive the union from cache in ~0.1 s instead of paying
+    # a 1.9M-row checkpoint materialization up front (measured 0.65 s
+    # at sf0.1; guide §5 — cache/checkpoint only when recompute costs
+    # more than the materialization).
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    )
     # phase 1: contract
     l0 = (
         sym.groupBy("src")
@@ -1153,7 +1173,22 @@ def connected_components(
 
 def _cc_propagate(sym: DataFrame, max_iters: int) -> DataFrame:
     """Phase-2 loop over an already-symmetric edge frame; returns
-    (doc, label) for vertices incident to it."""
+    (doc, label) for vertices incident to it.
+
+    r14 opt (guide §1.2 "per-task work" at its limit — the contracted
+    graph is a few hundred rows, so EVERY cost here is fixed per-round
+    job overhead, not data): the convergence check rides the SAME
+    aggregate — the old label travels through the union as a min-able
+    sidecar column, so "did anything change" is a filter over the
+    freshly checkpointed round output (~0.1 s) instead of a second
+    join+shuffle job per round (~0.2 s). A second pointer jump per
+    round was tried and REVERTED: on the clique-heavy near-dup graphs
+    this loop sees post-contraction, convergence is neighbor-message-
+    driven (label chains are short), so the extra jump saved zero
+    rounds at sf0.1 while adding ~0.2 s/round of broadcast-join
+    overhead. Exactness is pinned by the randomized-graph equivalence
+    tests (test_skew_ingest.py) against sequential union-find.
+    """
     labels = (
         sym.select(F.col("src").alias("doc"))
         .distinct()
@@ -1161,6 +1196,7 @@ def _cc_propagate(sym: DataFrame, max_iters: int) -> DataFrame:
         .localCheckpoint()
     )
     sym = sym.localCheckpoint()
+    null_old = F.lit(None).cast(dict(labels.dtypes)["label"])
     for _ in range(max_iters):
         msgs = sym.join(
             labels.withColumnRenamed("doc", "src"), "src"
@@ -1172,20 +1208,24 @@ def _cc_propagate(sym: DataFrame, max_iters: int) -> DataFrame:
             mapping, labels.label == mapping.m_doc
         ).select("doc", F.col("m_label").alias("label"))
         new_labels = (
-            msgs.unionByName(labels)
-            .unionByName(jumped)
+            msgs.withColumn("__old", null_old)
+            .unionByName(jumped.withColumn("__old", null_old))
+            .unionByName(labels.withColumn("__old", F.col("label")))
             .groupBy("doc")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                # exactly one non-null __old per doc (its old label);
+                # min() is just the null-skipping picker
+                F.min("__old").alias("__old"),
+            )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_labels.filter(F.col("label") < F.col("__old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("doc", "label")
         if changed == 0:
             break
     return labels
