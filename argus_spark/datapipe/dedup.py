@@ -1632,7 +1632,12 @@ def _ec_plane_dot(v: F.Column, plane: list[float]) -> F.Column:
 
 
 def _ec_band_val(v: F.Column, band: int) -> F.Column:
-    """4-bit sign pattern of hyperplanes [band*4, band*4+4)."""
+    """4-bit sign pattern of hyperplanes [band*4, band*4+4).
+
+    Column-composition form, kept for callers that band an arbitrary
+    Column (the equivalence test). The query paths use
+    ``_ec_band_expr`` — identical arithmetic built as ONE parsed SQL
+    string (see its docstring for why)."""
     b = F.lit(0).cast("long")
     for j in range(EC_R):
         dot = _ec_plane_dot(v, EC_PLANES[band * EC_R + j])
@@ -1640,6 +1645,49 @@ def _ec_band_val(v: F.Column, band: int) -> F.Column:
             F.lit(0).cast("long")
         )
     return b
+
+
+def _ec_band_expr(v: str, band: int) -> str:
+    """``_ec_band_val`` as a Spark-SQL string over column name ``v``
+    — the same left-fold dots and long sums, but parsed JVM-side in
+    ONE hop instead of composed from EC_R×DIM ``F.lit()`` Py4J round
+    trips (r14 opt, the ``_assign_flat`` lesson: literal-tree
+    construction through Py4J dominated CONSTRUCTION time of every
+    banding query — measured 2.7 s of a 3.1 s embedding_incremental
+    _delta bench median was Python-side plan building). ``repr``
+    round-trips doubles exactly and the ``D`` suffix keeps literals
+    DoubleType, so the parsed expression tree is arithmetically
+    identical to the Column form (pinned by the band-equivalence
+    test)."""
+    terms = []
+    for j in range(EC_R):
+        plane = (
+            "array("
+            + ", ".join(f"{float(x)!r}D" for x in EC_PLANES[band * EC_R + j])
+            + ")"
+        )
+        dot = (
+            f"aggregate(zip_with({v}, {plane}, (x, y) -> x * y), "
+            "0.0D, (acc, t) -> acc + t)"
+        )
+        terms.append(
+            f"(CASE WHEN {dot} > 0.0D THEN {1 << j}L ELSE 0L END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ec_bands_array_expr(v: str) -> F.Column:
+    """The full EC_BANDS×(band, bval) struct array as one parsed
+    expression — the shared banding projection of every hyperplane-LSH
+    consumer (cosine dedup, the delta family, the streaming twin)."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {b}, 'bval', {_ec_band_expr(v, b)})"
+            for b in range(EC_BANDS)
+        )
+        + ")"
+    )
 
 
 def _ec_plane_sql(p: list[float]) -> str:
@@ -1702,14 +1750,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst re-derives each from the pruned parquet scan; at cluster
     # scale persist() the normed corpus instead of rescanning.
     e = e.withColumn("nrm", norm(F.col("v")))
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"), _ec_band_val(F.col("v"), b).alias("bval")
-            )
-            for b in range(EC_BANDS)
-        ]
-    )
+    bands = _ec_bands_array_expr("v")
     eb = e.select("vec_id", F.explode(bands).alias("b")).select(
         "vec_id", F.col("b.band").alias("band"), F.col("b.bval").alias("bval")
     )
@@ -1782,26 +1823,24 @@ DEDUP_EMBEDDING_COSINE_SQL = _ec_sql()
 
 def _embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, nrm) projection of the embeddings table — the shared
-    input of the banding and the exact-cosine verify stages."""
+    input of the banding and the exact-cosine verify stages.
+
+    Scoped-cached (r14 opt): one delta-query construction derives this
+    frame FOUR times (base bands, delta bands, both verify sides), each
+    re-paying the scan + the DIM-fold norm; identical logical plans hit
+    one cache entry, so the corpus is normed once per construction and
+    once across bench repeats (guide §5 — reused and recompute-heavy)."""
     e = load(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    return e.withColumn("nrm", norm(F.col("v")))
+    return scoped_cache(e.withColumn("nrm", norm(F.col("v"))))
 
 
 def _embedding_bands(e: DataFrame) -> DataFrame:
     """(vec_id, band, bval) hyperplane-LSH band rows — the same
     EC_BANDS×4-bit sign-pattern banding ``dedup_embedding_cosine``
     buckets on, factored so base and delta provably share it."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                _ec_band_val(F.col("v"), b).alias("bval"),
-            )
-            for b in range(EC_BANDS)
-        ]
-    )
+    bands = _ec_bands_array_expr("v")
     return e.select("vec_id", F.explode(bands).alias("b")).select(
         "vec_id", F.col("b.band").alias("band"), F.col("b.bval").alias("bval")
     )

@@ -203,14 +203,18 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    # One parsed expression per component instead of W_DIM×DIM F.lit()
+    # Py4J round trips (r14 opt — the _assign_flat lesson; same
+    # left-fold dot, repr round-trips the fitted doubles exactly).
+    def _w(k: int, w: list[float]) -> F.Column:
+        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in w) + ")"
+        return F.expr(
+            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, t) -> acc + t)"
+        ).alias(f"w{k}")
+
     return e.select(
-        "vec_id",
-        *[
-            _dot(
-                F.col("v"), F.array(*[F.lit(x) for x in w])
-            ).alias(f"w{k}")
-            for k, w in enumerate(WHITEN_W)
-        ],
+        "vec_id", *[_w(k, w) for k, w in enumerate(WHITEN_W)]
     )
 
 

@@ -31,6 +31,7 @@ from argus_spark.datapipe.dedup import (
     _as_double,
     _dot,
     _dot_sql,
+    _embedding_corpus,
     _norm_sql,
     cosine_prenorm,
     norm,
@@ -60,10 +61,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each query (vec_id < 8).
     Broadcast queries × corpus scan; ties broken by neighbor id so the
     ranking is total."""
-    e = load(spark, sf_dir, "embeddings", widen=True).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    e = e.withColumn("nrm", norm(F.col("v")))
+    # r14 opt: the shared scoped-cached (vec_id, v, nrm) corpus
+    # projection (dedup._embedding_corpus) — identical logical plan in
+    # every ANN variant, so one cache entry serves all branches of the
+    # composed recall queries instead of each re-paying scan + norm.
+    e = _embedding_corpus(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -102,22 +104,27 @@ SELECT q_id, n_id, rnk, cos_sim FROM (
 """
 
 
-def _bucket_col(v: F.Column, planes: list[list[float]] | None = None) -> F.Column:
-    """8-bit sign pattern of 8 plane projections (the seeded random
-    hyperplanes by default; pass another matrix — e.g. the whitening
-    rows — to reuse the same sign-hash discipline on a different
-    basis: one fold/predicate implementation, every variant)."""
-    b = F.lit(0).cast("long")
+def _bucket_col(v: str, planes: list[list[float]] | None = None) -> F.Column:
+    """8-bit sign pattern of 8 plane projections over column name ``v``
+    (the seeded random hyperplanes by default; pass another matrix —
+    e.g. the whitening rows — to reuse the same sign-hash discipline on
+    a different basis: one fold/predicate implementation, every
+    variant). Built as ONE parsed SQL string instead of
+    N_PLANES×DIM ``F.lit()`` Py4J round trips (r14 opt — the
+    ``_assign_flat`` lesson: Python-side literal-tree construction
+    dominated these queries' bench medians; ``repr`` + the ``D``
+    suffix reproduce the identical doubles, same left-fold order)."""
+    terms = []
     for p_idx, plane in enumerate(PLANES if planes is None else planes):
-        dot = F.aggregate(
-            F.zip_with(v, _plane_lit(plane), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
+        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({v}, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, t) -> acc + t)"
         )
-        b = b + F.when(dot > 0, F.lit(1 << p_idx).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        terms.append(
+            f"(CASE WHEN {dot} > 0.0D THEN {1 << p_idx}L ELSE 0L END)"
         )
-    return b
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def _bucket_sql(v: str, planes: list[list[float]] | None = None) -> str:
@@ -139,11 +146,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the probe is an equi-join on ``bucket`` — this is the
     shape that survives 100 TB (add multi-probe / band repetition for
     recall; single-probe kept here so the oracle is closed-form)."""
-    e = load(spark, sf_dir, "embeddings", widen=True).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    bucketed = e.withColumn("bucket", _bucket_col(F.col("v"))).withColumn(
-        "nrm", norm(F.col("v"))
+    # r14 opt: derive the bucket column from the shared cached normed
+    # corpus (column order of the intermediate differs; outputs are
+    # name-selected, results identical).
+    bucketed = _embedding_corpus(spark, sf_dir).withColumn(
+        "bucket", _bucket_col("v")
     )
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
@@ -201,11 +208,11 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode from the (tiny) query side, the corpus keeps ONE map-side
     bucket column, and the probe stays a broadcast equi-join on
     ``bucket`` — corpus never shuffles for candidate generation."""
-    e = load(spark, sf_dir, "embeddings", widen=True).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    bucketed = e.withColumn("bucket", _bucket_col(F.col("v"))).withColumn(
-        "nrm", norm(F.col("v"))
+    # r14 opt: derive the bucket column from the shared cached normed
+    # corpus (column order of the intermediate differs; outputs are
+    # name-selected, results identical).
+    bucketed = _embedding_corpus(spark, sf_dir).withColumn(
+        "bucket", _bucket_col("v")
     )
     probes = F.array(
         F.col("bucket"),
@@ -294,10 +301,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash probe on ``cell``. Ties break toward the smaller id in both
     engines.
     """
-    e = load(spark, sf_dir, "embeddings", widen=True).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    e = e.withColumn("nrm", norm(F.col("v")))
+    # r14 opt: the shared scoped-cached (vec_id, v, nrm) corpus
+    # projection (dedup._embedding_corpus) — identical logical plan in
+    # every ANN variant, so one cache entry serves all branches of the
+    # composed recall queries instead of each re-paying scan + norm.
+    e = _embedding_corpus(spark, sf_dir)
     # One-row codebook: nlist centroid structs in a single array value.
     codebook = (
         e.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
@@ -425,12 +433,19 @@ def embedding_project_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    # One parsed expression per component instead of RP_DIM×DIM
+    # F.lit() Py4J round trips (r14 opt; same left-fold dot, repr
+    # round-trips the plane doubles exactly, RP_SCALE = 0.25 is exact
+    # in binary so the literal multiply is the identical IEEE op).
+    def _p(i: int, p: list[float]) -> F.Column:
+        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
+        return F.expr(
+            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), "
+            f"0.0D, (acc, t) -> acc + t) * {float(RP_SCALE)!r}D"
+        ).alias(f"p{i}")
+
     return e.select(
-        "vec_id",
-        *[
-            (_dot(F.col("v"), _plane_lit(p)) * F.lit(RP_SCALE)).alias(f"p{i}")
-            for i, p in enumerate(RP_PLANES)
-        ],
+        "vec_id", *[_p(i, p) for i, p in enumerate(RP_PLANES)]
     )
 
 
@@ -622,10 +637,11 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-cut candidates. The corpus is scanned once and never
     shuffled. Determinism: the exact ``array_min`` tie orders and
     mirrored ADC fold of the parents (ties → smaller id)."""
-    e = load(spark, sf_dir, "embeddings", widen=True).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    e = e.withColumn("nrm", norm(F.col("v")))
+    # r14 opt: the shared scoped-cached (vec_id, v, nrm) corpus
+    # projection (dedup._embedding_corpus) — identical logical plan in
+    # every ANN variant, so one cache entry serves all branches of the
+    # composed recall queries instead of each re-paying scan + norm.
+    e = _embedding_corpus(spark, sf_dir)
     ivf_cb = (
         e.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
         .select(
@@ -985,7 +1001,7 @@ WHERE source_a < source_b
 """
 
 
-def _wbucket_col(v: F.Column) -> F.Column:
+def _wbucket_col(v: str) -> F.Column:
     """8-bit sign pattern of the first 8 WHITENED components — PCA
     hashing: whitening decorrelates the components and equalizes their
     second moments, so each sign bit is near-balanced and the 2^8
@@ -1013,11 +1029,8 @@ def ann_lsh_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast equi-join probe) — the whitening matrix rides the plan as
     literals, exactly the ``embedding_whiten`` projection reused as a
     hash."""
-    e = load(spark, sf_dir, "embeddings", widen=True).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    bucketed = e.withColumn("bucket", _wbucket_col(F.col("v"))).withColumn(
-        "nrm", norm(F.col("v"))
+    bucketed = _embedding_corpus(spark, sf_dir).withColumn(
+        "bucket", _wbucket_col("v")
     )
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),

@@ -125,6 +125,17 @@ def load(spark: SparkSession, sf_dir: str, name: str, widen: bool = False):
     and must not pay it. On a real many-file layout (the 100 TB case)
     scan parallelism >= cores and this is a no-op either way.
     """
+    try:
+        _key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir),
+            name,
+            bool(widen),
+        )
+    except Exception:
+        _key = None  # e.g. connect-only session — just skip the memo
+    if _key is not None and _key in _LOAD_CACHE:
+        return _LOAD_CACHE[_key]
     # The driver contract hands us ITS session (not get_spark()'s).
     # Depending on that session's build-time confs, events.ts
     # (parquet TIMESTAMP(NANOS)) arrives as bigint (legacy nanosAsLong,
@@ -175,6 +186,8 @@ def load(spark: SparkSession, sf_dir: str, name: str, widen: bool = False):
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(2, par // 2):
             df = df.repartition(par)
+    if _key is not None:
+        _LOAD_CACHE[_key] = df
     return df
 
 
@@ -182,6 +195,19 @@ TESTDATA_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+
+# Plan-level memo for load(): (applicationId, sf_dir, name, widen) →
+# the constructed DataFrame. A DataFrame is an immutable LAZY plan —
+# handing the same plan object back costs nothing and changes nothing
+# about execution (every action still scans the parquet files), but a
+# fresh load() costs ~140 ms of driver-side work (footer/schema read
+# via spark.read.parquet ≈ 75 ms, conf pins, the widen partition
+# probe), and most queries call it 1-4× per construction (r14 opt,
+# guide §1.2: construction overhead measured as the dominant term of
+# many sub-2s bench rows). Keyed by applicationId so a new session
+# never sees another session's plans.
+_LOAD_CACHE: dict[tuple, "DataFrame"] = {}
 
 
 def register_sql_views(spark: SparkSession, sf_dir: str) -> list[str]:

@@ -2117,3 +2117,88 @@ class TestTwoLevelAssign:
                 )
         frac_cl = _two_level_scan_frac(clustered, _coarse_groups(clustered))
         assert frac_cl <= TWO_LEVEL_SCAN_FRAC, frac_cl
+
+
+class TestExprLiteralEquivalence:
+    """The r14 construction-time optimization replaced Column-composed
+    literal trees (thousands of F.lit Py4J round trips) with single
+    parsed F.expr strings in the hyperplane-banding and plane-bucket
+    helpers. These tests pin that the parsed form computes BIT-IDENTICAL
+    values to the Column form on random vectors — same left-fold order,
+    same IEEE doubles (repr round-trip), same CASE/when long sums."""
+
+    def test_ec_band_expr_matches_column_form(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from argus_spark.datapipe.dedup import (
+            DIM,
+            EC_BANDS,
+            _ec_band_val,
+            _ec_bands_array_expr,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = [([float(x) for x in rng.standard_normal(DIM)],)
+                for _ in range(64)]
+        df = spark.createDataFrame(rows, "v array<double>")
+        col_form = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _ec_band_val(F.col("v"), b).alias("bval"),
+                )
+                for b in range(EC_BANDS)
+            ]
+        )
+        n_diff = (
+            df.select(
+                col_form.alias("a"), _ec_bands_array_expr("v").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert n_diff == 0
+
+    def test_bucket_col_expr_matches_column_form(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from argus_spark.datapipe.similarity import (
+            N_PLANES,
+            PLANES,
+            _bucket_col,
+        )
+        from argus_spark.datapipe.dedup import DIM
+
+        # the pre-r14 Column-composition form, rebuilt inline
+        def old_bucket(v):
+            b = F.lit(0).cast("long")
+            for p_idx, plane in enumerate(PLANES):
+                dot = F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in plane]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                b = b + F.when(
+                    dot > 0, F.lit(1 << p_idx).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            return b
+
+        rng = np.random.default_rng(13)
+        rows = [([float(x) for x in rng.standard_normal(DIM)],)
+                for _ in range(64)]
+        df = spark.createDataFrame(rows, "v array<double>")
+        n_diff = (
+            df.select(
+                old_bucket(F.col("v")).alias("a"),
+                _bucket_col("v").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert n_diff == 0
