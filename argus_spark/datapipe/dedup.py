@@ -1218,7 +1218,13 @@ def _cc_propagate(sym: DataFrame, max_iters: int) -> DataFrame:
                 # min() is just the null-skipping picker
                 F.min("__old").alias("__old"),
             )
-            .localCheckpoint()
+            # LAZY checkpoint (r14 opt): eager=True ran one job to
+            # materialize and a SECOND for the convergence count —
+            # pure fixed overhead on a few-hundred-row frame. With
+            # eager=False the count below is the action that both
+            # materializes the checkpoint and answers convergence:
+            # ONE job per round.
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.filter(F.col("label") < F.col("__old"))
@@ -1743,13 +1749,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     p ≈ 5e-4, so the answer itself is near-quadratic in that family)
     — wall grows strictly slower than output, i.e. the banding holds;
     on corpora with linear pair density wall tracks n."""
-    e = load(spark, sf_dir, "embeddings", widen=True).select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
     # Three consumers (band explode, verify-side a, verify-side b) —
-    # Catalyst re-derives each from the pruned parquet scan; at cluster
-    # scale persist() the normed corpus instead of rescanning.
-    e = e.withColumn("nrm", norm(F.col("v")))
+    # r14 opt: the shared scoped-cached (vec_id, v, nrm) projection
+    # (``_embedding_corpus``) replaces three per-branch re-derivations
+    # of scan + DIM-fold norm (guide §5 — reused and recompute-heavy;
+    # the same frame every ANN variant already reads).
+    e = _embedding_corpus(spark, sf_dir)
     bands = _ec_bands_array_expr("v")
     eb = e.select("vec_id", F.explode(bands).alias("b")).select(
         "vec_id", F.col("b.band").alias("band"), F.col("b.bval").alias("bval")
@@ -2077,7 +2082,13 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from argus_spark.datapipe.text import _gram_hashes
 
     d = load(spark, sf_dir, "documents", widen=True)
-    grams = (
+    # Scoped-cached (r14 opt): the distinct (doc_id, window-hash) frame
+    # feeds THREE plan branches (the df-cut aggregate + both sides of
+    # the pair self-join) — uncached, Catalyst re-runs the words split,
+    # md5 window hashing and explode per branch (3 full text passes;
+    # the plan showed 3 parquet scans of documents). Same pattern as
+    # dedup_simhash's signature cache (guide §5).
+    grams = scoped_cache(
         d.select("doc_id", F.explode(_gram_hashes(words_col(), ES_W, "es")).alias("g"))
         .dropDuplicates(["doc_id", "g"])
     )

@@ -60,16 +60,33 @@ def dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", "lang", F.explode("ws").alias("w")).select(
         "doc_id", "lang", (h64(F.col("w"), "dsir") % DSIR_BUCKETS).alias("b")
     )
+    # r14 opt (guide §2.3 aggregate-before-shuffle + §5 cache-at-the-
+    # fan-out): the md5-hashed token stream used to feed TWO plan
+    # branches (the model aggregate and the scoring probe), each
+    # re-running the words split + explode + per-token md5 from the
+    # scan. Collapse first to the per-(doc, lang, b) occurrence-count
+    # frame (≤ 256 rows per doc — lang is constant within a doc, so the
+    # key adds no fan-out): the models are a pure aggregate of it and
+    # the per-doc rollup sums m·floor(val·2³⁰) — identical val within a
+    # bucket, integer multiply of an already-floored long, so the sum
+    # is bit-identical to the per-occurrence form. One token pass + one
+    # small shuffle replaces two token passes; the probe join and the
+    # rollup now move per-doc-bucket rows, not occurrences.
+    from argus_spark.datapipe.scoped_cache import scoped_cache
+
+    dbc = scoped_cache(
+        tok.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("m"))
+    )
     # BOTH models in one partial-aggregated pass over the token stream
     # (cr = all occurrences, ct = target-slice occurrences via a
     # conditional sum), and the totals fold from the 256-row model
     # table itself — one corpus pass builds everything, vs the naive
     # three (raw counts, target counts, totals). Absent target buckets
     # carry ct=0 and smooth via the +1 Laplace term.
-    models = tok.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
+    models = dbc.groupBy("b").agg(
+        F.sum("m").alias("cr"),
         F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)).otherwise(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("m")).otherwise(
                 F.lit(0)
             )
         ).alias("ct"),
@@ -90,12 +107,13 @@ def dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tok.join(F.broadcast(bucket), "b")
+        dbc.join(F.broadcast(bucket), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("m").cast("long").alias("n_tokens"),
             F.sum(
-                F.floor(F.col("val") * F.lit(float(DSIR_SCALE))).cast("long")
+                F.col("m")
+                * F.floor(F.col("val") * F.lit(float(DSIR_SCALE))).cast("long")
             )
             .cast("long")
             .alias("affinity_fp"),

@@ -100,20 +100,41 @@ def fluency_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
     )
+    # r14 opt (guide §2.3 aggregate-before-shuffle + §5 cache-at-the-
+    # fan-out): the exploded bigram stream used to feed THREE plan
+    # branches (c2 model, c1 model, probe side), each re-running the
+    # words split + bigram explode from the scan (the before-plan
+    # showed 8 parquet scans of documents). Collapse first to the
+    # per-(doc, prev, cur) occurrence-count frame — every downstream
+    # consumer is a pure aggregate of it: c2 = Σm over (prev,cur),
+    # c1 = Σm over prev, per-doc n_bigrams = Σm, and the fixed-point
+    # mass Σ_occurrences floor(p·2³⁰) = Σ m·floor(p·2³⁰) exactly
+    # (identical p within a (prev,cur) group, integer multiply of an
+    # already-floored long — bit-identical to the per-occurrence sum).
+    # One explode pass + one (doc,prev,cur) shuffle replaces three
+    # explode passes; the model shuffles now move distinct-bigram rows,
+    # not occurrences.
+    from argus_spark.datapipe.scoped_cache import scoped_cache
+
+    dbc = scoped_cache(
+        big.groupBy("doc_id", "prev", "cur").agg(
+            F.count(F.lit(1)).alias("m")
+        )
+    )
     # model tables: c2 over (prev,cur) and c1 over prev are both
     # corpus-vocabulary-shaped — equi-join probes with NO forced
     # broadcast (at 100 TB the distinct-unigram table also outgrows the
     # driver; AQE picks broadcast at test scale on its own and degrades
     # to a shuffle join when the stats say otherwise). Only the one-row
     # V frame is hinted.
-    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = dbc.groupBy("prev", "cur").agg(F.sum("m").alias("c2"))
+    c1 = dbc.groupBy("prev").agg(F.sum("m").alias("c1"))
     vocab = (
         d.select(F.explode("ws").alias("tok"))
         .agg(F.count_distinct("tok").alias("v"))
     )
     scored = (
-        big.join(c2, ["prev", "cur"])
+        dbc.join(c2, ["prev", "cur"])
         .join(c1, "prev")
         .crossJoin(F.broadcast(vocab))  # one-row V frame
         .withColumn(
@@ -125,8 +146,10 @@ def fluency_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum(F.floor(F.col("p") * F.lit(float(FB_SCALE))).cast("long"))
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("m") * F.floor(F.col("p") * F.lit(float(FB_SCALE))).cast("long")
+            )
             .cast("long")
             .alias("prob_mass_fp"),
         )

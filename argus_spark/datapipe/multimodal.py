@@ -379,9 +379,20 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blobs = d.mapInPandas(_encode_batches, schema=_BLOB_SCHEMA)
     ph = blobs.mapInPandas(_phash_batches, schema="doc_id long, phash long")
-    groups = ph.groupBy("phash").agg(
-        F.min("doc_id").alias("rep"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+    # Scoped-cached (r14 opt): the signature-group frame is tiny (one
+    # row per distinct phash) but its lineage is the WHOLE Python
+    # decode+phash mapInPandas pipeline — uncached, both sides of the
+    # chunk self-join re-run it (the before-plan showed FOUR MapInPandas
+    # pairs: every document encoded and perceptually hashed twice
+    # per side). Same pattern as dedup_simhash's signature cache
+    # (guide §4/§5 — pay the Python boundary once).
+    from argus_spark.datapipe.scoped_cache import scoped_cache
+
+    groups = scoped_cache(
+        ph.groupBy("phash").agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
     )
     cb = SH_CHUNK_BITS
     chunks = F.array(

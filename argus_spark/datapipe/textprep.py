@@ -413,7 +413,15 @@ def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(ws, k * BOILER_WIDTH + 1, BOILER_WIDTH), " "
         ),
     )
-    ch = (
+    # Scoped-cached (r14 opt): the chunk stream feeds TWO plan branches
+    # (the df aggregate and the flag probe) — uncached, Catalyst runs
+    # the words split + chunk transform + posexplode over every
+    # document twice (the before-plan showed 2 parquet scans). Guide
+    # §5: reused and recompute-heavy; at cluster scale persisting the
+    # chunked corpus (or materializing it to storage) is the same call.
+    from argus_spark.datapipe.scoped_cache import scoped_cache
+
+    ch = scoped_cache(
         d.filter(n > 0)
         .select("doc_id", F.posexplode(chunks).alias("ord", "chunk_text"))
     )
