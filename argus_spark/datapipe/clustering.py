@@ -170,6 +170,31 @@ def _two_level_scan_frac(
     return float(scanned.mean()) / max(1, len(centroids))
 
 
+def _cvs_literal(vecs: list[list[float]]) -> Column:
+    """A list of vectors as ONE constant array<array<double>> column,
+    encoded as a JSON string literal decoded by ``from_json``.
+
+    Why this shape (r14, measured): a parsed ``array(array(…))`` SQL
+    string is cheap to PARSE (~5 ms at 45×64) but leaves k·DIM
+    unresolved nodes in the tree, and Dataset construction analyzes
+    eagerly — every ``.select`` consuming the codebook paid 0.16 s at
+    k=8 / 0.35 s at k=45 / 0.99 s at k=128 of pure analysis, once per
+    Lloyd iteration per repeat. ``from_json`` of a foldable string is
+    THREE analyzer nodes regardless of k (0.024 s at k=45, 15×), and
+    ConstantFolding evaluates it ONCE into the same array Literal the
+    old tree folded to — identical execution (noop-timed) and
+    bit-identical rows (json.dumps emits shortest-round-trip reprs;
+    the JSON reader parses to nearest double — exact round trip for
+    every finite IEEE double, and centroids are means of finite
+    data)."""
+    import json as _json
+
+    return F.from_json(
+        F.lit(_json.dumps([[float(x) for x in v] for v in vecs])),
+        "array<array<double>>",
+    )
+
+
 def _assign(e: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """Map-side nearest-centroid assignment — three-arm dispatch, all
     arms returning IDENTICAL rows (same left-fold distance arithmetic,
@@ -289,28 +314,40 @@ def _assign_flat(
     e: DataFrame, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
     """Flat map-side nearest-centroid assignment: the codebook enters
-    as a literal array of structs, argmin via array_min over
-    (dist, cid) — ascending struct order breaks distance ties toward
-    the smaller cluster id."""
-    # ONE parsed SQL literal instead of k×DIM F.lit() calls: each lit
-    # is a Py4J round-trip, and 512 of them per iteration measured as
-    # the dominant fit cost at bench SFs; a single expr() string parses
-    # JVM-side in one hop. repr() round-trips doubles exactly.
-    cb = F.expr(
-        "array("
-        + ", ".join(
-            "named_struct('cid', {cid}, 'cv', array({vs}))".format(
-                cid=int(cid),
-                vs=", ".join(f"{float(x)!r}D" for x in vec),
-            )
-            for cid, vec in centroids
+    as ONE nested-array literal, argmin via array_min over (dist, cid)
+    — ascending struct order breaks distance ties toward the smaller
+    cluster id."""
+    # STRUCT-FREE literal (r14, guide §1.2 measure-first): the r14
+    # batch-2 expr("array(named_struct('cid',…,'cv',array(…)), …)")
+    # form already collapsed k×DIM F.lit Py4J hops into one call, but
+    # its JVM-side parse still measured 0.76 s at k=45 — per Lloyd
+    # iteration, the dominant fit cost at bench SFs. The parse cost is
+    # the per-element named_struct invocations, not the doubles: the
+    # same codebook as a plain array<array<double>> string parses in
+    # ~5 ms (150× — measured side by side), and execution is identical
+    # (0.99 s noop either way). So: nested double arrays + the
+    # transform INDEX as the cid (codebooks from every k-means fit are
+    # contiguous 0..k-1; arbitrary cid sets go through one tiny
+    # element_at indirection literal). repr() round-trips doubles
+    # exactly; `D` suffix keeps DoubleType.
+    cids = [int(cid) for cid, _ in centroids]
+    cvs = _cvs_literal([vec for _, vec in centroids])
+    if cids == list(range(len(cids))):
+        # transform index is IntegerType — matches the old struct form
+        def cid_of(i: Column) -> Column:
+            return i
+    else:
+        clit = F.expr(
+            "array(" + ", ".join(str(c) for c in cids) + ")"
         )
-        + ")"
-    )
+
+        def cid_of(i: Column) -> Column:
+            return F.element_at(clit, i + F.lit(1))
+
     scored = F.transform(
-        cb,
-        lambda c: F.struct(
-            _sqdist(F.col("v"), c["cv"]).alias("d"), c["cid"].alias("cid")
+        cvs,
+        lambda c, i: F.struct(
+            _sqdist(F.col("v"), c).alias("d"), cid_of(i).alias("cid")
         ),
     )
     best = F.array_min(scored)
@@ -441,35 +478,44 @@ def _assign_two_level(
     if len(groups) < 2:
         return _assign_flat(e, centroids)  # nothing to prune
     v = F.col("v")
-    gls = [
-        F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in gc) + ")")
-        for gc, _, _ in groups
+    # r14 opt: materialize each coarse distance ONCE as a real column in
+    # the lowest projection (it is referenced twice above — inside ub and
+    # in its group's prune predicate — so CollapseProject's common-
+    # expression guard keeps the projection). The previous shape expanded
+    # dg(i) inline at BOTH references: 2g sqrt-folds per row instead of
+    # g, and every group-center literal duplicated in the plan binary —
+    # which doubles the per-task expression-init cost this docstring
+    # names as the scale ceiling (guide §1.2 per-task fixed work).
+    # group centers ride ONE from_json literal (same analyzer-cost
+    # argument as _cvs_literal), indexed per group below
+    gcs = _cvs_literal([gc for gc, _, _ in groups])
+    dgc = [
+        F.sqrt(_sqdist(v, F.element_at(gcs, i + 1))).alias(f"__tl_dg{i}")
+        for i in range(len(groups))
     ]
+    e1 = e.select("*", *dgc)
 
     def dg(i: int) -> F.Column:
-        return F.sqrt(_sqdist(v, gls[i]))
+        return F.col(f"__tl_dg{i}")
 
     ub = F.least(
         *[dg(i) + F.lit(float(r)) for i, (_, r, _) in enumerate(groups)]
     )
-    e2 = e.withColumn("__tl_ub", ub)
+    e2 = e1.withColumn("__tl_ub", ub)
     mins = []
     for i, (_, r, ms) in enumerate(groups):
-        mlit = F.expr(
-            "array("
-            + ", ".join(
-                "named_struct('cid', {cid}, 'cv', array({vs}))".format(
-                    cid=int(cid), vs=", ".join(f"{float(x)!r}D" for x in cv)
-                )
-                for cid, cv in ms
-            )
-            + ")"
+        # same struct-free literal form as _assign_flat (member cids
+        # are arbitrary subsets, so the index→cid indirection stays)
+        mcvs = _cvs_literal([cv for _, cv in ms])
+        mcids = F.expr(
+            "array(" + ", ".join(str(int(cid)) for cid, _ in ms) + ")"
         )
         gmin = F.array_min(
             F.transform(
-                mlit,
-                lambda c: F.struct(
-                    _sqdist(v, c["cv"]).alias("d"), c["cid"].alias("cid")
+                mcvs,
+                lambda c, j: F.struct(
+                    _sqdist(v, c).alias("d"),
+                    F.element_at(mcids, j + F.lit(1)).alias("cid"),
                 ),
             )
         )
@@ -485,6 +531,25 @@ def _assign_two_level(
     return e2.select(
         "vec_id", "v", best["cid"].alias("cluster_id"), best["d"].alias("sqdist")
     )
+
+
+_Q_SUM_COLUMNS: list[Column] = []
+
+
+def _q_sum_columns() -> list[Column]:
+    """The DIM fixed-point component-sum aggregate columns, built ONCE
+    per process (r14, guide §1.2): Column objects are immutable plan
+    fragments bound by NAME, so the same list serves every Lloyd
+    iteration of every fit — rebuilding them measured 0.45 s per
+    iteration in pure Py4J round trips (64 exprs × ~6 hops)."""
+    if not _Q_SUM_COLUMNS:
+        _Q_SUM_COLUMNS.extend(
+            F.sum(F.floor(F.col("v")[i] * F.lit(float(SCALE_V)))).alias(
+                f"q{i}"
+            )
+            for i in range(DIM)
+        )
+    return _Q_SUM_COLUMNS
 
 
 def kmeans_codebook(
@@ -515,10 +580,7 @@ def kmeans_codebook(
     inertia_path: list[float] = []
     # Fixed-point component sums: floor(v[i] * 2^24) is exact-scaled
     # then exactly floor'd; BIGINT sums are order-free.
-    q_sums = [
-        F.sum(F.floor(F.col("v")[i] * F.lit(float(SCALE_V)))).alias(f"q{i}")
-        for i in range(DIM)
-    ]
+    q_sums = _q_sum_columns()
     for _ in range(iters):
         assigned = _assign(e, centroids)
         upd = (

@@ -1095,6 +1095,14 @@ FROM banded GROUP BY tau_permille
 # --------------------------------------------------------------------------
 
 
+# Broadcast gate for the CC label/edge side-frames (r14): a
+# localCheckpoint-backed frame has no stats, so without an explicit
+# hint the planner shuffle-joins the big edge frame against it. Label
+# frames up to this many (long, long) rows (~64 MB) broadcast; bigger
+# vertex tables (corpus-scale runs) take the AQE shuffle join.
+CC_BROADCAST_MAX_ROWS = 4_000_000
+
+
 def connected_components(
     edges: DataFrame, max_iters: int = 50
 ) -> DataFrame:
@@ -1149,8 +1157,19 @@ def connected_components(
         )
         .localCheckpoint()
     )
+    # r14 opt (guide §3.1): a localCheckpoint-backed frame carries no
+    # stats, so the static planner sort-merge-joined the FULL edge
+    # frame against the small vertex-label side TWICE (two Exchanges +
+    # sorts of 1.9M rows at sf0.1, plan-captured). The label side's
+    # size is KNOWN post-checkpoint (one cheap count on a materialized
+    # frame), so broadcast it when it fits and the edge frame never
+    # shuffles; past the gate (corpus-scale vertex tables) fall back to
+    # the shuffle join AQE plans.
+    small_l0 = l0.count() <= CC_BROADCAST_MAX_ROWS
     la = l0.select(F.col("doc").alias("src"), F.col("label0").alias("la"))
     lb = l0.select(F.col("doc").alias("dst"), F.col("label0").alias("lb"))
+    if small_l0:
+        la, lb = F.broadcast(la), F.broadcast(lb)
     contracted = (
         sym.join(la, "src")
         .join(lb, "dst")
@@ -1159,6 +1178,8 @@ def connected_components(
         .distinct()
     )
     super_labels = _cc_propagate(contracted, max_iters)
+    if small_l0:  # contracted verts ⊆ l0 labels — same gate covers it
+        super_labels = F.broadcast(super_labels)
     return (
         l0.join(
             super_labels.select(
@@ -1189,23 +1210,31 @@ def _cc_propagate(sym: DataFrame, max_iters: int) -> DataFrame:
     overhead. Exactness is pinned by the randomized-graph equivalence
     tests (test_skew_ingest.py) against sequential union-find.
     """
+    # r14 opt: checkpoint the EDGE frame first — the old order eagerly
+    # checkpointed labels (executing the upstream contraction joins)
+    # and then checkpointed sym, executing the SAME contraction a
+    # second time (two ~1s jobs at sf0.1 doing identical work). With
+    # sym materialized first, the initial labels frame is a lazy
+    # distinct over a few-hundred-row checkpoint — recomputed per
+    # consumer for less than one materialization job costs.
+    sym = sym.localCheckpoint()
+    small = sym.count() <= CC_BROADCAST_MAX_ROWS  # post-ckpt: cheap
     labels = (
         sym.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("label", F.col("doc"))
-        .localCheckpoint()
     )
-    sym = sym.localCheckpoint()
+    bcast = F.broadcast if small else (lambda df: df)
     null_old = F.lit(None).cast(dict(labels.dtypes)["label"])
     for _ in range(max_iters):
         msgs = sym.join(
-            labels.withColumnRenamed("doc", "src"), "src"
+            bcast(labels.withColumnRenamed("doc", "src")), "src"
         ).select(F.col("dst").alias("doc"), "label")
         mapping = labels.select(
             F.col("doc").alias("m_doc"), F.col("label").alias("m_label")
         )
         jumped = labels.join(
-            mapping, labels.label == mapping.m_doc
+            bcast(mapping), labels.label == mapping.m_doc
         ).select("doc", F.col("m_label").alias("label"))
         new_labels = (
             msgs.withColumn("__old", null_old)
