@@ -916,6 +916,8 @@ def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan at 100 TB: one id equi-join attaches sources to vectors, one
     partial-agged exchange onto |sources|·DIM keys; everything after
     operates on ≤ a-few-thousand-row frames (broadcast joins, free)."""
+    from argus_spark.datapipe.scoped_cache import scoped_cache
+
     e = load(spark, sf_dir, "embeddings", widen=True).select(
         F.col("vec_id").alias("doc_id"), _as_double("embedding").alias("v")
     )
@@ -923,7 +925,11 @@ def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = e.join(src, "doc_id").select(
         "source", F.posexplode("v").alias("dim", "val")
     )
-    cent = (
+    # Scoped-cached (r14, guide §5 cache-at-fan-out): the centroid
+    # frame feeds BOTH sides of the pair self-join, and without the
+    # cache each side re-pays the vector join + posexplode + the
+    # |vectors|·DIM-row aggregate (the only expensive exchange here).
+    cent = scoped_cache(
         x.groupBy("source", "dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -941,7 +947,10 @@ def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cent.select(
         F.col("source").alias("source_b"), "dim", F.col("c").alias("cb")
     )
-    dots = (
+    # dots itself fans out three ways (na, nb, the final filter) — a
+    # tiny ≤C(|sources|+1,2)-row frame, so the cache costs nothing and
+    # saves two re-runs of the pair join + rollup.
+    dots = scoped_cache(
         a.join(b, "dim")
         .filter(F.col("source_a") <= F.col("source_b"))
         .groupBy("source_a", "source_b")

@@ -811,6 +811,13 @@ def source_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|² (≤400 here) — never all-pairs over rows — and the pair
     rollup has ≤ C(|sources|,2) output groups. Jaccard is exact small-
     integer arithmetic with one closing IEEE division."""
+    # NOT scoped-cached (r14, measured): the three consumers (sizes +
+    # both self-join sides) share ONE identical aggregate subtree that
+    # ReuseExchange already dedups — the scan/explode/partial-agg runs
+    # once and each branch re-runs only the cheap post-shuffle final
+    # agg. Caching replaced that with an InMemoryRelation
+    # materialization of a wide (string, string) frame and measured
+    # SLOWER (0.7 → 1.2 s at sf0.1).
     tok = (
         load(spark, sf_dir, "documents", widen=True)
         .select("source", F.explode(words_col()).alias("tok"))
@@ -891,7 +898,13 @@ def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source totals are re-aggregations of that small frame; the one-row
     corpus total and the |sources|-row totals broadcast; the final
     per-source top-K is a window over ≤ |sources|·|vocab| rows."""
-    st = (
+    from argus_spark.datapipe.scoped_cache import scoped_cache
+
+    # Scoped-cached (r14, guide §5 cache-at-fan-out): FOUR plan
+    # branches re-derive the (source, tok) count — src_tot, tok_tot,
+    # corpus_tot and the scored join — each re-paying the scan +
+    # explode + count aggregate without the cache.
+    st = scoped_cache(
         load(spark, sf_dir, "documents", widen=True)
         .select("source", F.explode(words_col()).alias("tok"))
         .groupBy("source", "tok")
