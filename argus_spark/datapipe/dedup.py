@@ -808,11 +808,26 @@ def dedup_ngram_jaccard(
     # n − ⌈2τ/(1+τ)·n⌉ + 2 (≈ 0.053·n at τ=0.9 vs the probe side's
     # ≈ 0.1·n) — the join enumerates df_probe·df_index per token
     # instead of df_probe².
-    probe = ranked.filter(
-        F.col("k") <= F.col("n") - F.expr(f"({tau_num}*n+{tau_num}) div {tau_den}") + 2
-    ).select("doc_id", "w", "k", "n")
+    # r14 opt (guide §5 cache-at-fan-out, COLD-path): the three prefix
+    # consumers below (probe, index, small-doc fallback) each sit ABOVE
+    # the window's doc_id exchange, so shuffle reuse does not cover the
+    # re-executed explode → df join → two-window subtree — the plan ran
+    # it three times (~3 s each at sf0.1). The probe bound is the
+    # LOOSEST of the three (index bound ⊂ it for every n; the n ≤ 4
+    # fallback uses the same bound minus one), so ONE scoped-cached
+    # frame of the probe-prefix rows (~19k skinny rows at sf0.1 —
+    # prefix rows ≪ token rows at any scale) serves all three branches
+    # as further filters with bit-identical rows. Cold candidate
+    # materialization measured 12.5 → 3.1 s, same 2,945,371 candidates.
+    pref = scoped_cache(
+        ranked.filter(
+            F.col("k")
+            <= F.col("n") - F.expr(f"({tau_num}*n+{tau_num}) div {tau_den}") + 2
+        )
+    )
+    probe = pref.select("doc_id", "w", "k", "n")
     idx_num, idx_den = 2 * tau_num, tau_num + tau_den  # 2τ/(1+τ) = 18/19
-    index = ranked.filter(
+    index = pref.filter(
         F.col("k") <= F.col("n") - F.expr(f"({idx_num}*n+{idx_num}) div {idx_den}") + 2
     ).select("doc_id", "w", "k", "n")
     # ℓ=2 needs O ≥ 2, guaranteed for n ≥ 5 (O ≥ ⌈(2·9/19)·5⌉ = 5);
@@ -853,7 +868,7 @@ def dedup_ngram_jaccard(
         .filter(F.col("n_shared") >= 2)
         .select("doc_a", "doc_b")
     )
-    sp = ranked.filter(
+    sp = pref.filter(
         (F.col("n") <= 4)
         & (
             F.col("k")
@@ -1219,6 +1234,16 @@ def _cc_propagate(sym: DataFrame, max_iters: int) -> DataFrame:
     # consumer for less than one materialization job costs.
     sym = sym.localCheckpoint()
     small = sym.count() <= CC_BROADCAST_MAX_ROWS  # post-ckpt: cheap
+    if small:
+        # r14 opt (guide §2.2 fewer-larger-partitions at its
+        # degenerate limit): under the same gate that justifies
+        # broadcasting the label side, read the materialized edge
+        # partitions into ONE task for the loop — each round otherwise
+        # schedules ~32 tasks for a few-hundred-row frame (narrow
+        # post-checkpoint coalesce, so the upstream contraction keeps
+        # its full parallelism; past the gate the loop stays fully
+        # distributed).
+        sym = sym.coalesce(1)
     labels = (
         sym.select(F.col("src").alias("doc"))
         .distinct()

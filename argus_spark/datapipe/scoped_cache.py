@@ -42,6 +42,14 @@ def flush_scoped() -> int:
     while _LIVE:
         df = _LIVE.pop()
         try:
+            # Async on purpose (r14, measured): unpersist(blocking=True)
+            # was tried against the "Asked to cache already cached
+            # data" re-registration race and made composed-plan repeats
+            # ~10× WORSE (curation 16 → 158 s/run — the synchronous
+            # block-removal wait serializes against the 32-core local
+            # executor's in-flight work). The async race costs at most
+            # a recompute of a skinny frame; the blocking wait costs
+            # the wall. Keep async.
             df.unpersist()
             n += 1
         except Exception:
