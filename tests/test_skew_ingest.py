@@ -139,6 +139,31 @@ def test_connected_components_random_graphs(spark):
         assert got == want, (seed, sorted(got - want)[:5], sorted(want - got)[:5])
 
 
+def test_connected_components_past_gate_distributed_path(spark, monkeypatch):
+    """The r14 small-graph fast path (broadcast label sides +
+    single-partition propagate loop) is gated on CC_BROADCAST_MAX_ROWS;
+    every realistic test graph sits UNDER the gate, so the corpus-scale
+    branch — shuffle joins, multi-partition rounds — would otherwise
+    ship untested. Force the gate shut and re-run the union-find
+    equivalence property: labels must be bit-identical on either
+    branch."""
+    import random
+
+    from argus_spark.datapipe import dedup as dd
+
+    monkeypatch.setattr(dd, "CC_BROADCAST_MAX_ROWS", 0)
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        n = rng.randint(10, 60)
+        m = rng.randint(5, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {(r.doc, r.label) for r in dd.connected_components(df).collect()}
+        want = set(_union_find_labels(edges).items())
+        assert got == want, (seed, sorted(got - want)[:5], sorted(want - got)[:5])
+
+
 class TestBucketed:
     def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
         """The 100 TB layout contract: two tables bucketed on the join
