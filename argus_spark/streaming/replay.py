@@ -256,49 +256,46 @@ def _watermark_replay_run(
     os.makedirs(feed, exist_ok=True)
     ev = load(spark, sf_dir, "events")
     now = _time.time()
-    for k in range(N_REPLAY_BATCHES):
-        users = [
-            r["user_id"]
-            for r in ev.filter(
-                F.col("event_id") % N_REPLAY_BATCHES == k
-            )
+
+    # Feed files are built by SPARK WRITERS, not a driver collect
+    # (r15, r14 verdict #2): the per-batch distinct-user sets are
+    # corpus-scale, so materializing them driver-side made the feed
+    # scaffold the 100 TB bottleneck of an otherwise-scalable query.
+    # Each file is one single-task JSON-lines write (sorted in-task;
+    # row order within a file is cosmetic anyway — every row of a file
+    # shares one ts, so any within-batch dedup pick is value-identical).
+    def batch_users_json(k: int, ts: str, batch: int) -> DataFrame:
+        return (
+            ev.filter(F.col("event_id") % N_REPLAY_BATCHES == k)
             .select("user_id")
             .distinct()
-            .collect()
-        ]
-        rows = [
-            _json.dumps(
-                {
-                    "user_id": u,
-                    "ts": f"2024-01-01 00:{5 * k:02d}:00",
-                    "batch": k,
-                }
+            .coalesce(1)
+            .sortWithinPartitions("user_id")
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.col("user_id"),
+                        F.lit(ts).alias("ts"),
+                        F.lit(batch).cast("long").alias("batch"),
+                    )
+                ).alias("value")
             )
-            for u in sorted(users)
-        ]
-        _write_feed(feed, k, rows, now + 10 * k)
-        if k == 0:
-            batch0_users = users
+        )
+
+    for k in range(N_REPLAY_BATCHES):
+        _spark_write_feed(
+            batch_users_json(k, f"2024-01-01 00:{5 * k:02d}:00", k),
+            feed, k, now + 10 * k,
+        )
     # file 3: FILLER — a re-delivery of file 0's rows (all duplicates
     # within the horizon, so it never adds a committed row). Its job is
     # spacing: the engine drops a late row only once a batch containing
     # the +10 rows has COMPLETED (the drop rule is expiry ≤ current
     # watermark, probed empirically), so the sentinel must sit ≥2 files
     # after file 2 for the result to survive a 2-file bundling.
-    _write_feed(
-        feed,
-        N_REPLAY_BATCHES,
-        [
-            _json.dumps(
-                {
-                    "user_id": u,
-                    "ts": "2024-01-01 00:00:00",
-                    "batch": N_REPLAY_BATCHES,
-                }
-            )
-            for u in sorted(batch0_users)
-        ],
-        now + 10 * N_REPLAY_BATCHES,
+    _spark_write_feed(
+        batch_users_json(0, "2024-01-01 00:00:00", N_REPLAY_BATCHES),
+        feed, N_REPLAY_BATCHES, now + 10 * N_REPLAY_BATCHES,
     )
     # file 4: one late sentinel 10 min below the fully-advanced
     # watermark (base+0) — must be dropped by the engine as long as
@@ -418,6 +415,40 @@ def _write_feed(feed: str, seq: int, rows: list[str], mtime: float) -> None:
     os.utime(p, (mtime, mtime))
 
 
+def _spark_write_feed(
+    df: DataFrame, feed: str, seq0: int, mtime0: float
+) -> int:
+    """Write feed file(s) from a DataFrame WITHOUT materializing rows
+    on the driver (r15, guide §5 + r14 verdict #3: the old builders
+    ``collect()``ed the full events table / delta shard, so at 100 TB
+    the feed SCAFFOLD would OOM the driver even though the streaming
+    engine under test scales fine). ``df`` must be ONE string column
+    named ``value`` — each row a JSON line — already arranged so that
+    ascending output partitions are the desired feed files and rows
+    within each partition are in the desired in-file order (Spark's
+    text sink names part files in partition order). The rows are
+    serialized and written by executor tasks (spill-safe); the driver
+    only RENAMES part files into feed slots (control-plane, one
+    syscall per file) and stamps the strictly-increasing mtimes the
+    file source orders on. Returns the number of feed files written.
+
+    Empty partitions produce no part file (FileFormatWriter skips
+    them), so feed seq numbers stay dense — the file source only
+    cares about mtime order, not name continuity."""
+    import glob as _glob
+
+    stage = feed + f".stage{seq0}"
+    df.write.mode("overwrite").text(stage)
+    parts = sorted(_glob.glob(os.path.join(stage, "part-*")))
+    for i, part in enumerate(parts):
+        p = os.path.join(feed, f"{seq0 + i:05d}.json")
+        os.replace(part, p)
+        mt = mtime0 + 10 * i
+        os.utime(p, (mt, mt))
+    shutil.rmtree(stage, ignore_errors=True)
+    return len(parts)
+
+
 STREAMING_WATERMARK_DEDUP_REPLAY_SQL = """
 SELECT DISTINCT user_id, 1::BIGINT AS n_emitted FROM events
 """
@@ -432,22 +463,19 @@ def streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     state round-trips, state persistence across micro-batches, update-
     mode emission — under the driver's hash gate, not just pytest.
 
-    Schedule: all events ordered by (us, user_id) and cut into 3
-    contiguous micro-batches, so per-user event time never regresses
-    across batches (the tracker's A1 ordered-source contract). Equal-
-    timestamp tie order CANNOT affect the result: the tracker requires
-    STRICTLY increasing time to advance, and under strict inequality
-    the greedy machine equals the chained min-ts funnel for every
-    interleaving of ties — the oracle encodes exactly that closed
-    form. The feed-write collect is the correctness frame's scaffold
-    (like the sibling replays), not the deployment shape; deployed,
-    the tracker consumes the ordered source directly.
+    Schedule: all events cut into 3 CONTIGUOUS (us, user_id)-ordered
+    micro-batches (range repartition — see the inline note), so
+    per-user event time never regresses across batches (the tracker's
+    A1 ordered-source contract). Equal-timestamp tie order CANNOT
+    affect the result: the tracker requires STRICTLY increasing time
+    to advance, and under strict inequality the greedy machine equals
+    the chained min-ts funnel for every interleaving of ties — the
+    oracle encodes exactly that closed form.
 
     Scale: tracker state is (stage, t_prev) per user — two longs —
     partitioned by user_id across executors; emission is one row per
-    user per batch it appears in."""
-    import json as _json
-
+    user per batch it appears in. The feed scaffold is Spark-written
+    (no driver materialization — r15)."""
     from pyspark.sql import types as T
 
     from argus_spark.operators.temporal import FUNNEL_STAGES
@@ -457,23 +485,28 @@ def streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = os.path.join(out, "feed")
     res_dir = os.path.join(out, "res")
     os.makedirs(feed, exist_ok=True)
-    ev = (
+    # Feed built by Spark writers, not a full-table driver collect
+    # (r15, r14 verdict #2): ``repartitionByRange`` cuts the events
+    # into N_REPLAY_BATCHES CONTIGUOUS (us, user_id) ranges — ascending
+    # partition id = ascending time range, exactly the old
+    # sort-then-slice cut's property that matters: per-user event time
+    # never regresses across batch files (the tracker's A1 contract).
+    # The exact slice boundaries differ from the old equal-count cut
+    # (range sampling), but the committed result is batching-invariant
+    # for EVERY contiguous cut — the docstring's tie argument — which
+    # the oracle hash re-proves each round. Rows are sorted and
+    # serialized in-task; the driver renames part files.
+    now = __import__("time").time()
+    feed_df = (
         load(spark, sf_dir, "events")
         .select("user_id", F.unix_micros("ts").alias("us"), "event_type")
-        .orderBy("us", "user_id")
-        .collect()
+        .repartitionByRange(N_REPLAY_BATCHES, "us", "user_id")
+        .sortWithinPartitions("us", "user_id")
+        .select(
+            F.to_json(F.struct("user_id", "us", "event_type")).alias("value")
+        )
     )
-    n = len(ev)
-    step = (n + N_REPLAY_BATCHES - 1) // N_REPLAY_BATCHES
-    now = __import__("time").time()
-    for idx, lo in enumerate(range(0, n, step)):
-        rows = [
-            _json.dumps(
-                {"user_id": r.user_id, "us": r.us, "event_type": r.event_type}
-            )
-            for r in ev[lo : lo + step]
-        ]
-        _write_feed(feed, idx, rows, now + 10 * idx)
+    _spark_write_feed(feed_df, feed, 0, now)
     schema = T.StructType(
         [
             T.StructField("user_id", T.LongType(), True),
@@ -545,7 +578,6 @@ def _sessionize_replay_run(
     pytest can replay the same feed under perturbed batching — the
     tracker's monotone-merge emission makes the merged result
     identical under every cut (see its docstring)."""
-    import json as _json
     import time as _time
 
     from pyspark.sql import types as T
@@ -557,23 +589,24 @@ def _sessionize_replay_run(
     feed = os.path.join(out, "feed")
     res_dir = os.path.join(out, "res")
     os.makedirs(feed, exist_ok=True)
-    ev = (
+    # Spark-written feed (r15, r14 verdict #2 — no full-table driver
+    # collect): contiguous (us, event_id) range cut; per-user time
+    # never regresses across files, and the tracker's monotone-merge
+    # emission makes the merged result identical under every such cut
+    # (its docstring). In-task sort gives the in-file (us, event_id)
+    # order; the fold itself only reads ts, so equal-ts splits at a
+    # range boundary cannot move a session boundary (gap 0 ≤ gap_us).
+    now = _time.time()
+    feed_df = (
         load(spark, sf_dir, "events")
         .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
-        .orderBy("us", "event_id")
-        .collect()
+        .repartitionByRange(N_REPLAY_BATCHES, "us", "event_id")
+        .sortWithinPartitions("us", "event_id")
+        .select(
+            F.to_json(F.struct("user_id", "event_id", "us")).alias("value")
+        )
     )
-    n = len(ev)
-    step = (n + N_REPLAY_BATCHES - 1) // N_REPLAY_BATCHES
-    now = _time.time()
-    for idx, lo in enumerate(range(0, n, step)):
-        rows = [
-            _json.dumps(
-                {"user_id": r.user_id, "event_id": r.event_id, "us": r.us}
-            )
-            for r in ev[lo : lo + step]
-        ]
-        _write_feed(feed, idx, rows, now + 10 * idx)
+    _spark_write_feed(feed_df, feed, 0, now)
     schema = T.StructType(
         [
             T.StructField("user_id", T.LongType(), True),
@@ -625,9 +658,9 @@ def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the monotone-merge read that makes the result independent of the
     engine's batch cuts — the session analogue of the funnel replay.
 
-    Scale: tracker state is 4 longs per live user; the feed-write
-    collect is the correctness frame's scaffold (sibling replays),
-    deployed form consumes the ordered source directly."""
+    Scale: tracker state is 4 longs per live user; the feed scaffold
+    is Spark-written (no driver materialization — r15), deployed form
+    consumes the ordered source directly."""
     return _sessionize_replay_run(spark, sf_dir)
 
 
@@ -653,7 +686,6 @@ def _delta_dedup_replay_run(
     returns the committed verified (delta_id, match_id) rows. Factored
     out so pytest can replay the SAME shard under every perturbed cut
     and assert bit-identical results."""
-    import json as _json
     import time as _time
 
     from argus_spark.datapipe.dedup import base_band_index
@@ -676,24 +708,19 @@ def _delta_dedup_replay_run(
     from argus_spark.datapipe.dedup import DELTA_MOD
 
     d = load(spark, sf_dir, "documents", widen=True).select("doc_id", "text")
-    delta_rows = (
-        d.filter(F.col("doc_id") % DELTA_MOD == 0)
-        .orderBy("doc_id")
-        .collect()
-    )
+    # Spark-written feed (r15, r14 verdict #2): the shard is split into
+    # contiguous doc_id ranges by executor tasks instead of a driver
+    # collect of every delta document's full text — the cut between
+    # files is the PERTURBED variable here, so any range boundary is a
+    # legal schedule by this replay's own contract.
     now = _time.time()
-    per = max(1, -(-len(delta_rows) // N_DELTA_FEED_FILES))
-    for k in range(N_DELTA_FEED_FILES):
-        chunk = delta_rows[k * per : (k + 1) * per]
-        _write_feed(
-            feed,
-            k,
-            [
-                _json.dumps({"doc_id": r.doc_id, "text": r.text})
-                for r in chunk
-            ],
-            now + 10 * k,
-        )
+    delta_df = (
+        d.filter(F.col("doc_id") % DELTA_MOD == 0)
+        .repartitionByRange(N_DELTA_FEED_FILES, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .select(F.to_json(F.struct("doc_id", "text")).alias("value"))
+    )
+    _spark_write_feed(delta_df, feed, 0, now)
 
     from argus_spark.datapipe.dedup import _minhash_bands_df, _minhash_sig_df
 
@@ -844,7 +871,6 @@ def _embedding_delta_replay_run(
     probe; returns the committed verified (delta_id, match_id, cos_sim)
     rows. Factored out so pytest can replay the SAME shard under every
     perturbed cut and assert bit-identical results."""
-    import json as _json
     import time as _time
 
     from argus_spark.datapipe.dedup import (
@@ -885,30 +911,23 @@ def _embedding_delta_replay_run(
 
     # The incoming daily shard (vec_id % DELTA_MOD == 0), split into
     # ordered feed files; the CUT between files is the perturbed
-    # variable. Vectors ride the feed as JSON doubles — repr-shortest
-    # emission + correctly-rounded parse is an exact round-trip, so
-    # the streamed doubles are bit-identical to the widened parquet
-    # values the oracle reads.
-    delta_rows = (
+    # variable. Vectors ride the feed as JSON doubles — round-trip-
+    # unique emission (Spark's JSON writer, like Python's repr, emits
+    # enough digits that the correctly-rounded parse restores the
+    # exact double) keeps the streamed vectors bit-identical to the
+    # widened parquet values the oracle reads. Spark-written feed
+    # (r15, r14 verdict #2): contiguous vec_id ranges cut by executor
+    # tasks, no driver collect of the shard's vectors.
+    now = _time.time()
+    delta_df = (
         _embedding_corpus(spark, sf_dir)
         .filter(F.col("vec_id") % DELTA_MOD == 0)
         .select("vec_id", "v")
-        .orderBy("vec_id")
-        .collect()
+        .repartitionByRange(N_DELTA_FEED_FILES, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .select(F.to_json(F.struct("vec_id", "v")).alias("value"))
     )
-    now = _time.time()
-    per = max(1, -(-len(delta_rows) // N_DELTA_FEED_FILES))
-    for k in range(N_DELTA_FEED_FILES):
-        chunk = delta_rows[k * per : (k + 1) * per]
-        _write_feed(
-            feed,
-            k,
-            [
-                _json.dumps({"vec_id": r.vec_id, "v": list(r.v)})
-                for r in chunk
-            ],
-            now + 10 * k,
-        )
+    _spark_write_feed(delta_df, feed, 0, now)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         b = batch_df.select("vec_id", "v").dropDuplicates(["vec_id"])
