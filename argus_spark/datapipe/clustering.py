@@ -533,7 +533,7 @@ def _assign_two_level(
     )
 
 
-_Q_SUM_COLUMNS: list[Column] = []
+_Q_SUM_COLUMNS: dict[type, list[Column]] = {}
 
 
 def _q_sum_columns() -> list[Column]:
@@ -541,15 +541,27 @@ def _q_sum_columns() -> list[Column]:
     per process (r14, guide §1.2): Column objects are immutable plan
     fragments bound by NAME, so the same list serves every Lloyd
     iteration of every fit — rebuilding them measured 0.45 s per
-    iteration in pure Py4J round trips (64 exprs × ~6 hops)."""
-    if not _Q_SUM_COLUMNS:
-        _Q_SUM_COLUMNS.extend(
+    iteration in pure Py4J round trips (64 exprs × ~6 hops).
+
+    r15 (r14 ADVICE): the memo is keyed by the CONCRETE Column class
+    (classic vs Spark Connect — pyspark 4 dispatches ``F.*`` by the
+    active session type), so a process that mixes session flavors gets
+    a fresh list per flavor instead of reusing incompatible handles.
+    Residual assumption (documented): within the CLASSIC flavor the
+    Py4J gateway is process-lifetime — a torn-down-and-restarted
+    gateway would leave stale JVM handles here, a restart no in-repo
+    flow performs."""
+    cls = type(F.lit(0))
+    cols = _Q_SUM_COLUMNS.get(cls)
+    if cols is None:
+        cols = [
             F.sum(F.floor(F.col("v")[i] * F.lit(float(SCALE_V)))).alias(
                 f"q{i}"
             )
             for i in range(DIM)
-        )
-    return _Q_SUM_COLUMNS
+        ]
+        _Q_SUM_COLUMNS[cls] = cols
+    return cols
 
 
 def kmeans_codebook(

@@ -125,17 +125,19 @@ def load(spark: SparkSession, sf_dir: str, name: str, widen: bool = False):
     and must not pay it. On a real many-file layout (the 100 TB case)
     scan parallelism >= cores and this is a no-op either way.
     """
+    # r15 (r14 ADVICE): the memo is keyed by the SESSION OBJECT (weak —
+    # a dead session's plans are dropped, and an id()-reuse alias can
+    # never resurrect them), not just applicationId: two sessions of
+    # one app (SparkSession.newSession, a driver-handed session) must
+    # not share plans, and each new session must pass through the conf
+    # pins below.
     try:
-        _key = (
-            spark.sparkContext.applicationId,
-            os.path.abspath(sf_dir),
-            name,
-            bool(widen),
-        )
+        _cache = _LOAD_CACHE.setdefault(spark, {})
+        _key = (os.path.abspath(sf_dir), name, bool(widen))
     except Exception:
-        _key = None  # e.g. connect-only session — just skip the memo
-    if _key is not None and _key in _LOAD_CACHE:
-        return _LOAD_CACHE[_key]
+        _cache, _key = None, None  # unhashable session wrapper — skip
+    if _cache is not None and _key in _cache:
+        return _cache[_key]
     # The driver contract hands us ITS session (not get_spark()'s).
     # Depending on that session's build-time confs, events.ts
     # (parquet TIMESTAMP(NANOS)) arrives as bigint (legacy nanosAsLong,
@@ -186,8 +188,8 @@ def load(spark: SparkSession, sf_dir: str, name: str, widen: bool = False):
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(2, par // 2):
             df = df.repartition(par)
-    if _key is not None:
-        _LOAD_CACHE[_key] = df
+    if _cache is not None:
+        _cache[_key] = df
     return df
 
 
@@ -197,17 +199,25 @@ TESTDATA_TABLES = [
 ]
 
 
-# Plan-level memo for load(): (applicationId, sf_dir, name, widen) →
-# the constructed DataFrame. A DataFrame is an immutable LAZY plan —
+# Plan-level memo for load(): session → (sf_dir, name, widen) → the
+# constructed DataFrame. A DataFrame is an immutable LAZY plan —
 # handing the same plan object back costs nothing and changes nothing
 # about execution (every action still scans the parquet files), but a
 # fresh load() costs ~140 ms of driver-side work (footer/schema read
 # via spark.read.parquet ≈ 75 ms, conf pins, the widen partition
 # probe), and most queries call it 1-4× per construction (r14 opt,
 # guide §1.2: construction overhead measured as the dominant term of
-# many sub-2s bench rows). Keyed by applicationId so a new session
-# never sees another session's plans.
-_LOAD_CACHE: dict[tuple, "DataFrame"] = {}
+# many sub-2s bench rows). r15 (r14 ADVICE): the outer key is the
+# SparkSession object itself in a WeakValue-free WeakKeyDictionary —
+# a second session in the same app gets its own plans AND its own
+# conf-pin pass, and a collected session releases its plans. Known
+# limitation (documented, unchanged): the memoized plan freezes the
+# parquet FILE LISTING of its first read — a table rewritten in-app
+# under the same path would read the old file set. No in-repo flow
+# rewrites testdata; external callers doing so should bypass load().
+import weakref
+
+_LOAD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def register_sql_views(spark: SparkSession, sf_dir: str) -> list[str]:
