@@ -145,9 +145,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scaling, measured (BENCH_SCALE.md, r7, 5k→50k docs): wall
     exponent ≈ 0.3-0.5 at output exponent 1.06 — signature+band cost
-    is per-doc, the equi-join tracks true collisions."""
+    is per-doc, the equi-join tracks true collisions.
+
+    r15 (guide §5 cache-at-fan-out): the signature frame is scoped-
+    cached — the before-plan shows the planner BROADCASTS one side of
+    the band self-join, so there is NO shared exchange for
+    ReuseExchange to dedup and the md5-per-word + 12-permutation map
+    pass ran once per join side (2 parquet scans). The cache pays the
+    pass once; both sides (and ``dedup_minhash_estimate``'s two
+    signature attachments — identical logical plan, same cache entry)
+    read the skinny 13-column frame."""
     d = load(spark, sf_dir, "documents", widen=True)
-    sig = _minhash_sig_df(d)
+    sig = scoped_cache(_minhash_sig_df(d))
     e = _minhash_bands_df(sig)
     a, x = e.alias("a"), e.alias("x")
     return (
@@ -496,6 +505,16 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # registered query constructs (scoped_cache.py)
         .transform(scoped_cache)
     )
+    # r15 NOTE (measured REVERT, guide §3.2 tried): pre-filtering the
+    # two verify sides with broadcast semi-joins on the candidate ids
+    # (so the split+array_distinct projection runs only on candidate
+    # docs) measured ~2× SLOWER at sf0.1 — warm 0.76→1.61 s, cold
+    # 1.48→2.51 s (bench_one/bench_cold, quiet host): the two
+    # broadcast-distinct jobs over the cached candidate frame plus the
+    # extra join stages cost more than the pruned projection saves at
+    # this SF. At true corpus scale the same pre-filter (or the
+    # equivalent runtime Bloom filter) IS the right shape — revisit
+    # only with a corpus-scale measurement in hand.
     words = d.select("doc_id", F.array_distinct(words_col()).alias("w"))
     wc = words.filter(~is_bench).select("doc_id", F.col("w").alias("wc"))
     wb = words.filter(is_bench).select(
@@ -2216,9 +2235,20 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 window hashing and explode per branch (3 full text passes;
     # the plan showed 3 parquet scans of documents). Same pattern as
     # dedup_simhash's signature cache (guide §5).
+    # r15 (guide §2.1 remove-the-shuffle): the (doc_id, g) distinct is
+    # WITHIN-document by construction (g values collide across docs on
+    # purpose — that's the signal), so ``array_distinct`` before the
+    # explode computes it map-side and the corpus-sized
+    # ``dropDuplicates`` exchange (every (doc, window) pair shuffled on
+    # a 2-col key) disappears from the plan. Row-identical: same
+    # per-doc window-hash sets, order irrelevant to every consumer.
     grams = scoped_cache(
-        d.select("doc_id", F.explode(_gram_hashes(words_col(), ES_W, "es")).alias("g"))
-        .dropDuplicates(["doc_id", "g"])
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_gram_hashes(words_col(), ES_W, "es"))
+            ).alias("g"),
+        )
     )
     kept = (
         grams.groupBy("g")
