@@ -65,18 +65,56 @@ def curation_stages(
 
     # 3. DSIR domain selection: keep the top 3 affinity quintiles
     #    (60%) among survivors, deterministic via (affinity desc,
-    #    doc_id). NB the unpartitioned ntile is a single-task sort —
-    #    fine for a demo corpus; at 100 TB swap for an approxQuantile
-    #    threshold (one pass, no global sort) and filter
-    #    affinity >= cutoff.
+    #    doc_id).
+    #
+    #    r15 (r14 verdict #9, guide §2.1): the unpartitioned
+    #    ``ntile(5)`` was a SINGLE-TASK sort of every survivor — the
+    #    one serial stage in the flagship pipeline. Under the strict
+    #    total order (doc_id is unique), ``ntile(5) <= 3`` keeps
+    #    EXACTLY the rows at global positions 1..k where
+    #    k = 3·(n div 5) + min(3, n mod 5) (the first three buckets'
+    #    sizes) — so the quintile cut IS a rank cut, computed here
+    #    without any global sort: range-partition the skinny
+    #    (doc_id, affinity) frame by the total order (cached, so the
+    #    partition layout is frozen across the two passes), collect
+    #    the P per-partition counts (control plane — P rows), and a
+    #    row's global position is its partition's offset + its local
+    #    row_number. Every stage is distributed (the widest exchange
+    #    carries 16-byte rows); bit-identical row set by the argument
+    #    above, re-proven every round by the composed oracle hash.
     affinity = dsir_affinity(spark, sf_dir).select("doc_id", "affinity")
+    from argus_spark.datapipe.scoped_cache import scoped_cache
+
+    n_rp = max(2, spark.sparkContext.defaultParallelism)
+    rp = scoped_cache(
+        s2.select("doc_id")
+        .join(affinity, "doc_id")
+        .repartitionByRange(n_rp, F.desc("affinity"), F.asc("doc_id"))
+    )
+    cnts = {
+        r["__pid"]: r["cnt"]
+        for r in rp.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(cnts.values())
+    sz, rem = divmod(n, 5)
+    k = 3 * sz + min(3, rem)
+    offs, acc = [], 0
+    for i in range(n_rp):
+        offs.append(acc)
+        acc += cnts.get(i, 0)
+    off_arr = F.array(*[F.lit(int(o)) for o in offs])
+    wloc = Window.partitionBy("__pid").orderBy(
+        F.desc("affinity"), F.asc("doc_id")
+    )
     sel = (
-        s2.join(affinity, "doc_id")
-        .withColumn(
-            "q",
-            F.ntile(5).over(Window.orderBy(F.desc("affinity"), F.asc("doc_id"))),
+        rp.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(wloc))
+        .filter(
+            F.element_at(off_arr, F.col("__pid") + 1) + F.col("__lrn")
+            <= F.lit(int(k))
         )
-        .filter(F.col("q") <= 3)
         .select("doc_id")
     )
     s2b = s2.join(sel, "doc_id", "left_semi")
