@@ -14,15 +14,68 @@ Scale shape: every stage is the registered operator's plan (banded
 candidate generation, broadcast keep/drop-lists, partial-agged
 scores); the seams are left-semi/anti joins on doc_id against frames
 that are small by construction (drop-lists ≪ corpus), so at
-deployment each seam is a broadcast join. The one deliberate demo
-shortcut — the unpartitioned ntile for DSIR quintiles — is flagged
-inline with its 100 TB replacement (approxQuantile threshold).
+deployment each seam is a broadcast join. The DSIR quintile cut —
+formerly the one single-task stage (an unpartitioned ntile sort) — is
+a fully distributed rank cut since r15 (``quintile_cut_ids``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def quintile_cut_ids(aff: DataFrame, keep_quintiles: int = 3) -> DataFrame:
+    """doc_ids of the top ``keep_quintiles`` affinity quintiles of a
+    (doc_id, affinity) frame — row-identical to
+    ``ntile(5) OVER (ORDER BY affinity DESC, doc_id) <= keep_quintiles``
+    but with NO single-task global sort (r15, r14 verdict #9,
+    guide §2.1).
+
+    Under the strict total order (doc_id unique), ``ntile(5) <= q``
+    keeps exactly the rows at global positions 1..k where
+    k = q·(n div 5) + min(q, n mod 5) (the first q buckets' sizes), so
+    the quintile cut IS a rank cut: range-partition by the total order
+    (cached, so the partition layout is frozen across the two passes),
+    collect the P per-partition counts (control plane — P rows), and a
+    row's global position is its partition's offset + its local
+    row_number. Every stage is distributed (the widest exchange
+    carries 16-byte rows); the partition count tracks
+    ``defaultParallelism`` — scale-adaptive, not a local constant.
+    Equivalence is pinned by a randomized test against the ntile form
+    and re-proven every round by the composed curation oracle hash."""
+    from argus_spark.datapipe.scoped_cache import scoped_cache
+
+    n_rp = max(2, aff.sparkSession.sparkContext.defaultParallelism)
+    rp = scoped_cache(
+        aff.repartitionByRange(n_rp, F.desc("affinity"), F.asc("doc_id"))
+    )
+    cnts = {
+        r["__pid"]: r["cnt"]
+        for r in rp.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(cnts.values())
+    sz, rem = divmod(n, 5)
+    k = keep_quintiles * sz + min(keep_quintiles, rem)
+    offs, acc = [], 0
+    for i in range(n_rp):
+        offs.append(acc)
+        acc += cnts.get(i, 0)
+    off_arr = F.array(*[F.lit(int(o)) for o in offs])
+    wloc = Window.partitionBy("__pid").orderBy(
+        F.desc("affinity"), F.asc("doc_id")
+    )
+    return (
+        rp.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(wloc))
+        .filter(
+            F.element_at(off_arr, F.col("__pid") + 1) + F.col("__lrn")
+            <= F.lit(int(k))
+        )
+        .select("doc_id")
+    )
 
 
 def curation_stages(
@@ -65,58 +118,10 @@ def curation_stages(
 
     # 3. DSIR domain selection: keep the top 3 affinity quintiles
     #    (60%) among survivors, deterministic via (affinity desc,
-    #    doc_id).
-    #
-    #    r15 (r14 verdict #9, guide §2.1): the unpartitioned
-    #    ``ntile(5)`` was a SINGLE-TASK sort of every survivor — the
-    #    one serial stage in the flagship pipeline. Under the strict
-    #    total order (doc_id is unique), ``ntile(5) <= 3`` keeps
-    #    EXACTLY the rows at global positions 1..k where
-    #    k = 3·(n div 5) + min(3, n mod 5) (the first three buckets'
-    #    sizes) — so the quintile cut IS a rank cut, computed here
-    #    without any global sort: range-partition the skinny
-    #    (doc_id, affinity) frame by the total order (cached, so the
-    #    partition layout is frozen across the two passes), collect
-    #    the P per-partition counts (control plane — P rows), and a
-    #    row's global position is its partition's offset + its local
-    #    row_number. Every stage is distributed (the widest exchange
-    #    carries 16-byte rows); bit-identical row set by the argument
-    #    above, re-proven every round by the composed oracle hash.
+    #    doc_id) — as a distributed rank cut, not a single-task ntile
+    #    sort (see ``quintile_cut_ids``).
     affinity = dsir_affinity(spark, sf_dir).select("doc_id", "affinity")
-    from argus_spark.datapipe.scoped_cache import scoped_cache
-
-    n_rp = max(2, spark.sparkContext.defaultParallelism)
-    rp = scoped_cache(
-        s2.select("doc_id")
-        .join(affinity, "doc_id")
-        .repartitionByRange(n_rp, F.desc("affinity"), F.asc("doc_id"))
-    )
-    cnts = {
-        r["__pid"]: r["cnt"]
-        for r in rp.groupBy(F.spark_partition_id().alias("__pid"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    n = sum(cnts.values())
-    sz, rem = divmod(n, 5)
-    k = 3 * sz + min(3, rem)
-    offs, acc = [], 0
-    for i in range(n_rp):
-        offs.append(acc)
-        acc += cnts.get(i, 0)
-    off_arr = F.array(*[F.lit(int(o)) for o in offs])
-    wloc = Window.partitionBy("__pid").orderBy(
-        F.desc("affinity"), F.asc("doc_id")
-    )
-    sel = (
-        rp.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__lrn", F.row_number().over(wloc))
-        .filter(
-            F.element_at(off_arr, F.col("__pid") + 1) + F.col("__lrn")
-            <= F.lit(int(k))
-        )
-        .select("doc_id")
-    )
+    sel = quintile_cut_ids(s2.select("doc_id").join(affinity, "doc_id"))
     s2b = s2.join(sel, "doc_id", "left_semi")
 
     # 4. quality top-k per source, ranked WITHIN survivors

@@ -2202,3 +2202,45 @@ class TestExprLiteralEquivalence:
             .count()
         )
         assert n_diff == 0
+
+
+class TestQuintileCutEquivalence:
+    def test_rank_cut_equals_ntile_randomized(self, spark):
+        """r15: ``quintile_cut_ids`` (distributed rank cut, no global
+        sort) must keep EXACTLY the rows the old single-task
+        ``ntile(5) <= 3`` window kept, for every n — including ties in
+        affinity (doc_id breaks them), n < 5, n % 5 != 0, and n = 0."""
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from argus_spark.datapipe.curation import quintile_cut_ids
+
+        for seed, n in [(1, 0), (2, 3), (3, 5), (4, 23), (5, 100), (6, 997)]:
+            rng = random.Random(seed)
+            rows = [
+                # coarse affinity grid on purpose: plenty of exact ties
+                (i, rng.randrange(10) / 4.0)
+                for i in range(n)
+            ]
+            df = (
+                spark.createDataFrame(rows, ["doc_id", "affinity"])
+                if rows
+                else spark.createDataFrame([], "doc_id long, affinity double")
+            )
+            got = {
+                r["doc_id"] for r in quintile_cut_ids(df).collect()
+            }
+            want = {
+                r["doc_id"]
+                for r in df.withColumn(
+                    "q",
+                    F.ntile(5).over(
+                        Window.orderBy(F.desc("affinity"), F.asc("doc_id"))
+                    ),
+                )
+                .filter(F.col("q") <= 3)
+                .collect()
+            }
+            assert got == want, (seed, n, sorted(got ^ want)[:10])
