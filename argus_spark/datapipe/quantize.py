@@ -39,9 +39,19 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    # r15 (guide §4 at the plan-construction boundary — the r14
+    # ``_ec_bands_array_expr`` pattern): the two extrema arrays are
+    # parsed as ONE SQL expression each instead of 2×DIM ``F.min``/
+    # ``F.max`` ``Column`` constructions (128 Py4J round trips —
+    # measured as the bulk of this query's 0.5 s construct phase).
+    # Identical analyzed plan: ``v[i]`` is the same 0-based getItem.
     stats = e.agg(
-        F.array(*[F.min(F.col("v")[i]) for i in range(DIM)]).alias("mn"),
-        F.array(*[F.max(F.col("v")[i]) for i in range(DIM)]).alias("mx"),
+        F.expr(
+            "array(" + ", ".join(f"min(v[{i}])" for i in range(DIM)) + ")"
+        ).alias("mn"),
+        F.expr(
+            "array(" + ", ".join(f"max(v[{i}])" for i in range(DIM)) + ")"
+        ).alias("mx"),
     )
     num = F.zip_with(F.col("v"), F.col("mn"), lambda x, y: x - y)
     rng = F.zip_with(F.col("mx"), F.col("mn"), lambda x, y: x - y)
