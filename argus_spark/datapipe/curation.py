@@ -36,20 +36,28 @@ def quintile_cut_ids(aff: DataFrame, keep_quintiles: int = 3) -> DataFrame:
     keeps exactly the rows at global positions 1..k where
     k = q·(n div 5) + min(q, n mod 5) (the first q buckets' sizes), so
     the quintile cut IS a rank cut: range-partition by the total order
-    (cached, so the partition layout is frozen across the two passes),
-    collect the P per-partition counts (control plane — P rows), and a
-    row's global position is its partition's offset + its local
-    row_number. Every stage is distributed (the widest exchange
+    (materialized, so the partition layout is frozen across the two
+    passes), collect the P per-partition counts (control plane — P
+    rows), and a row's global position is its partition's offset + its
+    local row_number. Every stage is distributed (the widest exchange
     carries 16-byte rows); the partition count tracks
     ``defaultParallelism`` — scale-adaptive, not a local constant.
     Equivalence is pinned by a randomized test against the ntile form
-    and re-proven every round by the composed curation oracle hash."""
-    from argus_spark.datapipe.scoped_cache import scoped_cache
+    and re-proven every round by the composed curation oracle hash.
 
+    ``localCheckpoint`` rather than ``cache`` freezes the layout
+    (which rows land in which partition must not move between the
+    counts pass and the filter pass; the kept row SET is order-derived
+    either way) while ALSO truncating the composed upstream lineage
+    (keep-list → decontaminate → DSIR affinity) out of every
+    downstream consumer — guide §3.3: the composed curation plan was
+    re-printing/re-planning that executed subtree per consumer. On a
+    cluster swap for reliable ``checkpoint(dir)`` (same convention as
+    ``connected_components``)."""
     n_rp = max(2, aff.sparkSession.sparkContext.defaultParallelism)
-    rp = scoped_cache(
-        aff.repartitionByRange(n_rp, F.desc("affinity"), F.asc("doc_id"))
-    )
+    rp = aff.repartitionByRange(
+        n_rp, F.desc("affinity"), F.asc("doc_id")
+    ).localCheckpoint()
     cnts = {
         r["__pid"]: r["cnt"]
         for r in rp.groupBy(F.spark_partition_id().alias("__pid"))

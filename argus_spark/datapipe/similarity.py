@@ -1117,8 +1117,13 @@ def ann_whitened_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx = a if approx is None else approx.unionByName(a)
     tags = spark.createDataFrame([(t,) for t in variants], "variant string")
     base = exact.crossJoin(F.broadcast(tags))  # 2-row tag frame
+    # r15 (guide §3.1): the approx side is sample-bounded at ANY corpus
+    # scale (≤ |variants|·N_QUERIES·LSH_TOP_K rows — top-k per sampled
+    # query), but the static planner sees only window-output stats and
+    # picked a SortMergeJoin, shuffling+sorting BOTH tiny sides (2
+    # Exchanges + 2 Sorts in the before-plan). Broadcast it explicitly.
     return (
-        base.join(approx, ["q_id", "n_id", "variant"], "left")
+        base.join(F.broadcast(approx), ["q_id", "n_id", "variant"], "left")
         .groupBy("variant", "q_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_exact"),
@@ -1206,8 +1211,10 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t,) for t in variants], "variant string"
     )
     base = exact.crossJoin(F.broadcast(tags))  # 4-row tag frame
+    # same §3.1 hint as ann_whitened_recall: the approx union is
+    # sample-bounded (≤ 4·N_QUERIES·k rows) at any corpus scale
     return (
-        base.join(approx, ["q_id", "n_id", "variant"], "left")
+        base.join(F.broadcast(approx), ["q_id", "n_id", "variant"], "left")
         .groupBy("variant", "q_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_exact"),

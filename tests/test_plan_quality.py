@@ -542,6 +542,11 @@ def test_ann_recall_matrix_no_cartesian_beyond_tag_frame(spark):
     plan = formatted_plan(ann_recall_at_k(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
     assert has_partial_aggregation(plan), plan
+    # r15: the truth⋈approx left join is hinted broadcast (both sides
+    # are sample-bounded at any corpus scale) — a SortMergeJoin here
+    # would mean the hint regressed and the two tiny frames are being
+    # shuffled + sorted again.
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_ann_whitened_recall_no_cartesian_beyond_tag_frame(spark):
@@ -555,6 +560,8 @@ def test_ann_whitened_recall_no_cartesian_beyond_tag_frame(spark):
     assert "CartesianProduct" not in plan, plan
     assert has_partial_aggregation(plan), plan
     assert has_broadcast_hash_join(plan), plan
+    # r15: same broadcast-hinted truth⋈approx seam as ann_recall_at_k
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_dedup_audit_pairs_no_cartesian_no_nlj(spark):
