@@ -67,81 +67,57 @@ def _modules():
 # Keys absent from this list (future operators) are appended in module
 # order after the listed ones.
 #
-# Round-14 rotation (window computed by scripts/plan_rotation.py
-# --allow-spill; the planner now HARD-FAILS on silent staleness-contract
-# overflow — r13 verdict #2). This round's window (50):
-#   never-covered FIRST (3): the two NEW fixed-codebook assignment
-#     queries (driver evidence for the staged + broadcast dispatch
-#     arms, r13 verdict #4) and streaming_embedding_delta_replay (the
-#     r13 late addition, staleness -1 — mandatory per r13 verdict #2);
-#   then sample_stratified (staleness 3 — the r13 silent-truncation
-#     casualty, mandatory per r13 verdict #2);
-#   then 46 of the 48 staleness-2 keys (staleness desc, registry order).
-# DOCUMENTED SPILL (the planner's --allow-spill record): the mandatory
-# set is 52 keys for 50 slots this round, so TWO staleness-2 keys spill
-# to staleness 3: lifecycle_reorg_replay_sqltxn and
-# embedding_standardize. Both are covered by this round's committed
-# full-registry mirror sweep at both SFs (the PRIMARY ledger — see
-# README "Correctness-evidence cadence") and are MANDATORY r15 window
-# entries. kmeans_embeddings / dedup_semantic / embedding_audit_pairs
-# are NOT tier-2 despite the r14 _assign diff: at driver SFs they
-# dispatch the unchanged FLAT arm (isotropic corpus; the diff touches
-# only the staged arm's grouping internals + adds the broadcast arm,
-# both now driver-covered via the new fixed-codebook queries), and all
-# three are r13-green + in this round's mirror sweep.
+# Round-15 rotation (window computed by scripts/plan_rotation.py
+# --allow-spill). This round's window (50):
+#   tier 2 FIRST (19 changed keys — their executed plans changed this
+#     round): the 5 replay queries whose feed builders moved to Spark
+#     writers (streaming_{watermark_dedup,funnel,sessionize,
+#     delta_dedup,embedding_delta}_replay), the minhash-signature-cache
+#     family (dedup_minhash_lsh/_estimate, dedup_lsh_recall),
+#     dedup_exact_substring (map-side distinct), dedup_clusters + its 3
+#     consumers (CC gate split + driver union-find), ngram_novelty,
+#     top_terms_by_source, curation_pipeline (rank cut + checkpoint),
+#     embedding_quantize_int8 (expr extrema), ann_whitened_recall /
+#     ann_recall_at_k (broadcast truth join). Memo-keying changes
+#     (session.py/clustering.py) are plan-identical ⇒ not tier-2 (r14
+#     precedent).
+#   then the two r14-spilled MANDATORY keys (r14 verdict #10):
+#     lifecycle_reorg_replay_sqltxn, embedding_standardize;
+#   then staleness-2 keys (staleness desc, registry order) up to the
+#     cap.
+# DOCUMENTED SPILL (the planner's --allow-spill record): 19 tier-2 +
+# 2 mandatory + 48 staleness-2 keys cannot fit 50 slots, so SEVENTEEN
+# staleness-2 keys spill to staleness 3 this round:
+# group_sum_pricing, slot_arithmetic, topk_newest, json_extract,
+# count_by_key, left_join_fillna, dedup_keep_first, duplicate_detect,
+# latest_per_key, topk_serving, set_intersect, set_except,
+# running_sum_frame, rollup_counts, pivot_status,
+# lifecycle_multiroot_replay, lifecycle_compact_replay. All seventeen
+# are plan-stable rows untouched since their last green driver row,
+# ALL are covered by this round's committed full-registry mirror sweep
+# at both SFs (MIRROR_SWEEP_r15.json — the PRIMARY ledger), and they
+# are MANDATORY r16 window entries (⌈149/50⌉ = 3-round worst-case
+# cadence, the documented contract).
 _PRIORITY = [
-    "assign_staged_clustered",
-    "assign_broadcast_codebook",
+    "streaming_watermark_dedup_replay",
+    "streaming_funnel_replay",
+    "streaming_sessionize_replay",
+    "streaming_delta_dedup_replay",
     "streaming_embedding_delta_replay",
-    "sample_stratified",
-    "heavy_hitter_tokens",
-    "dedup_repeated_spans",
-    "dedup_audit_pairs",
-    "dedup_threshold_sweep",
-    "token_budget_mixture",
-    "embedding_gram_matrix",
-    "dedup_cluster_stats",
+    "dedup_minhash_lsh",
+    "dedup_minhash_estimate",
     "dedup_lsh_recall",
-    "dataset_mixture",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "decontaminate_ngram_overlap",
+    "dedup_exact_substring",
+    "dedup_clusters",
+    "dedup_cluster_stats",
     "dedup_keep_list",
-    "funnel_conversion",
-    "watched_balances",
-    "balances_after_rollback",
-    "tx_flatten",
-    "utxo_state",
-    "utxo_spent",
-    "utxo_unspent",
-    "streaming_minhash_replay",
-    "streaming_first_wins_replay",
-    "curation_pipeline",
-    "dedup_simhash",
-    "winnow_overlap_pairs",
-    "decontaminate_containment",
+    "dedup_audit_pairs",
     "ngram_novelty",
-    "dataset_mixture_temperature",
-    "pack_efficiency_stats",
-    "weighted_sample_bernoulli",
-    "boilerplate_chunk_removal",
-    "quality_classifier_hashed",
-    "shipping_priority_topk",
-    "regional_revenue",
-    "returned_item_losses",
-    "source_token_overlap",
-    "sessionize_events",
-    "ann_pq_adc_topk",
-    "skew_detect_keys",
-    "user_state_diff",
-    "cross_source_dup_matrix",
-    "length_outlier_filter",
-    "source_centroid_similarity",
     "top_terms_by_source",
-    "multimodal_phash_dedup",
-    "lifecycle_reorg_replay",
-    # ---- window boundary ----------------------------------------
-    # (everything below rides prior-round evidence + the mirror sweep)
+    "curation_pipeline",
+    "embedding_quantize_int8",
+    "ann_whitened_recall",
+    "ann_recall_at_k",
     "lifecycle_reorg_replay_sqltxn",
     "embedding_standardize",
     "dedup_incremental_delta",
@@ -173,6 +149,8 @@ _PRIORITY = [
     "session_window_agg",
     "pack_sequences",
     "union_dedup_priority",
+    # ---- window boundary ----------------------------------------
+    # (everything below rides prior-round evidence + the mirror sweep)
     "group_sum_pricing",
     "slot_arithmetic",
     "topk_newest",
@@ -188,42 +166,31 @@ _PRIORITY = [
     "running_sum_frame",
     "rollup_counts",
     "pivot_status",
-    "streaming_watermark_dedup_replay",
     "lifecycle_multiroot_replay",
     "lifecycle_compact_replay",
     "embedding_incremental_delta",
-    "ann_whitened_recall",
     "dedup_semantic",
     "embedding_audit_pairs",
     "kmeans_embeddings",
-    "streaming_delta_dedup_replay",
     "streaming_lifecycle_replay",
     "gopher_rules_filter",
     "ann_ivf_pq_topk",
-    "ann_recall_at_k",
     "lifecycle_crash_replay",
-    "streaming_sessionize_replay",
-    "streaming_funnel_replay",
     "hex_canonical",
     "prefix_display",
     "string_funcs",
     "stable_hash",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "approx_distinct_users",
     "dedup_embedding_cosine",
-    "dedup_clusters",
     "chunk_documents",
     "ngram_counts",
     "text_diversity",
     "approx_quantiles_value",
-    "dedup_exact_substring",
     "curate_quality_topk",
     "ann_lsh_multiprobe",
-    "dedup_minhash_estimate",
     "cohort_retention",
-    "embedding_quantize_int8",
     "fluency_unigram",
     "anti_join_not_exists",
     "dsir_affinity",
@@ -241,6 +208,48 @@ _PRIORITY = [
     "skew_salted_join",
     "asof_join_prior_view",
     "range_join_pairs",
+    "assign_staged_clustered",
+    "assign_broadcast_codebook",
+    "sample_stratified",
+    "heavy_hitter_tokens",
+    "dedup_repeated_spans",
+    "dedup_threshold_sweep",
+    "token_budget_mixture",
+    "embedding_gram_matrix",
+    "dataset_mixture",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "decontaminate_ngram_overlap",
+    "funnel_conversion",
+    "watched_balances",
+    "balances_after_rollback",
+    "tx_flatten",
+    "utxo_state",
+    "utxo_spent",
+    "utxo_unspent",
+    "streaming_minhash_replay",
+    "streaming_first_wins_replay",
+    "dedup_simhash",
+    "winnow_overlap_pairs",
+    "decontaminate_containment",
+    "dataset_mixture_temperature",
+    "pack_efficiency_stats",
+    "weighted_sample_bernoulli",
+    "boilerplate_chunk_removal",
+    "quality_classifier_hashed",
+    "shipping_priority_topk",
+    "regional_revenue",
+    "returned_item_losses",
+    "source_token_overlap",
+    "sessionize_events",
+    "ann_pq_adc_topk",
+    "skew_detect_keys",
+    "user_state_diff",
+    "cross_source_dup_matrix",
+    "length_outlier_filter",
+    "source_centroid_similarity",
+    "multimodal_phash_dedup",
+    "lifecycle_reorg_replay",
 ]
 
 
