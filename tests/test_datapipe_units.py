@@ -2160,6 +2160,44 @@ class TestExprLiteralEquivalence:
         )
         assert n_diff == 0
 
+    def test_quantize_extrema_expr_matches_column_form(self, spark):
+        """r15: embedding_quantize_int8's per-dimension extrema arrays
+        are parsed as ONE SQL expression each instead of 2×DIM Column
+        constructions (128 Py4J hops). The ANALYZED plans must be
+        identical modulo expression ids — same aggregate, zero
+        semantic drift (stronger than value equality: the engine
+        cannot tell the two constructions apart)."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from argus_spark.datapipe.dedup import _as_double
+        from argus_spark.datapipe.quantize import DIM
+        from argus_spark.session import load
+
+        e = load(
+            spark, "/root/testdata/sf0.001", "embeddings", widen=True
+        ).select("vec_id", _as_double("embedding").alias("v"))
+        expr_form = e.agg(
+            F.expr(
+                "array(" + ", ".join(f"min(v[{i}])" for i in range(DIM)) + ")"
+            ).alias("mn"),
+            F.expr(
+                "array(" + ", ".join(f"max(v[{i}])" for i in range(DIM)) + ")"
+            ).alias("mx"),
+        )
+        col_form = e.agg(
+            F.array(*[F.min(F.col("v")[i]) for i in range(DIM)]).alias("mn"),
+            F.array(*[F.max(F.col("v")[i]) for i in range(DIM)]).alias("mx"),
+        )
+
+        def norm(df):
+            return re.sub(
+                r"#\d+", "#", df._jdf.queryExecution().analyzed().toString()
+            )
+
+        assert norm(expr_form) == norm(col_form)
+
     def test_bucket_col_expr_matches_column_form(self, spark):
         import numpy as np
         from pyspark.sql import functions as F
